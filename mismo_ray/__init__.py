@@ -1,0 +1,21 @@
+"""mismo_ray — a Ray-Data-native record-linkage / data-processing engine.
+
+A from-scratch rebuild of the query and data-processing capabilities of
+NickCrews/mismo (reference at /root/reference, cited per-module as file:line)
+on top of ``ray.data.Dataset``: blocking → pairwise comparison →
+Fellegi-Sunter scoring → transitive clustering, plus the large-scale
+training-data operators (dedup, ANN, text analysis) the 100 TB target needs.
+
+Design rules (SURVEY.md §7):
+- every stage is a ``Dataset -> Dataset`` transform over Arrow batches;
+- stateful stages are actor pools (callable classes in ``map_batches``);
+- shuffles are explicit and keyed (blocking key, pair id, component id);
+- randomness derives from (seed, key) hashes — never runtime RNG;
+- nothing here calls ``ray.init``/``ray.shutdown`` (the caller owns the session).
+"""
+
+from mismo_ray.types import Linkage, LinksTable
+
+__version__ = "0.1.0"
+
+__all__ = ["Linkage", "LinksTable", "__version__"]

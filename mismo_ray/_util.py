@@ -1,0 +1,107 @@
+"""Shared helpers: deterministic hashing, Arrow/batch utilities, suffixing.
+
+Everything here is driver- and worker-safe (no Ray session required) and
+deterministic across processes (no use of PYTHONHASHSEED-dependent ``hash``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# 64-bit mixing constants (splitmix64; public domain algorithm).
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+U64 = np.uint64
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (vectorized). Input/output uint64."""
+    with np.errstate(over="ignore"):
+        z = (x + _SPLITMIX_GAMMA).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def hash64(values, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hash of an array of values -> uint64 ndarray.
+
+    Stable across processes and platforms (uses pandas' siphash-based
+    ``hash_array`` with a fixed key, then splitmix64 with the seed folded in).
+    Nulls hash to a fixed sentinel.
+    """
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    arr = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+    if seed:
+        with np.errstate(over="ignore"):
+            arr = arr ^ splitmix64(np.full(1, np.uint64(seed)))[0]
+    return splitmix64(arr.astype(np.uint64))
+
+
+def combine_hash_columns(table: pa.Table, columns: Sequence[str], seed: int = 0) -> np.ndarray:
+    """Hash several columns row-wise into one uint64 key array."""
+    out = np.full(len(table), np.uint64(seed if seed else 1469598103934665603), dtype=np.uint64)
+    for c in columns:
+        h = hash64(table[c])
+        with np.errstate(over="ignore"):
+            out = splitmix64(out ^ h)
+    return out
+
+
+def is_null_mask(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Boolean numpy mask of nulls in an arrow array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.is_null())
+
+
+def table_from_arrays(names_arrays: dict) -> pa.Table:
+    cols, names = [], []
+    for name, arr in names_arrays.items():
+        names.append(name)
+        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            cols.append(arr)
+        else:
+            cols.append(pa.array(arr))
+    return pa.table(cols, names=names)
+
+
+def suffix_columns(table: pa.Table, suffix: str, exclude: Iterable[str] = ()) -> pa.Table:
+    """Rename every column not in ``exclude`` by appending ``suffix``."""
+    exclude = set(exclude)
+    return table.rename_columns(
+        [c if c in exclude else f"{c}{suffix}" for c in table.column_names]
+    )
+
+
+def rename_dataset_columns(ds, mapping: dict[str, str]):
+    """Rename columns of a ray.data.Dataset via a zero-copy map_batches."""
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+    return ds.map_batches(_rename, batch_format="pyarrow")
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
+
+
+EMPTY_LINKS_SCHEMA = pa.schema(
+    [pa.field("record_id_l", pa.int64()), pa.field("record_id_r", pa.int64())]
+)
+
+
+def ensure_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]

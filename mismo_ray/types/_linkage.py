@@ -1,0 +1,192 @@
+"""Core pipeline currency: LinksTable and Linkage.
+
+Reference:
+- LinksTable: /root/reference/mismo/types/_links_table.py:15-44 (pairs table
+  with >= columns record_id_l, record_id_r plus per-pair feature columns;
+  ``with_both`` attaches ``_l``/``_r`` record columns).
+- Linkage: /root/reference/mismo/linkage/_linkage.py:17-132 (dataclass of
+  {left, right, links}; persists as three parquet directories — our natural
+  per-stage checkpoint unit, with a JSON manifest carrying lineage + counters).
+- link_counts / with_n_links: /root/reference/mismo/types/_linked_table.py:192-303
+  (per-record link count incl. the zero bucket).
+
+Ray-Data mapping: each member is a ``ray.data.Dataset``; attaching ``_l``/``_r``
+columns is two hash equi-joins keyed on the record ids; counts are
+groupby-aggregates over the links only (never over the record corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Sequence
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from mismo_ray._joins import broadcast_lookup, default_num_partitions, hash_join
+
+
+def _prune_rename(
+    ds: ray.data.Dataset, columns: Sequence[str] | None, suffix: str
+) -> ray.data.Dataset:
+    """Project to (record_id, columns...) and suffix everything, so the join
+    ships only the needed columns (prune-at-the-read discipline)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = list(columns) if columns is not None else [
+            c for c in t.column_names if c != "record_id"
+        ]
+        t = t.select(["record_id", *cols])
+        return t.rename_columns([f"{c}{suffix}" for c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LinksTable:
+    """A Dataset of candidate/confirmed pairs + handles to both record tables."""
+
+    def __init__(
+        self,
+        links: ray.data.Dataset,
+        *,
+        left: ray.data.Dataset,
+        right: ray.data.Dataset,
+    ):
+        self.ds = links
+        self.left = left
+        self.right = right
+
+    def with_left(
+        self, columns: Sequence[str] | None = None, *, num_partitions: int | None = None
+    ) -> ray.data.Dataset:
+        left = _prune_rename(self.left, columns, "_l")
+        return hash_join(
+            self.ds, left, on="record_id_l", num_partitions=num_partitions
+        )
+
+    def with_right(
+        self, columns: Sequence[str] | None = None, *, num_partitions: int | None = None
+    ) -> ray.data.Dataset:
+        right = _prune_rename(self.right, columns, "_r")
+        return hash_join(
+            self.ds, right, on="record_id_r", num_partitions=num_partitions
+        )
+
+    def with_both(
+        self,
+        columns_l: Sequence[str] | None = None,
+        columns_r: Sequence[str] | None = None,
+        *,
+        num_partitions: int | None = None,
+    ) -> ray.data.Dataset:
+        """links + ``<col>_l`` and ``<col>_r`` columns (two hash joins)."""
+        n = num_partitions or default_num_partitions()
+        left = _prune_rename(self.left, columns_l, "_l")
+        right = _prune_rename(self.right, columns_r, "_r")
+        out = hash_join(self.ds, left, on="record_id_l", num_partitions=n)
+        return hash_join(out, right, on="record_id_r", num_partitions=n)
+
+    def count(self) -> int:
+        return self.ds.count()
+
+
+class Linkage:
+    """{left, right, links} — the central unit passed between pipeline stages."""
+
+    def __init__(
+        self,
+        *,
+        left: ray.data.Dataset,
+        right: ray.data.Dataset,
+        links: ray.data.Dataset,
+    ):
+        self.left = left
+        self.right = right
+        self._links = links
+
+    @property
+    def links(self) -> LinksTable:
+        return LinksTable(self._links, left=self.left, right=self.right)
+
+    @property
+    def links_ds(self) -> ray.data.Dataset:
+        return self._links
+
+    # ------------------------------------------------------------ persistence
+    def to_parquets(self, directory: str, *, counters: dict | None = None) -> None:
+        """Checkpoint: left/ right/ links/ parquet dirs + manifest.json."""
+        os.makedirs(directory, exist_ok=True)
+        for name, ds in (("left", self.left), ("right", self.right), ("links", self._links)):
+            ds.write_parquet(os.path.join(directory, name))
+        manifest = {
+            "format": "mismo_ray.Linkage",
+            "created_unix": time.time(),
+            "counters": counters or {},
+        }
+        with open(os.path.join(directory, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def from_parquets(cls, directory: str) -> "Linkage":
+        return cls(
+            left=ray.data.read_parquet(os.path.join(directory, "left")),
+            right=ray.data.read_parquet(os.path.join(directory, "right")),
+            links=ray.data.read_parquet(os.path.join(directory, "links")),
+        )
+
+    # ------------------------------------------------------------ diagnostics
+    def _n_links_ds(self, side: str) -> ray.data.Dataset:
+        key = "record_id_l" if side == "left" else "record_id_r"
+        # links are already distinct pairs by construction (linkers dedup);
+        # count links per record on this side.
+        return (
+            self._links.groupby(key)
+            .aggregate(Count(alias_name="n_links"))
+            .map_batches(
+                lambda t: t.rename_columns(
+                    ["record_id" if c == key else c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    def with_n_links(
+        self, side: str = "left", *, broadcast_threshold: int = 5_000_000
+    ) -> ray.data.Dataset:
+        """Records of ``side`` with an ``n_links`` column (0 for unlinked).
+
+        When the per-record counts table is small it is broadcast into a map
+        over the records (no shuffle); above ``broadcast_threshold`` rows it
+        falls back to a hash left-outer join.
+        """
+        counts_ds = self._n_links_ds(side)
+        records = self.left if side == "left" else self.right
+        if counts_ds.count() <= broadcast_threshold:
+            counts = counts_ds.to_pandas()
+            mapping = dict(zip(counts["record_id"], counts["n_links"]))
+            return broadcast_lookup(
+                records,
+                "record_id",
+                mapping,
+                result_name="n_links",
+                default=0,
+                result_type=pa.int64(),
+            )
+        joined = hash_join(records, counts_ds, on="record_id", how="left_outer")
+
+        def fill_zero(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.fill_null(t["n_links"], 0)
+            return t.set_column(t.schema.get_field_index("n_links"), "n_links", n)
+
+        return joined.map_batches(fill_zero, batch_format="pyarrow")
+
+    def link_counts(self, side: str = "left") -> ray.data.Dataset:
+        """Histogram: n_links -> n_records, including the zero bucket
+        (reference _linked_table.py:247-303)."""
+        with_n = self.with_n_links(side)
+        return with_n.groupby("n_links").aggregate(Count(alias_name="n_records"))

@@ -1,0 +1,170 @@
+"""sets / vector / arrays modules vs reference doctest semantics
+(/root/reference/mismo/sets/, /root/reference/mismo/vector/_vector.py,
+/root/reference/mismo/arrays/)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from mismo_ray import arrays, sets, vector
+
+
+def test_jaccard():
+    assert sets.jaccard(["a", "b"], ["b", "c"]) == pytest.approx(1 / 3)
+    assert sets.jaccard(["a"], ["b"]) == 0.0
+    assert sets.jaccard([], []) == 0.0
+    assert sets.jaccard(None, ["a"]) is None
+    assert sets.jaccard(["x", "x", "y"], ["x", "y"]) == 1.0  # set semantics
+
+
+ADDRESSES = [
+    "12 main st",
+    "99 main ave",
+    "56 st joseph st",
+    "21 glacier st",
+    "12 glacier st",
+]
+
+
+@pytest.fixture
+def terms_ds(ray_session):
+    return ray.data.from_items(
+        [{"record_id": i, "terms": a.split()} for i, a in enumerate(ADDRESSES)]
+    )
+
+
+def test_document_counts(terms_ds):
+    # doctest _tfidf.py:29-72
+    got = {
+        r["term"]: r["n_records"]
+        for r in sets.document_counts(terms_ds, "terms").take_all()
+    }
+    assert got == {
+        "12": 2, "21": 1, "56": 1, "99": 1, "ave": 1,
+        "glacier": 2, "joseph": 1, "main": 2, "st": 4,
+    }
+
+
+def test_term_idf(terms_ds):
+    # doctest _tfidf.py:82-117
+    got = {r["term"]: r["idf"] for r in sets.term_idf(terms_ds, "terms").take_all()}
+    assert got["st"] == pytest.approx(math.log(5 / 4))
+    assert got["main"] == pytest.approx(math.log(5 / 2))
+    assert got["21"] == pytest.approx(math.log(5))
+
+
+def test_add_array_value_counts(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "terms": pa.array(
+                    [None, ["st"], ["56", "st", "joseph", "st"], []],
+                    type=pa.list_(pa.string()),
+                )
+            }
+        )
+    )
+    out = sets.add_array_value_counts(ds, "terms").take_all()
+    as_dicts = [
+        None if r["terms_counts"] is None else {d["key"]: d["value"] for d in r["terms_counts"]}
+        for r in out
+    ]
+    assert as_dicts == [None, {"st": 1}, {"56": 1, "st": 2, "joseph": 1}, {}]
+
+
+def test_add_tfidf(ray_session):
+    # doctest _tfidf.py:224-260: ['st'] -> {'st': 0.15415067982725836}
+    rows = [None, ["st"], ["st"], ["12", "main", "st"], ["99", "main", "ave"],
+            ["56", "st", "joseph", "st"], ["21", "glacier", "st"],
+            ["12", "glacier", "st"]]
+    ds = ray.data.from_arrow(
+        pa.table({"terms": pa.array(rows, type=pa.list_(pa.string()))})
+    )
+    out = sets.add_tfidf(ds, "terms").take_all()
+    by_terms = {}
+    for r in out:
+        key = tuple(r["terms"]) if r["terms"] is not None else None
+        val = (
+            None
+            if r["terms_tfidf"] is None
+            else {d["key"]: d["value"] for d in r["terms_tfidf"]}
+        )
+        by_terms[key] = val
+    assert by_terms[None] is None
+    assert by_terms[("st",)]["st"] == pytest.approx(0.15415067982725836)
+    assert by_terms[("12", "main", "st")]["12"] == pytest.approx(0.7232830370915955)
+    assert by_terms[("12", "main", "st")]["st"] == pytest.approx(0.08899893649403144)
+
+
+def test_rare_terms(terms_ds):
+    got = {r["term"] for r in sets.rare_terms(terms_ds, "terms", max_records_n=1).take_all()}
+    assert got == {"21", "56", "99", "ave", "joseph"}
+    got2 = {
+        r["term"]
+        for r in sets.rare_terms(terms_ds, "terms", max_records_frac=0.4).take_all()
+    }
+    assert got2 == {"21", "56", "99", "ave", "joseph", "12", "glacier", "main"}
+    with pytest.raises(ValueError):
+        sets.rare_terms(terms_ds, "terms")
+
+
+def test_vector_dense():
+    assert vector.dot([1.0, 2.0], [3.0, 4.0]) == 11.0
+    assert vector.cosine_similarity([1.0, 2.0], [2.0, 4.0]) == pytest.approx(1.0)
+    assert vector.norm([3.0, 4.0]) == 5.0
+    assert vector.norm([3.0, -4.0], "l1") == 7.0
+    assert vector.normalize([3.0, 4.0]) == [0.6, 0.8]
+    assert vector.dot(None, [1.0]) is None
+
+
+def test_vector_sparse():
+    a = {"x": 1.0, "y": 2.0}
+    b = {"y": 3.0, "z": 5.0}
+    assert vector.dot(a, b) == 6.0  # shared-key intersection
+    assert vector.mul(a, b) == {"y": 6.0}
+    assert vector.norm(a) == pytest.approx(math.sqrt(5))
+    got = vector.normalize(a)
+    assert got["x"] == pytest.approx(1 / math.sqrt(5))
+
+
+def test_cosine_matrix():
+    import numpy as np
+
+    vecs = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    qs = np.array([[1.0, 0.0]])
+    sims = vector.cosine_similarity_matrix(vecs, qs)[:, 0]
+    assert sims == pytest.approx([1.0, 0.0, 1 / math.sqrt(2)])
+
+
+def test_array_combinations():
+    assert arrays.array_combinations(["a"], ["x", "y"]) == [
+        {"l": "a", "r": "x"},
+        {"l": "a", "r": "y"},
+    ]
+    assert arrays.array_combinations(None, ["x"]) is None
+    assert arrays.array_combinations_first_n(["a", "b"], ["x", "y"], 3) == [
+        {"l": "a", "r": "x"},
+        {"l": "a", "r": "y"},
+        {"l": "b", "r": "x"},
+    ]
+
+
+def test_array_helpers():
+    assert arrays.array_filter_isin_other(["a", "b", "c"], {"b", "c"}) == ["b", "c"]
+    assert arrays.array_min([3, 1, 2]) == 1
+    assert arrays.array_max([3, 1, 2]) == 3
+    assert arrays.array_mean([1, 2, 3]) == 2
+    assert arrays.array_median([1, 2, 3, 10]) == 2.5
+    assert arrays.array_any([False, True]) is True
+    assert arrays.array_all([True, False]) is False
+    # deterministic shuffle: same (seed, row_key) -> same order
+    s1 = arrays.array_shuffle([1, 2, 3, 4], seed=7, row_key=1)
+    s2 = arrays.array_shuffle([1, 2, 3, 4], seed=7, row_key=1)
+    s3 = arrays.array_shuffle([1, 2, 3, 4], seed=7, row_key=2)
+    assert s1 == s2
+    assert sorted(s1) == [1, 2, 3, 4]
+    assert sorted(s3) == [1, 2, 3, 4]

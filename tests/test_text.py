@@ -1,0 +1,169 @@
+"""Scalar text functions vs the reference's doctest conformance corpus
+(/root/reference/mismo/text/: _strings.py, _features.py, _similarity.py)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from mismo_ray import text
+
+
+def test_norm_whitespace():
+    assert text.norm_whitespace("  a   b\t c ") == "a b c"
+    assert text.norm_whitespace(None) is None
+    arr = text.norm_whitespace(pa.array(["  x  y ", None, ""]))
+    assert arr.to_pylist() == ["x y", None, ""]
+
+
+def test_strip_accents():
+    # doctest corpus from _strings.py:30-43
+    assert text.strip_accents("müller") == "muller"
+    assert text.strip_accents("François") == "Francois"
+    assert text.strip_accents("Øslo") == "Øslo"
+    assert text.strip_accents("æ") == "æ"
+    assert text.strip_accents(None) is None
+    arr = text.strip_accents(pa.array(["müller", None, "Øslo"]))
+    assert arr.to_pylist() == ["muller", None, "Øslo"]
+
+
+def test_strip_accents_matches_duckdb():
+    vals = ["müller", "François", "Øslo", "æ", "ɑɽⱤoW", "crème brûlée", "naïve"]
+    expected = [
+        duckdb.execute("select strip_accents(?)", [v]).fetchone()[0] for v in vals
+    ]
+    assert [text.strip_accents(v) for v in vals] == expected
+
+
+def test_tokenize():
+    # doctests _features.py:13-28
+    assert text.tokenize("  abc    def") == ["abc", "def"]
+    assert text.tokenize("  abc") == ["abc"]
+    assert text.tokenize(" ") == []
+    assert text.tokenize(None) is None
+    arr = text.tokenize(pa.array(["  abc    def", " ", None]))
+    assert arr.to_pylist() == [["abc", "def"], [], None]
+
+
+def test_ngrams():
+    # doctests _features.py:46-64 (order not guaranteed by the reference;
+    # we compare as multisets)
+    assert text.ngrams("abc", 2) == ["ab", "bc"]
+    assert text.ngrams("", 2) == []
+    assert text.ngrams("a", 2) == []
+    assert text.ngrams(None, 4) is None
+    assert sorted(text.ngrams("abcdef", 3)) == sorted(
+        ["abc", "def", "bcd", "cde"]
+    )
+    with pytest.raises(ValueError):
+        text.ngrams("abc", 0)
+    arr = text.ngrams(pa.array(["abc", None, ""]), 2)
+    assert arr.to_pylist() == [["ab", "bc"], None, []]
+
+
+def test_levenshtein():
+    assert text.levenshtein("abc", "abd") == 1
+    assert text.levenshtein("", "abc") == 3
+    assert text.levenshtein("kitten", "sitting") == 3
+    assert text.levenshtein(None, "a") is None
+
+
+def test_levenshtein_ratio():
+    # doctests _similarity.py:78-88
+    assert text.levenshtein_ratio("mile", "mike") == 0.75
+    assert text.levenshtein_ratio("mile", "mile") == 1.0
+    assert text.levenshtein_ratio("mile", "") == 0.0
+    assert math.isnan(text.levenshtein_ratio("", ""))
+    assert text.levenshtein_ratio(None, "x") is None
+
+
+def test_jaro():
+    # doctests _similarity.py:126-142
+    assert text.jaro_similarity("foo", "foo") == 1.0
+    assert text.jaro_similarity("foo", "food") == pytest.approx(
+        0.9166666666666666
+    )
+    assert text.jaro_similarity("a", "") == 0.0
+    assert text.jaro_similarity("", "") == 0.0
+    assert text.jaro_similarity(None, "food") is None
+
+
+def test_jaro_winkler():
+    # doctests _similarity.py:163-180
+    assert text.jaro_winkler_similarity("foo", "foo") == 1.0
+    assert text.jaro_winkler_similarity("foo", "food") == pytest.approx(
+        0.9416666666666667
+    )
+    assert text.jaro_winkler_similarity("a", "") == 0.0
+    assert text.jaro_winkler_similarity("", "") == 0.0
+    assert text.jaro_winkler_similarity(None, "food") is None
+
+
+PAIRS = [
+    ("abc", "abd"),
+    ("kitten", "sitting"),
+    ("", "abc"),
+    ("same", "same"),
+    ("martha", "marhta"),
+    ("dwayne", "duane"),
+    ("dixon", "dicksonx"),
+    ("a", "b"),
+    ("foo", "food"),
+    ("jellyfish", "smellyfish"),
+    ("supercalifragilistic", "supercalifragilistik"),
+    ("CRATES OF", "CRATE OF"),
+]
+
+
+def test_levenshtein_matches_duckdb():
+    for a, b in PAIRS:
+        exp = duckdb.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert text.levenshtein(a, b) == exp, (a, b)
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    for a, b in PAIRS + [("ca", "abc"), ("abcdef", "abcdfe"), ("ab", "ba")]:
+        exp = duckdb.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert text.damerau_levenshtein(a, b) == exp, (a, b)
+
+
+def test_jaro_winkler_matches_duckdb():
+    for a, b in PAIRS:
+        exp = duckdb.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = text.jaro_winkler_similarity(a, b)
+        assert got == pytest.approx(exp, abs=1e-12), (a, b, got, exp)
+
+
+def test_jaro_matches_duckdb():
+    for a, b in PAIRS:
+        exp = duckdb.execute(
+            "select jaro_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = text.jaro_similarity(a, b)
+        assert got == pytest.approx(exp, abs=1e-12), (a, b, got, exp)
+
+
+def test_levenshtein_array_vectorized():
+    a = ["abc", "kitten", None, "", "supercalifragilistic"] * 10
+    b = ["abd", "sitting", "x", "abc", "supercalifragilistik"] * 10
+    got = text.levenshtein_array(a, b).to_pylist()
+    exp = [text.levenshtein(x, y) for x, y in zip(a, b)]
+    assert got == exp
+
+
+def test_levenshtein_ratio_array():
+    a = ["mile", "mile", "mile", "", None]
+    b = ["mike", "mile", "", "", "x"]
+    got = text.levenshtein_ratio_array(a, b).to_pylist()
+    assert got[0] == 0.75
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    assert math.isnan(got[3])
+    assert got[4] is None
