@@ -2,8 +2,12 @@
 
 Two families, chosen by side size (SURVEY §4 / ray_guide "Joins and lookups"):
 
-- ``hash_join``: both sides large -> Ray Data's hash-partitioned
-  ``Dataset.join`` (an all-to-all shuffle on the key).
+- ``hash_join``: both sides large -> an explicit partitioned hash join: add a
+  ``__bucket__ = hash(key) % B`` column to both sides, tag + union them, group
+  by bucket, and join each bucket with pyarrow's acero hash join inside
+  ``map_groups``. One keyed shuffle, C++-speed per-bucket probe.
+  (Ray 2.49's native ``Dataset.join`` emits schema-less empty partitions that
+  crash any downstream join/shuffle, so we own the join primitive.)
 - ``broadcast_*``: small side collected once, shipped via ``ray.put``, applied
   inside ``map_batches`` (no shuffle). Used for key sets (semi/anti) and
   dimension lookups (term->idf, id->component at test scale).
@@ -18,13 +22,32 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from mismo_ray._util import hash64, splitmix64
+
+_HOW_TO_ARROW = {
+    "inner": "inner",
+    "left_outer": "left outer",
+    "right_outer": "right outer",
+    "full_outer": "full outer",
+    "left_semi": "left semi",
+    "left_anti": "left anti",
+}
+
 
 def default_num_partitions() -> int:
     try:
         n = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         n = 8
-    return max(2, min(200, n * 2))
+    return max(2, min(256, n * 2))
+
+
+def _combine_hash(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    out = np.full(len(table), np.uint64(1469598103934665603), dtype=np.uint64)
+    for c in cols:
+        with np.errstate(over="ignore"):
+            out = splitmix64(out ^ hash64(table[c]))
+    return out
 
 
 def hash_join(
@@ -37,19 +60,94 @@ def hash_join(
     num_partitions: int | None = None,
     left_suffix: str | None = None,
     right_suffix: str | None = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
-    """Hash-partitioned equi-join (wraps Dataset.join)."""
+    """Hash-partitioned equi-join of two Datasets.
+
+    Key columns keep the left-side names in the output. Non-key name
+    collisions get ``left_suffix``/``right_suffix``. Null keys never match
+    (SQL semantics). Pass ``left_schema``/``right_schema`` when known to avoid
+    triggering plan execution for schema inference on derived datasets.
+    """
     on = (on,) if isinstance(on, str) else tuple(on)
-    if right_on is not None:
-        right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
-    return left.join(
-        right,
-        join_type=how,
-        num_partitions=num_partitions or default_num_partitions(),
-        on=on,
-        right_on=right_on,
-        left_suffix=left_suffix,
-        right_suffix=right_suffix,
+    right_on = (
+        on
+        if right_on is None
+        else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    )
+    if how not in _HOW_TO_ARROW:
+        raise ValueError(f"how must be one of {sorted(_HOW_TO_ARROW)}")
+    B = num_partitions or default_num_partitions()
+
+    lschema = left_schema or left.schema().base_schema
+    rschema = right_schema or right.schema().base_schema
+    lvals = [c for c in lschema.names if c not in on]
+    rvals = [c for c in rschema.names if c not in right_on]
+    semi = how in ("left_semi", "left_anti")
+    if semi:
+        rvals = []
+    overlap = set(lvals) & set(rvals)
+    lout = {c: f"{c}{left_suffix}" if c in overlap and left_suffix else c for c in lvals}
+    rout = {c: f"{c}{right_suffix}" if c in overlap and right_suffix else c for c in rvals}
+    if set(lout.values()) & set(rout.values()):
+        raise ValueError(
+            f"Column collision after suffixing: {set(lout.values()) & set(rout.values())}"
+        )
+    jk = [f"__jk{i}" for i in range(len(on))]
+    key_types = [lschema.field(c).type for c in on]
+    ltypes = {lout[c]: lschema.field(c).type for c in lvals}
+    rtypes = {rout[c]: rschema.field(c).type for c in rvals}
+
+    def project(side: int):
+        keys = on if side == 0 else right_on
+        vals = (lvals, lout, ltypes) if side == 0 else (rvals, rout, rtypes)
+        other_types = rtypes if side == 0 else ltypes
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols: dict = {}
+            for i, k in enumerate(keys):
+                arr = t[k]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                cols[jk[i]] = arr.cast(key_types[i])
+            for c in vals[0]:
+                cols[vals[1][c]] = t[c]
+            for name, typ in other_types.items():
+                cols[name] = pa.nulls(n, typ)
+            cols["__side__"] = pa.array(np.full(n, side, dtype=np.int8))
+            out = pa.table(cols)
+            bucket = (_combine_hash(out, jk) % np.uint64(B)).astype(np.int64)
+            return out.append_column("__bucket__", pa.array(bucket))
+
+        return fn
+
+    tl = left.map_batches(project(0), batch_format="pyarrow")
+    tr = right.map_batches(project(1), batch_format="pyarrow")
+    unioned = tl.union(tr)
+
+    lcols = jk + list(lout.values())
+    rcols = jk + list(rout.values())
+    arrow_how = _HOW_TO_ARROW[how]
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = t["__side__"]
+        lt = t.filter(pc.equal(side, 0)).select(lcols)
+        rt = t.filter(pc.equal(side, 1)).select(rcols)
+        joined = lt.join(
+            rt, keys=jk, right_keys=jk, join_type=arrow_how, use_threads=False
+        )
+        # restore left key names; drop any possible dupes is not needed since
+        # acero coalesces keys for all supported join types here
+        return joined.rename_columns(
+            [on[jk.index(c)] if c in jk else c for c in joined.column_names]
+        )
+
+    return unioned.groupby("__bucket__").map_groups(
+        join_bucket, batch_format="pyarrow"
     )
 
 

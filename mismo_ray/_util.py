@@ -39,7 +39,9 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     Nulls hash to a fixed sentinel.
     """
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pandas()
+        # to_pylist, not to_pandas: pandas would coerce nullable int columns
+        # to float (2 -> 2.0), changing the hash across sides of a join.
+        values = values.to_pylist()
     arr = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
     if seed:
         with np.errstate(over="ignore"):

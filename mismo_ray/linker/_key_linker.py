@@ -1,0 +1,141 @@
+"""KeyLinker: link records sharing ALL derived keys.
+
+Reference: /root/reference/mismo/linker/_key_linker.py:16-233 (equi-join on N
+keys; ``max_pairs`` hot-key guard at :195-222; dedupe ``record_id_l <
+record_id_r`` at :190-193) and the key/pair-count diagnostics
+(:235-368, :408-445).
+
+Ray-Data design: see mismo_ray/linker/_pairgen.py — one keyed shuffle with a
+count pre-pass for the hot-key drop (reference parity) plus salting of
+surviving heavy keys (scale path; the reference has no salting because DuckDB
+handles its skew internally).
+
+Unlike the reference (whose links eagerly carry every record column suffixed
+_l/_r), links here carry only (record_id_l, record_id_r) plus explicitly
+requested ``carry`` columns; use ``Linkage.links.with_both()`` to attach the
+rest lazily — same information, far less shuffle traffic at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from mismo_ray._joins import hash_join
+from mismo_ray.keys import KeySpec, resolve_keys
+from mismo_ray.linker._common import Task, infer_task
+from mismo_ray.linker._pairgen import generate_pairs, project_keyed
+from mismo_ray.types import Linkage
+
+
+class KeyLinker:
+    def __init__(
+        self,
+        keys,
+        *,
+        max_pairs: int | None = None,
+        task: Task | None = None,
+        salt_rows: int | None = 2048,
+        carry: Sequence[str] | None = None,
+        name: str | None = None,
+    ):
+        self.keys: list[KeySpec] = resolve_keys(keys)
+        self.max_pairs = max_pairs
+        self.task = task
+        self.salt_rows = salt_rows
+        self.carry = list(carry) if carry else []
+        self.name = name or "+".join(k.name for k in self.keys)
+        self.last_counters: dict = {}
+
+    def __call__(
+        self, left: ray.data.Dataset, right: ray.data.Dataset
+    ) -> Linkage:
+        task = infer_task(task=self.task, left=left, right=right)
+        links, counters = generate_pairs(
+            left,
+            right,
+            self.keys,
+            task=task,
+            max_pairs=self.max_pairs,
+            salt_rows=self.salt_rows,
+            carry_l=self.carry,
+            carry_r=self.carry,
+        )
+        self.last_counters = counters
+        lbase = left.schema().base_schema
+        rbase = right.schema().base_schema if task == "link" else lbase
+        fields = [
+            pa.field("record_id_l", lbase.field("record_id").type),
+            pa.field("record_id_r", rbase.field("record_id").type),
+        ]
+        for c in self.carry:
+            fields.append(pa.field(f"{c}_l", lbase.field(c).type))
+        for c in self.carry:
+            fields.append(pa.field(f"{c}_r", rbase.field(c).type))
+        return Linkage(
+            left=left, right=right, links=links, links_schema=pa.schema(fields)
+        )
+
+    # ------------------------------------------------------------ diagnostics
+    def _key_counts(self, ds: ray.data.Dataset, side: str) -> ray.data.Dataset:
+        """Per-key record counts, null-keyed rows dropped, descending
+        (reference _key_linker.py:408-415)."""
+        keyed = project_keyed(ds, self.keys, side, None)
+        counts = (
+            keyed.groupby([f"__key_{k.name}" for k in self.keys])
+            .aggregate(Count(alias_name="n"))
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [c.removeprefix("__key_") for c in t.column_names]
+            )
+
+        return counts.map_batches(rename, batch_format="pyarrow").sort(
+            "n", descending=True
+        )
+
+    def key_counts_left(self, left: ray.data.Dataset) -> ray.data.Dataset:
+        return self._key_counts(left, "left")
+
+    def key_counts_right(self, right: ray.data.Dataset) -> ray.data.Dataset:
+        return self._key_counts(right, "right")
+
+    def pair_counts(
+        self,
+        left: ray.data.Dataset,
+        right: ray.data.Dataset,
+        *,
+        task: Task | None = None,
+    ) -> ray.data.Dataset:
+        """Per-key pair counts: dedupe n*(n-1)/2, link nl*nr
+        (reference _key_linker.py:418-445)."""
+        t = infer_task(task=task or self.task, left=left, right=right)
+        key_cols = [k.name for k in self.keys]
+        if t == "dedupe":
+            kc = self.key_counts_left(left)
+
+            def to_pairs(tbl: pa.Table) -> pa.Table:
+                n = np.asarray(tbl["n"], dtype=np.int64)
+                return tbl.drop_columns(["n"]).append_column(
+                    "n_pairs", pa.array(n * (n - 1) // 2)
+                )
+
+            return kc.map_batches(to_pairs, batch_format="pyarrow")
+        kl = self.key_counts_left(left)
+        kr = self.key_counts_right(right)
+        joined = hash_join(kl, kr, on=key_cols, right_suffix="_r")
+
+        def mul(tbl: pa.Table) -> pa.Table:
+            n = np.asarray(tbl["n"], dtype=np.int64) * np.asarray(
+                tbl["n_r"], dtype=np.int64
+            )
+            return tbl.drop_columns(["n", "n_r"]).append_column(
+                "n_pairs", pa.array(n)
+            )
+
+        return joined.map_batches(mul, batch_format="pyarrow")

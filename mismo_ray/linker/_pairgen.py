@@ -1,0 +1,416 @@
+"""Pair-generation core: the blocking shuffle.
+
+This is the engine behind KeyLinker / UnnestLinker / MinhashLshLinker /
+CoordinateLinker (SURVEY §2.3, §7.3-7.5). Reference semantics from
+/root/reference/mismo/linker/_key_linker.py:
+
+- records block together when ALL key values are equal (null keys never match);
+- dedupe task emits each unordered pair once with record_id_l < record_id_r
+  (_key_linker.py:190-193);
+- ``max_pairs`` drops every pair of any key whose pair count (nl*nr, computed
+  with the same table on both sides for dedupe — reference quirk,
+  _key_linker.py:195-222) exceeds the cap.
+
+Ray-Data mapping — one keyed shuffle, skew handled explicitly:
+
+1. project each side to (record_id, key columns, carried columns) in
+   ``map_batches`` and hash the key tuple to a uint64 ``__block__``;
+2. pre-pass ``groupby(__block__).count()`` over the projection; keys over
+   ``max_pairs`` are collected (tiny) and broadcast as a drop set; keys whose
+   groups exceed ``salt_rows`` are broadcast as a {block: n} salt map;
+3. **salting**: a group of n rows is split into s = ceil(n / salt_rows)
+   sub-blocks by record-id hash; each unordered pair of sub-blocks (i <= j)
+   becomes its own shuffle group, so no single task ever enumerates more than
+   ~salt_rows^2 pairs. Rows are replicated s times (2·npairs/salt_rows total) —
+   the price of bounding per-task memory;
+4. ``groupby(__grp__).map_groups`` enumerates pairs vectorized
+   (numpy triu / meshgrid), with an exact key-tuple sub-group inside each hash
+   group to guard against 64-bit hash collisions.
+
+Determinism: sub-block assignment is hash(record_id, seed=block) — stable
+across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from mismo_ray._util import hash64, splitmix64
+from mismo_ray.keys import KeySpec
+
+_ROLE_BOTH = 0  # unsalted dedupe group: triangle among all rows
+_ROLE_L = 1  # left of a cross product
+_ROLE_R = 2
+
+
+def _key_col(name: str) -> str:
+    return f"__key_{name}"
+
+
+def _combine_key_hash(arrays: list[pa.Array]) -> np.ndarray:
+    out = np.full(len(arrays[0]), np.uint64(1469598103934665603), dtype=np.uint64)
+    for arr in arrays:
+        with np.errstate(over="ignore"):
+            out = splitmix64(out ^ hash64(arr))
+    return out
+
+
+def project_keyed(
+    ds: ray.data.Dataset,
+    keys: Sequence[KeySpec],
+    side: str,
+    carry: Sequence[str] | None,
+) -> ray.data.Dataset:
+    """(record_id, __key_*, carry..., __block__) with null-key rows dropped."""
+    carry = list(carry or [])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key_arrays = [k(batch, side) for k in keys]
+        null_mask = np.zeros(len(batch), dtype=bool)
+        for arr in key_arrays:
+            null_mask |= np.asarray(arr.is_null())
+        block = _combine_key_hash(key_arrays)
+        cols = {"record_id": batch["record_id"]}
+        for k, arr in zip(keys, key_arrays):
+            cols[_key_col(k.name)] = arr
+        for c in carry:
+            cols[c] = batch[c]
+        cols["__block__"] = pa.array(block.astype(np.int64))
+        out = pa.table(cols)
+        if null_mask.any():
+            out = out.filter(pa.array(~null_mask))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _block_counts(keyed: ray.data.Dataset) -> ray.data.Dataset:
+    return keyed.groupby("__block__").aggregate(Count(alias_name="n"))
+
+
+def _collect_filtered(counts: ray.data.Dataset, pred) -> pd.DataFrame:
+    """Filter the (small-ish) per-key counts distributed, collect the survivors."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.int64)
+        return t.filter(pa.array(pred(n)))
+
+    pdf = counts.map_batches(fn, batch_format="pyarrow").to_pandas()
+    if "__block__" not in pdf.columns:
+        pdf = pd.DataFrame({"__block__": [], "n": []})
+    return pdf
+
+
+def _expand_salt(
+    keyed: ray.data.Dataset,
+    *,
+    drop_ref,
+    salt_ref,
+    salt_rows: int,
+    link: bool,
+) -> ray.data.Dataset:
+    """Assign shuffle groups; replicate rows of salted blocks.
+
+    Unsalted: grp = block, role = BOTH (dedupe) or L/R by side (link).
+    Salted dedupe: row in sub-block b joins groups (b,b) role BOTH is wrong —
+    (b,b) is a triangle among sub-block b's rows (role BOTH), and every
+    cross group (i,j), i<j, with role L for i-rows and role R for j-rows.
+    Salted link: left rows keep their sub-block (grp (b)); right rows are
+    replicated into every sub-block group.
+    """
+
+    def grp_id(block: np.ndarray | int, i, j) -> np.ndarray | int:
+        with np.errstate(over="ignore"):
+            x = np.uint64(block) ^ (np.uint64(i) * np.uint64(1000003) + np.uint64(j + 1))
+        return int(splitmix64(np.array([x], dtype=np.uint64))[0].astype(np.int64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        drop: frozenset = ray.get(drop_ref) if drop_ref is not None else frozenset()
+        salt: dict = ray.get(salt_ref) if salt_ref is not None else {}
+        block = np.asarray(batch["__block__"], dtype=np.int64)
+        if drop:
+            keep = ~np.fromiter((b in drop for b in block), dtype=bool, count=len(block))
+            batch = batch.filter(pa.array(keep))
+            block = block[keep]
+        side = (
+            np.asarray(batch["__side__"], dtype=np.int8) if link else None
+        )
+        is_salted = (
+            np.fromiter((b in salt for b in block), dtype=bool, count=len(block))
+            if salt
+            else np.zeros(len(block), dtype=bool)
+        )
+        # fast path: unsalted rows, vectorized
+        plain = batch.filter(pa.array(~is_salted))
+        pblock = block[~is_salted]
+        if link:
+            proles = np.where(side[~is_salted] == 0, _ROLE_L, _ROLE_R).astype(np.int8)
+        else:
+            proles = np.full(len(pblock), _ROLE_BOTH, dtype=np.int8)
+        tables = []
+        if len(plain):
+            tables.append(
+                plain.append_column("__grp__", pa.array(pblock))
+                .append_column("__role__", pa.array(proles))
+            )
+        # salted rows: python loop over the (few) rows of hot blocks
+        if is_salted.any():
+            hot = batch.filter(pa.array(is_salted))
+            hblock = block[is_salted]
+            rid = np.asarray(hot["record_id"])
+            sub = (
+                hash64(rid, seed=0xBEEF) % np.maximum(
+                    np.fromiter(
+                        (math.ceil(salt[b] / salt_rows) for b in hblock),
+                        dtype=np.uint64,
+                        count=len(hblock),
+                    ),
+                    1,
+                )
+            ).astype(np.int64)
+            hside = side[is_salted] if link else None
+            idx_out, grp_out, role_out = [], [], []
+            for r in range(len(hblock)):
+                b = hblock[r]
+                s = math.ceil(salt[b] / salt_rows)
+                if link:
+                    if hside[r] == 0:  # left: stays in its sub-block
+                        idx_out.append(r)
+                        grp_out.append(grp_id(b, sub[r], sub[r]))
+                        role_out.append(_ROLE_L)
+                    else:  # right: replicated to every sub-block
+                        for i in range(s):
+                            idx_out.append(r)
+                            grp_out.append(grp_id(b, i, i))
+                            role_out.append(_ROLE_R)
+                else:
+                    bsub = sub[r]
+                    idx_out.append(r)
+                    grp_out.append(grp_id(b, bsub, bsub))
+                    role_out.append(_ROLE_BOTH)
+                    for j in range(bsub + 1, s):
+                        idx_out.append(r)
+                        grp_out.append(grp_id(b, bsub, j))
+                        role_out.append(_ROLE_L)
+                    for i in range(0, bsub):
+                        idx_out.append(r)
+                        grp_out.append(grp_id(b, i, bsub))
+                        role_out.append(_ROLE_R)
+            if idx_out:
+                rep = hot.take(pa.array(idx_out, type=pa.int64()))
+                tables.append(
+                    rep.append_column("__grp__", pa.array(grp_out, type=pa.int64()))
+                    .append_column("__role__", pa.array(role_out, type=pa.int8()))
+                )
+        if not tables:
+            schema = batch.schema.append(pa.field("__grp__", pa.int64())).append(
+                pa.field("__role__", pa.int8())
+            )
+            return schema.empty_table()
+        return pa.concat_tables(tables, promote_options="default")
+
+    return keyed.map_batches(fn, batch_format="pyarrow")
+
+
+def _make_enumerator(
+    key_cols: list[str],
+    carry_l: list[str],
+    carry_r: list[str],
+    link: bool,
+):
+    """Vectorized within-group pair enumeration, arrow in / arrow out
+    (arrow ``take`` preserves column types exactly; a pandas detour would
+    coerce nullable ints to float)."""
+
+    def sub_group_indices(g: pa.Table) -> list[np.ndarray]:
+        # exact key-tuple sub-groups inside one hash group: guards the
+        # 1-in-2^64 hash collision; pandas used only on the key columns.
+        if not key_cols:
+            return [np.arange(len(g))]
+        kdf = pd.DataFrame({c: g[c].to_pylist() for c in key_cols})
+        if len(kdf.drop_duplicates()) == 1:
+            return [np.arange(len(g))]
+        return list(kdf.groupby(key_cols, dropna=False, sort=False).indices.values())
+
+    def enumerate_pairs(g: pa.Table) -> pa.Table:
+        role = np.asarray(g["__role__"].to_numpy(zero_copy_only=False))
+        ids = g["record_id"].to_numpy(zero_copy_only=False)
+        all_l: list[np.ndarray] = []
+        all_r: list[np.ndarray] = []
+        for idx in sub_group_indices(g):
+            srole = role[idx]
+            if link:
+                li = idx[srole == _ROLE_L]
+                ri = idx[srole == _ROLE_R]
+                if len(li) and len(ri):
+                    il, ir = np.meshgrid(li, ri, indexing="ij")
+                    all_l.append(il.ravel())
+                    all_r.append(ir.ravel())
+            else:
+                both = idx[srole == _ROLE_BOTH]
+                if len(both) > 1:
+                    order = both[np.argsort(ids[both], kind="stable")]
+                    a, b = np.triu_indices(len(order), k=1)
+                    all_l.append(order[a])
+                    all_r.append(order[b])
+                li = idx[srole == _ROLE_L]
+                ri = idx[srole == _ROLE_R]
+                if len(li) and len(ri):
+                    il, ir = np.meshgrid(li, ri, indexing="ij")
+                    il, ir = il.ravel(), ir.ravel()
+                    swap = ids[il] > ids[ir]
+                    all_l.append(np.where(swap, ir, il))
+                    all_r.append(np.where(swap, il, ir))
+        if all_l:
+            il = pa.array(np.concatenate(all_l), type=pa.int64())
+            ir = pa.array(np.concatenate(all_r), type=pa.int64())
+        else:
+            il = ir = pa.array([], type=pa.int64())
+        import pyarrow.compute as pc
+
+        rid = g["record_id"]
+        cols = {
+            "record_id_l": pc.take(rid, il),
+            "record_id_r": pc.take(rid, ir),
+        }
+        for c in carry_l:
+            src = f"{c}__cl" if link else c
+            cols[f"{c}_l"] = pc.take(g[src], il)
+        for c in carry_r:
+            src = f"{c}__cr" if link else c
+            cols[f"{c}_r"] = pc.take(g[src], ir)
+        return pa.table(cols)
+
+    return enumerate_pairs
+
+
+def generate_pairs(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: Sequence[KeySpec],
+    *,
+    task: str,
+    max_pairs: int | None = None,
+    salt_rows: int | None = 2048,
+    carry_l: Sequence[str] | None = None,
+    carry_r: Sequence[str] | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Generate candidate pairs for records sharing ALL keys.
+
+    Returns (links Dataset, counters dict). Links schema:
+    record_id_l, record_id_r [, carried columns suffixed _l/_r].
+    """
+    carry_l = list(carry_l or [])
+    carry_r = list(carry_r or [])
+    key_cols = [_key_col(k.name) for k in keys]
+    counters: dict = {"task": task, "n_keys": len(keys)}
+    link = task == "link"
+
+    if not link:
+        keyed = project_keyed(left, keys, "left", carry_l)
+        counts = _block_counts(keyed)
+        drop_ref = salt_ref = None
+        hot: set = set()
+        salt: dict = {}
+        if max_pairs is not None:
+            # npairs per key uses n*n for dedupe — reference parity quirk
+            # (_key_linker.py:195-222 computes nleft*nright on the same table).
+            cpdf = _collect_filtered(counts, lambda n: n * n > max_pairs)
+            hot = set(int(b) for b in cpdf["__block__"])
+            counters["hot_keys_dropped"] = len(hot)
+            counters["hot_records_dropped"] = int(cpdf["n"].sum()) if len(cpdf) else 0
+        if salt_rows is not None:
+            spdf = _collect_filtered(counts, lambda n: n > salt_rows)
+            salt = {
+                int(b): int(n)
+                for b, n in zip(spdf["__block__"], spdf["n"])
+                if int(b) not in hot
+            }
+        counters["salted_keys"] = len(salt)
+        drop_ref = ray.put(frozenset(hot)) if hot else None
+        salt_ref = ray.put(salt) if salt else None
+        expanded = _expand_salt(
+            keyed,
+            drop_ref=drop_ref,
+            salt_ref=salt_ref,
+            salt_rows=salt_rows or (1 << 62),
+            link=False,
+        )
+        enum = _make_enumerator(key_cols, carry_l, carry_r or carry_l, link=False)
+    else:
+        keyed_l = project_keyed(left, keys, "left", carry_l)
+        keyed_r = project_keyed(right, keys, "right", carry_r)
+        # carried-column arrow types, needed to fill nulls on the other side
+        # so the two tagged projections union with one schema
+        ltypes = {f.name: f.type for f in left.schema().base_schema}
+        rtypes = {f.name: f.type for f in right.schema().base_schema}
+
+        def tag(side_val: int):
+            def fn(t: pa.Table) -> pa.Table:
+                n = len(t)
+                cols = {"record_id": t["record_id"], "__block__": t["__block__"]}
+                for k in key_cols:
+                    cols[k] = t[k]
+                for c in carry_l:
+                    cols[f"{c}__cl"] = t[c] if side_val == 0 else pa.nulls(n, ltypes[c])
+                for c in carry_r:
+                    cols[f"{c}__cr"] = t[c] if side_val == 1 else pa.nulls(n, rtypes[c])
+                cols["__side__"] = pa.array(np.full(n, side_val, dtype=np.int8))
+                return pa.table(cols)
+
+            return fn
+
+        tl = keyed_l.map_batches(tag(0), batch_format="pyarrow")
+        tr = keyed_r.map_batches(tag(1), batch_format="pyarrow")
+        keyed = tl.union(tr)
+        drop_ref = salt_ref = None
+        if max_pairs is not None or salt_rows is not None:
+            from mismo_ray._joins import hash_join
+
+            cl = _block_counts(keyed_l)
+            cr = _block_counts(keyed_r)
+            joined = hash_join(cl, cr, on="__block__", right_suffix="_r")
+            jpdf_hot = pd.DataFrame(columns=["__block__"])
+            if max_pairs is not None:
+
+                def hot_filter(t: pa.Table) -> pa.Table:
+                    npairs = np.asarray(t["n"], dtype=np.int64) * np.asarray(
+                        t["n_r"], dtype=np.int64
+                    )
+                    return t.filter(pa.array(npairs > max_pairs))
+
+                jpdf_hot = joined.map_batches(
+                    hot_filter, batch_format="pyarrow"
+                ).to_pandas()
+            hot = set(jpdf_hot["__block__"].tolist())
+            counters["hot_keys_dropped"] = len(hot)
+            salt = {}
+            if salt_rows is not None:
+                spdf = _collect_filtered(cl, lambda n: n > salt_rows)
+                salt = {
+                    int(b): int(n)
+                    for b, n in zip(spdf["__block__"], spdf["n"])
+                    if int(b) not in hot
+                }
+            counters["salted_keys"] = len(salt)
+            drop_ref = ray.put(frozenset(hot)) if hot else None
+            salt_ref = ray.put(salt) if salt else None
+        expanded = _expand_salt(
+            keyed,
+            drop_ref=drop_ref,
+            salt_ref=salt_ref,
+            salt_rows=salt_rows or (1 << 62),
+            link=True,
+        )
+        enum = _make_enumerator(key_cols, carry_l, carry_r, link=True)
+
+    links = expanded.groupby("__grp__").map_groups(enum, batch_format="pyarrow")
+    return links, counters

@@ -31,9 +31,11 @@ from mismo_ray._joins import broadcast_lookup, default_num_partitions, hash_join
 
 def _prune_rename(
     ds: ray.data.Dataset, columns: Sequence[str] | None, suffix: str
-) -> ray.data.Dataset:
+) -> tuple[ray.data.Dataset, pa.Schema]:
     """Project to (record_id, columns...) and suffix everything, so the join
-    ships only the needed columns (prune-at-the-read discipline)."""
+    ships only the needed columns (prune-at-the-read discipline).
+    Returns (dataset, schema) so joins need no schema inference."""
+    base = ds.schema().base_schema
 
     def fn(t: pa.Table) -> pa.Table:
         cols = list(columns) if columns is not None else [
@@ -42,7 +44,13 @@ def _prune_rename(
         t = t.select(["record_id", *cols])
         return t.rename_columns([f"{c}{suffix}" for c in t.column_names])
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    cols = list(columns) if columns is not None else [
+        c for c in base.names if c != "record_id"
+    ]
+    schema = pa.schema(
+        [pa.field(f"{c}{suffix}", base.field(c).type) for c in ["record_id", *cols]]
+    )
+    return ds.map_batches(fn, batch_format="pyarrow"), schema
 
 
 class LinksTable:
@@ -54,25 +62,29 @@ class LinksTable:
         *,
         left: ray.data.Dataset,
         right: ray.data.Dataset,
+        schema: pa.Schema | None = None,
     ):
         self.ds = links
         self.left = left
         self.right = right
+        self.schema = schema  # known links schema (avoids plan execution)
 
     def with_left(
         self, columns: Sequence[str] | None = None, *, num_partitions: int | None = None
     ) -> ray.data.Dataset:
-        left = _prune_rename(self.left, columns, "_l")
+        left, lsch = _prune_rename(self.left, columns, "_l")
         return hash_join(
-            self.ds, left, on="record_id_l", num_partitions=num_partitions
+            self.ds, left, on="record_id_l", num_partitions=num_partitions,
+            left_schema=self.schema, right_schema=lsch,
         )
 
     def with_right(
         self, columns: Sequence[str] | None = None, *, num_partitions: int | None = None
     ) -> ray.data.Dataset:
-        right = _prune_rename(self.right, columns, "_r")
+        right, rsch = _prune_rename(self.right, columns, "_r")
         return hash_join(
-            self.ds, right, on="record_id_r", num_partitions=num_partitions
+            self.ds, right, on="record_id_r", num_partitions=num_partitions,
+            left_schema=self.schema, right_schema=rsch,
         )
 
     def with_both(
@@ -84,10 +96,22 @@ class LinksTable:
     ) -> ray.data.Dataset:
         """links + ``<col>_l`` and ``<col>_r`` columns (two hash joins)."""
         n = num_partitions or default_num_partitions()
-        left = _prune_rename(self.left, columns_l, "_l")
-        right = _prune_rename(self.right, columns_r, "_r")
-        out = hash_join(self.ds, left, on="record_id_l", num_partitions=n)
-        return hash_join(out, right, on="record_id_r", num_partitions=n)
+        left, lsch = _prune_rename(self.left, columns_l, "_l")
+        right, rsch = _prune_rename(self.right, columns_r, "_r")
+        sch1 = None
+        if self.schema is not None:
+            merged = [f for f in self.schema] + [
+                f for f in lsch if f.name != "record_id_l"
+            ]
+            sch1 = pa.schema(merged)
+        out = hash_join(
+            self.ds, left, on="record_id_l", num_partitions=n,
+            left_schema=self.schema, right_schema=lsch,
+        )
+        return hash_join(
+            out, right, on="record_id_r", num_partitions=n,
+            left_schema=sch1, right_schema=rsch,
+        )
 
     def count(self) -> int:
         return self.ds.count()
@@ -102,14 +126,19 @@ class Linkage:
         left: ray.data.Dataset,
         right: ray.data.Dataset,
         links: ray.data.Dataset,
+        links_schema: pa.Schema | None = None,
     ):
         self.left = left
         self.right = right
         self._links = links
+        self._links_schema = links_schema
 
     @property
     def links(self) -> LinksTable:
-        return LinksTable(self._links, left=self.left, right=self.right)
+        return LinksTable(
+            self._links, left=self.left, right=self.right,
+            schema=self._links_schema,
+        )
 
     @property
     def links_ds(self) -> ray.data.Dataset:

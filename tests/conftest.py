@@ -69,5 +69,7 @@ def rows_set(ds, cols=None):
     else:
         raise TypeError(type(ds))
     if cols is not None:
+        if len(df) == 0:
+            return set()
         df = df[list(cols)]
     return {tuple(r) for r in df.itertuples(index=False, name=None)}
