@@ -151,6 +151,19 @@ def hash_join(
     )
 
 
+def distinct(ds: ray.data.Dataset, cols: str | Sequence[str]) -> ray.data.Dataset:
+    """Distinct rows over ``cols`` as a Dataset (``Dataset.unique`` returns a
+    python list, so it cannot stay in the plan)."""
+    from ray.data.aggregate import Count
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return (
+        ds.groupby(cols)
+        .aggregate(Count(alias_name="__distinct_n"))
+        .drop_columns(["__distinct_n"])
+    )
+
+
 def broadcast_isin(
     ds: ray.data.Dataset,
     column: str,

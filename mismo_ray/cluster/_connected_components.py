@@ -1,0 +1,444 @@
+"""Connected components: transitive clustering of linked records.
+
+Reference: /root/reference/mismo/cluster/_connected_components.py:39-314 —
+iterative min-label propagation (drmaciver.com SQL-CC algorithm), linear in
+the diameter of the largest component; non-int record ids are factorized to
+int64 first (:266-286, mismo/_factorizer.py:12-41); unlinked records get
+fresh labels above the max existing label (:305-314).
+
+Two execution paths:
+
+- **distributed** (the 10^12-row path): the exact reference round structure as
+  Ray Data ops — per round 2 hash joins (edges x labels on each endpoint)
+  -> distinct component-equivalence pairs -> union of both directions ->
+  ``groupby(component_old).min`` -> relabel, with labels materialized per
+  round (lineage truncation) and optionally checkpointed to parquet;
+  convergence = count of changed labels == 0.
+- **driver union-find** (automatic below ``driver_threshold`` edges): the
+  guide's sanctioned shortcut when the edge set is provably small — collect
+  edge ids, numpy/dict union-find, broadcast labels back.
+
+Component label = the minimum int64 code over the component's members
+(identical to the reference's fixpoint). Singletons get ``code + max_label + 1``
+(unique, disjoint from propagated labels; the reference numbers them
+``max_label + row_number`` — same semantics, different arbitrary values).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+from mismo_ray._joins import broadcast_lookup, distinct, hash_join
+from mismo_ray._util import hash64
+
+logger = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------- factorizer
+class Factorizer:
+    """record_id <-> dense-ish unique int64 codes.
+
+    Int ids pass through unchanged (reference Factorizer noop,
+    _factorizer.py:43-60). Other types get a unique int64 via bucketed dense
+    assignment: code = bucket + n_buckets * rank_within_bucket — sort-free,
+    deterministic, distributed (SURVEY §2.9).
+    """
+
+    def __init__(self, ids_ds: ray.data.Dataset, *, n_buckets: int = 1024):
+        self.n_buckets = n_buckets
+        schema = ids_ds.schema().base_schema
+        self.id_type = schema.field("record_id").type
+        self.is_int = pa.types.is_integer(self.id_type)
+        if self.is_int:
+            self.mapping = None
+            return
+        # distinct ids -> assign codes per hash bucket
+        from mismo_ray._joins import distinct as _distinct
+        uniq = _distinct(ids_ds, "record_id")
+
+        def assign(t: pa.Table) -> pa.Table:
+            ids = t["record_id"]
+            bucket = (hash64(ids) % np.uint64(n_buckets)).astype(np.int64)
+            return pa.table({"record_id": ids, "bucket": pa.array(bucket)})
+
+        bucketed = uniq.map_batches(assign, batch_format="pyarrow")
+
+        def code_group(g: pa.Table) -> pa.Table:
+            b = g["bucket"][0].as_py()
+            codes = b + n_buckets * np.arange(len(g), dtype=np.int64)
+            return pa.table({"record_id": g["record_id"], "code": pa.array(codes)})
+
+        coded = bucketed.groupby("bucket").map_groups(
+            code_group, batch_format="pyarrow"
+        )
+        # the id->code mapping is vocabulary-sized; collect + broadcast.
+        pdf = coded.to_pandas()
+        self.mapping = dict(zip(pdf["record_id"].map(_hashable), pdf["code"]))
+        self._decode = {v: k for k, v in self.mapping.items()}
+
+    def encode_column(self, ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+        if self.is_int:
+            return ds
+        mapping = self.mapping
+
+        def fn(t: pa.Table) -> pa.Table:
+            vals = [mapping[_hashable(v)] for v in t[column].to_pylist()]
+            idx = t.schema.get_field_index(column)
+            return t.set_column(idx, column, pa.array(vals, type=pa.int64()))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def decode_column(self, ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+        if self.is_int:
+            return ds
+        decode = self._decode
+        id_type = self.id_type
+
+        def fn(t: pa.Table) -> pa.Table:
+            vals = [decode[v] for v in t[column].to_pylist()]
+            idx = t.schema.get_field_index(column)
+            return t.set_column(idx, column, pa.array(vals, type=id_type))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _hashable(v):
+    if isinstance(v, dict):
+        return tuple(sorted(v.items()))
+    if isinstance(v, list):
+        return tuple(v)
+    return v
+
+
+# ------------------------------------------------------------------- driver path
+def _cc_driver(edges: ray.data.Dataset) -> dict:
+    """Union-find over collected edges -> {record_id(or hashable): min-code}."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        ll = b["record_id_l"].to_pylist()
+        rr = b["record_id_r"].to_pylist()
+        for a, c in zip(ll, rr):
+            union(_hashable(a), _hashable(c))
+    return {x: find(x) for x in parent}
+
+
+# -------------------------------------------------------------- distributed path
+def _cc_distributed(
+    edges: ray.data.Dataset,
+    *,
+    max_iter: int | None,
+    checkpoint_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Min-label propagation rounds over int64 edges -> labels Dataset
+    (record_id, component)."""
+    import pyarrow.compute as pc
+
+    def initial_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "record_id": pa.concat_arrays(
+                    [
+                        t["record_id_l"].combine_chunks().cast(pa.int64()),
+                        t["record_id_r"].combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    nodes = distinct(
+        edges.map_batches(initial_labels, batch_format="pyarrow"), "record_id"
+    )
+    labels = nodes.map_batches(
+        lambda t: t.append_column("component", t["record_id"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    edges = edges.materialize()
+    label_schema = pa.schema(
+        [pa.field("record_id", pa.int64()), pa.field("component", pa.int64())]
+    )
+    edge_schema = pa.schema(
+        [pa.field("record_id_l", pa.int64()), pa.field("record_id_r", pa.int64())]
+    )
+
+    i = 0
+    while True:
+        i += 1
+        # component_l / component_r per edge (2 hash joins)
+        j1 = hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: t.rename_columns(["record_id_l", "component_l"]),
+                batch_format="pyarrow",
+            ),
+            on="record_id_l",
+            left_schema=edge_schema,
+            right_schema=pa.schema(
+                [pa.field("record_id_l", pa.int64()), pa.field("component_l", pa.int64())]
+            ),
+        )
+        j2 = hash_join(
+            j1,
+            labels.map_batches(
+                lambda t: t.rename_columns(["record_id_r", "component_r"]),
+                batch_format="pyarrow",
+            ),
+            on="record_id_r",
+            left_schema=pa.schema(
+                [
+                    pa.field("record_id_l", pa.int64()),
+                    pa.field("record_id_r", pa.int64()),
+                    pa.field("component_l", pa.int64()),
+                ]
+            ),
+            right_schema=pa.schema(
+                [pa.field("record_id_r", pa.int64()), pa.field("component_r", pa.int64())]
+            ),
+        )
+
+        def equiv(t: pa.Table) -> pa.Table:
+            cl = t["component_l"].combine_chunks().cast(pa.int64())
+            cr = t["component_r"].combine_chunks().cast(pa.int64())
+            return pa.table(
+                {
+                    "component_old": pa.concat_arrays([cl, cr]),
+                    "component": pa.concat_arrays([cr, cl]),
+                }
+            )
+
+        update_map = (
+            j2.map_batches(equiv, batch_format="pyarrow")
+            .groupby("component_old")
+            .aggregate(Min("component", alias_name="component"))
+        )
+
+        relabeled = hash_join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["record_id", "component_old"]),
+                batch_format="pyarrow",
+            ),
+            update_map,
+            on="component_old",
+            how="left_outer",
+            left_schema=pa.schema(
+                [pa.field("record_id", pa.int64()), pa.field("component_old", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [pa.field("component_old", pa.int64()), pa.field("component", pa.int64())]
+            ),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            comp = pc.min_element_wise(
+                pc.fill_null(t["component"], np.int64(2**62)),
+                t["component_old"].combine_chunks().cast(pa.int64()),
+            )
+            changed = pc.not_equal(comp, t["component_old"])
+            return pa.table(
+                {
+                    "record_id": t["record_id"],
+                    "component": comp,
+                    "__changed__": changed,
+                }
+            )
+
+        new_labels = relabeled.map_batches(finish, batch_format="pyarrow").materialize()
+        n_updates = new_labels.sum("__changed__")
+        labels = new_labels.drop_columns(["__changed__"]).materialize()
+        if checkpoint_dir is not None:
+            labels.write_parquet(f"{checkpoint_dir}/labels_round_{i}")
+        logger.info("CC round %d: %s updates", i, n_updates)
+        if not n_updates:
+            return labels
+        if max_iter is not None and i >= max_iter:
+            return labels
+
+
+# ------------------------------------------------------------------ public API
+def connected_components(
+    *,
+    links: ray.data.Dataset,
+    records: ray.data.Dataset | None = None,
+    max_iter: int | None = None,
+    label_as: str = "component",
+    mode: str = "auto",
+    driver_threshold: int = 2_000_000,
+    checkpoint_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Label records by connected component of the link graph.
+
+    Returns (record_id, <label_as>) when ``records`` is None, else ``records``
+    with a <label_as> column appended (singletons included).
+    """
+    edges = links.select_columns(["record_id_l", "record_id_r"])
+    if mode == "auto":
+        mode = "driver" if edges.count() <= driver_threshold else "distributed"
+
+    id_type = edges.schema().base_schema.field("record_id_l").type
+    int_ids = pa.types.is_integer(id_type)
+
+    if mode == "driver":
+        comp = _cc_driver(edges)
+        if not int_ids:
+            # factorize: min-code semantics need int codes; order by first-seen
+            codes = {k: i for i, k in enumerate(sorted(comp.keys(), key=repr))}
+            roots = {k: codes[v] for k, v in comp.items()}
+            # component = min code within component
+            min_per_root: dict = {}
+            for k, r in roots.items():
+                c = codes[k]
+                if r not in min_per_root or c < min_per_root[r]:
+                    min_per_root[r] = c
+            comp = {k: min_per_root[r] for k, r in roots.items()}
+        labels_map = comp
+        if records is None:
+            keys = list(labels_map.keys())
+            rid_arr = (
+                pa.array(keys, type=id_type)
+                if not isinstance(keys[0] if keys else None, tuple)
+                else pa.array([dict(k) for k in keys], type=id_type)
+            )
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "record_id": rid_arr,
+                        label_as: pa.array(
+                            [labels_map[k] for k in keys], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        return _attach_labels_broadcast(records, labels_map, label_as)
+
+    # distributed path: ids must be int64 (factorize otherwise)
+    if not int_ids:
+        both = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "record_id": pa.concat_arrays(
+                        [
+                            t["record_id_l"].combine_chunks(),
+                            t["record_id_r"].combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        f = Factorizer(both)
+        edges = f.encode_column(
+            edges.map_batches(
+                lambda t: t.rename_columns(["record_id", "record_id_r"]),
+                batch_format="pyarrow",
+            ),
+            "record_id",
+        ).map_batches(
+            lambda t: t.rename_columns(["record_id_l", "record_id_r"]),
+            batch_format="pyarrow",
+        )
+        edges = f.encode_column(
+            edges.map_batches(
+                lambda t: t.rename_columns(["record_id_l", "record_id"]),
+                batch_format="pyarrow",
+            ),
+            "record_id",
+        ).map_batches(
+            lambda t: t.rename_columns(["record_id_l", "record_id_r"]),
+            batch_format="pyarrow",
+        )
+    labels = _cc_distributed(
+        edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    if not int_ids:
+        labels = f.decode_column(labels, "record_id")
+    if records is None:
+        return labels.map_batches(
+            lambda t: t.rename_columns(
+                [label_as if c == "component" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    if labels.count() <= driver_threshold:
+        pdf = labels.to_pandas()
+        labels_map = dict(zip(pdf["record_id"].map(_hashable), pdf["component"]))
+        return _attach_labels_broadcast(records, labels_map, label_as)
+    return _attach_labels_join(records, labels, label_as)
+
+
+def _attach_labels_join(
+    records: ray.data.Dataset, labels: ray.data.Dataset, label_as: str
+) -> ray.data.Dataset:
+    """Scale path: hash left-outer join records x labels; singletons (null
+    component) get ``record_id + max_label + 1`` (int ids required here —
+    non-int ids were factorized before reaching this path)."""
+    import pyarrow.compute as pc
+
+    max_label = labels.max("component")
+    joined = hash_join(records, labels, on="record_id", how="left_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        rid = t["record_id"].combine_chunks().cast(pa.int64())
+        fresh = pc.add(rid, np.int64(max_label + 1))
+        comp = pc.coalesce(t["component"], fresh)
+        out = t.drop_columns(["component"])
+        return out.append_column(label_as, comp)
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def _attach_labels_broadcast(
+    records: ray.data.Dataset, labels_map: dict, label_as: str
+) -> ray.data.Dataset:
+    """Attach component labels; singleton records (no links) get fresh unique
+    labels above the current max (reference :305-314 semantics)."""
+    import ray
+
+    max_label = max(labels_map.values(), default=-1)
+    ref = ray.put(labels_map)
+
+    id_type = records.schema().base_schema.field("record_id").type
+    int_ids = pa.types.is_integer(id_type)
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t["record_id"].to_pylist()
+        out = []
+        for i, v in enumerate(ids):
+            k = _hashable(v)
+            if k in m:
+                out.append(int(m[k]))
+            elif int_ids:
+                out.append(int(v) + max_label + 1)
+            else:
+                # unique fresh label from the id hash, offset past max_label
+                out.append(
+                    int(
+                        (hash64([k])[0] >> np.uint64(2)).astype(np.int64)
+                    )
+                    + max_label + 1
+                )
+        return t.append_column(label_as, pa.array(out, type=pa.int64()))
+
+    return records.map_batches(fn, batch_format="pyarrow")
