@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship web-page entity-resolution pipeline
+(mismo_ray/pipelines/_webpages.py) on /root/testdata/sf0.001.
+``queries()`` / ``oracle_sql()`` cover the operator inventory of SURVEY.md §2
+over the driver's parquet tables, checked against DuckDB at sf0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synth web pages from sf0.001 documents -> extract text ->
+    block (KeyLinker + sorted-neighborhood) -> FS-score -> threshold ->
+    connected components -> labeled pages."""
+    from mismo_ray.pipelines import flagship
+
+    result = flagship(
+        "/root/testdata/sf0.001", train="labels", threshold_odds=10.0
+    )
+    return result["records"].select_columns(
+        ["record_id", "url", "lang", "label_true", "component"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mismo_ray import driver_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return driver_queries.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mismo_ray import driver_queries
+
+    return driver_queries.ORACLE_SQL

@@ -391,17 +391,16 @@ def _attach_labels_join(
     records: ray.data.Dataset, labels: ray.data.Dataset, label_as: str
 ) -> ray.data.Dataset:
     """Scale path: hash left-outer join records x labels; singletons (null
-    component) get ``record_id + max_label + 1`` (int ids required here —
-    non-int ids were factorized before reaching this path)."""
+    component) use their own record_id as a fresh label (unique, disjoint
+    from min-member-id component labels; int ids required here — non-int ids
+    were factorized before reaching this path)."""
     import pyarrow.compute as pc
 
-    max_label = labels.max("component")
     joined = hash_join(records, labels, on="record_id", how="left_outer")
 
     def fill(t: pa.Table) -> pa.Table:
         rid = t["record_id"].combine_chunks().cast(pa.int64())
-        fresh = pc.add(rid, np.int64(max_label + 1))
-        comp = pc.coalesce(t["component"], fresh)
+        comp = pc.coalesce(t["component"], rid)
         out = t.drop_columns(["component"])
         return out.append_column(label_as, comp)
 
@@ -430,14 +429,16 @@ def _attach_labels_broadcast(
             if k in m:
                 out.append(int(m[k]))
             elif int_ids:
-                out.append(int(v) + max_label + 1)
+                # component labels are min-member ids of LINKED records; a
+                # singleton's own id is unique and disjoint from those, so it
+                # is itself a valid fresh label (and cannot overflow, unlike
+                # the reference's max_label + row_number numbering).
+                out.append(int(v))
             else:
-                # unique fresh label from the id hash, offset past max_label
+                # unique fresh label from the id hash; the high bit-range
+                # (>= 2^62) cannot collide with factorized codes.
                 out.append(
-                    int(
-                        (hash64([k])[0] >> np.uint64(2)).astype(np.int64)
-                    )
-                    + max_label + 1
+                    int((hash64([k])[0] >> np.uint64(2)) | np.uint64(1 << 62))
                 )
         return t.append_column(label_as, pa.array(out, type=pa.int64()))
 

@@ -1,0 +1,658 @@
+"""Driver correctness battery: one entry per operator family of SURVEY.md §2,
+each as a Ray Data pipeline over /root/testdata tables plus (where
+SQL-expressible) a DuckDB oracle producing identical columns/values.
+
+Conventions for exact hash-matching against the oracle:
+- float columns that survive to the output are either produced by IDENTICAL
+  per-row arithmetic on both sides (safe) or converted to integers via
+  ``round(x * 1e6)``;
+- aggregate money sums are per-row rounded to integer cents first so the
+  summation is exact-integer on both engines;
+- all outputs carry explicit column names matching the SQL aliases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ray.data.aggregate import Count, Sum
+
+
+# ------------------------------------------------------------------ helpers
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _with_record_id(ds: ray.data.Dataset, source_col: str) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column("record_id", t[source_col].combine_chunks().cast(pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _e6(arr: np.ndarray) -> pa.Array:
+    # floor(x*1e6 + 0.5): half-up rounding, matching DuckDB ROUND (np.round
+    # would use banker's rounding and disagree on exact .5 boundaries)
+    return pa.array(np.floor(arr * 1e6 + 0.5).astype(np.int64))
+
+
+def _part_records(sf_dir: str) -> ray.data.Dataset:
+    return _with_record_id(
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]),
+        "p_partkey",
+    )
+
+
+def _part_linkage(sf_dir: str, carry=None):
+    from mismo_ray.linker import KeyLinker
+
+    parts = _part_records(sf_dir)
+    linker = KeyLinker(["p_brand", "p_size"], carry=carry, salt_rows=4096)
+    return linker(parts, parts), linker, parts
+
+
+_PAIR_SQL = (
+    "SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r "
+    "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size "
+    "AND a.p_partkey < b.p_partkey"
+)
+
+_TOKS_SQL = (
+    "SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks "
+    "FROM documents WHERE text IS NOT NULL"
+)
+
+
+# ------------------------------------------------------------------ queries
+def q_key_counts(sf_dir: str):
+    from mismo_ray.linker import KeyLinker
+
+    parts = _part_records(sf_dir)
+    return KeyLinker(["p_brand", "p_size"]).key_counts_left(parts)
+
+
+def q_pair_counts(sf_dir: str):
+    from mismo_ray.linker import KeyLinker
+
+    parts = _part_records(sf_dir)
+    return KeyLinker(["p_brand", "p_size"]).pair_counts(parts, parts)
+
+
+def q_key_linker_pairs(sf_dir: str):
+    linkage, _, _ = _part_linkage(sf_dir)
+    return linkage.links_ds
+
+
+def q_key_linker_link(sf_dir: str):
+    from mismo_ray.linker import KeyLinker
+
+    cust = _with_record_id(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]), "c_custkey")
+    supp = _with_record_id(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), "s_suppkey")
+    return KeyLinker(("c_nationkey", "s_nationkey"), task="link")(cust, supp).links_ds
+
+
+def q_unnest_linker(sf_dir: str):
+    from mismo_ray.linker import UnnestLinker
+
+    parts = _part_records(sf_dir)
+
+    def name_tokens(batch: pa.Table) -> pa.Array:
+        return pa.array(
+            [None if v is None else v.split(" ") for v in batch["p_name"].to_pylist()],
+            type=pa.list_(pa.string()),
+        )
+
+    name_tokens.__name__ = "name_tokens"
+    return UnnestLinker(name_tokens, salt_rows=4096)(parts, parts).links_ds
+
+
+def q_exact_dedupe(sf_dir: str):
+    from mismo_ray.dedupe import exact_dedupe
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+    return exact_dedupe(docs, "text")
+
+
+def q_fingerprint(sf_dir: str):
+    from mismo_ray.textstats import add_fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(docs, "text").select_columns(["doc_id", "fingerprint"])
+
+
+def q_token_stats(sf_dir: str):
+    from mismo_ray.textstats import add_token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_token_stats(docs, "text")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "n_tokens": t["n_tokens"],
+                "n_uniq_tokens": t["n_uniq_tokens"],
+                "avg_token_len_e6": _e6(np.asarray(t["avg_token_len"], dtype=np.float64)),
+                "stopword_ratio_e6": _e6(np.asarray(t["stopword_ratio"], dtype=np.float64)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_token_count_bpe(sf_dir: str):
+    from mismo_ray.textstats import add_token_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_token_count(docs, "text").select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def q_term_idf(sf_dir: str):
+    from mismo_ray.sets import term_idf
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        toks = [
+            None if v is None else v.strip().split()
+            for v in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "toks": pa.array(toks, type=pa.list_(pa.string()))}
+        )
+
+    idf = term_idf(docs.map_batches(tok, batch_format="pyarrow"), "toks")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t["term"],
+                "idf_e6": _e6(np.asarray(t["idf"], dtype=np.float64)),
+            }
+        )
+
+    return idf.map_batches(finish, batch_format="pyarrow")
+
+
+def q_document_counts(sf_dir: str):
+    from mismo_ray.sets import document_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        toks = [
+            None if v is None else v.strip().split()
+            for v in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "toks": pa.array(toks, type=pa.list_(pa.string()))}
+        )
+
+    return document_counts(docs.map_batches(tok, batch_format="pyarrow"), "toks")
+
+
+def q_rare_terms(sf_dir: str):
+    from mismo_ray.sets import rare_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        toks = [
+            None if v is None else v.strip().split()
+            for v in t["text"].to_pylist()
+        ]
+        return pa.table({"toks": pa.array(toks, type=pa.list_(pa.string()))})
+
+    return rare_terms(
+        docs.map_batches(tok, batch_format="pyarrow"), "toks", max_records_n=100
+    )
+
+
+def q_connected_components(sf_dir: str):
+    from mismo_ray.cluster import connected_components
+    from mismo_ray.linker import KeyLinker, OrLinker
+
+    parts = _part_records(sf_dir)
+    blocker = OrLinker(
+        [
+            KeyLinker(["p_brand", "p_size"], salt_rows=4096),
+            KeyLinker(["p_type", "p_size"], salt_rows=4096),
+        ]
+    )
+    linkage = blocker(parts, parts)
+    labeled = connected_components(
+        links=linkage.links_ds, records=parts, label_as="component"
+    )
+    return labeled.select_columns(["record_id", "component"])
+
+
+def q_sorted_neighborhood(sf_dir: str):
+    from mismo_ray.linker import SortedNeighborhoodLinker
+
+    cust = _with_record_id(_read(sf_dir, "customer", ["c_custkey", "c_name"]), "c_custkey")
+    return SortedNeighborhoodLinker("c_name", window=3)(cust, cust).links_ds
+
+
+def _fs_comparers():
+    from mismo_ray.compare import LevelComparer
+    from mismo_ray.text import levenshtein_array
+
+    def name_exact(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["p_name_l"], t["p_name_r"]).to_numpy(zero_copy_only=False)
+
+    def name_close(t: pa.Table) -> np.ndarray:
+        d = levenshtein_array(t["p_name_l"], t["p_name_r"]).to_numpy(
+            zero_copy_only=False
+        )
+        return np.asarray(d) <= 3
+
+    def type_exact(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["p_type_l"], t["p_type_r"]).to_numpy(zero_copy_only=False)
+
+    name_cmp = LevelComparer(
+        "name", ["exact", "close", "else"], [(name_exact, "exact"), (name_close, "close")]
+    )
+    type_cmp = LevelComparer("ptype", ["exact", "else"], [(type_exact, "exact")])
+    return [name_cmp, type_cmp]
+
+
+def _fs_weights():
+    from mismo_ray.fs import ComparerWeights, LevelWeights, Weights
+
+    return Weights(
+        [
+            ComparerWeights(
+                "name",
+                [
+                    LevelWeights("exact", m=0.9, u=0.01),
+                    LevelWeights("close", m=0.5, u=0.05),
+                ],
+            ),
+            ComparerWeights("ptype", [LevelWeights("exact", m=0.8, u=0.1)]),
+        ]
+    )
+
+
+def _scored_pairs(sf_dir: str):
+    linkage, _, _ = _part_linkage(sf_dir, carry=["p_name", "p_type"])
+    pairs = linkage.links_ds
+    return _fs_weights().compare_and_score(pairs, _fs_comparers())
+
+
+_FS_SQL_CORE = f"""
+WITH pairs AS (
+  SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r,
+         a.p_name AS p_name_l, b.p_name AS p_name_r,
+         a.p_type AS p_type_l, b.p_type AS p_type_r
+  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+), lvl AS (
+  SELECT record_id_l, record_id_r,
+    CAST(CASE WHEN p_name_l = p_name_r THEN 0
+         WHEN levenshtein(p_name_l, p_name_r) <= 3 THEN 1 ELSE 2 END AS BIGINT) AS name,
+    CAST(CASE WHEN p_type_l = p_type_r THEN 0 ELSE 1 END AS BIGINT) AS ptype
+  FROM pairs
+)
+SELECT record_id_l, record_id_r, name, ptype,
+  CAST(ROUND((CASE name WHEN 0 THEN 0.9/0.01 WHEN 1 THEN 0.5/0.05 ELSE 1.0 END
+   * CASE ptype WHEN 0 THEN 0.8/0.1 ELSE 1.0 END) * 1000000) AS BIGINT) AS odds_e6
+FROM lvl
+"""
+
+
+def q_fs_score(sf_dir: str):
+    scored = _scored_pairs(sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "record_id_l": t["record_id_l"],
+                "record_id_r": t["record_id_r"],
+                "name": t["name"],
+                "ptype": t["ptype"],
+                "odds_e6": _e6(np.asarray(t["odds"], dtype=np.float64)),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def q_filter_links_best(sf_dir: str):
+    """Window predicate: best pair per record_id_r (max odds, tie -> min
+    record_id_l) — reference filter_links window semantics
+    (mismo/linkage/_linkage.py:206-301)."""
+    scored = _scored_pairs(sf_dir)
+
+    def best(g: pa.Table) -> pa.Table:
+        odds = np.asarray(g["odds"], dtype=np.float64)
+        lids = np.asarray(g["record_id_l"], dtype=np.int64)
+        order = np.lexsort((lids, -odds))
+        i = int(order[0])
+        return pa.table(
+            {
+                "record_id_l": [int(lids[i])],
+                "record_id_r": [int(g["record_id_r"][0].as_py())],
+                "odds_e6": [int(np.round(odds[i] * 1e6))],
+            }
+        )
+
+    return scored.groupby("record_id_r").map_groups(best, batch_format="pyarrow")
+
+
+def q_with_n_links(sf_dir: str):
+    linkage, _, _ = _part_linkage(sf_dir)
+    return linkage.with_n_links("left").select_columns(["record_id", "n_links"])
+
+
+def q_link_counts(sf_dir: str):
+    linkage, _, _ = _part_linkage(sf_dir)
+    return linkage.link_counts("left")
+
+
+def q_degree(sf_dir: str):
+    from mismo_ray.cluster import degree
+
+    linkage, _, _ = _part_linkage(sf_dir)
+    return degree(linkage.links_ds)
+
+
+def q_ann_topk(sf_dir: str):
+    from mismo_ray.ann import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 20").to_pandas()
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].to_numpy()
+    out = brute_force_topk(
+        emb, queries, k=3, id_column="vec_id", query_ids=qids, exclude_self=True
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "neighbor_id": t["neighbor_id"],
+                "rk": t["rank"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    from mismo_ray.dedupe import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(
+        emb, tau=0.40, id_column="vec_id", vector_column="embedding"
+    ).links_ds
+
+
+def q_groupby_agg(sf_dir: str):
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t["l_quantity"], dtype=np.float64)
+        price = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"], dtype=np.float64)
+        # floor(x+0.5) = DuckDB ROUND (half-up); np.round would use
+        # banker's rounding and differ on exact half-cent boundaries
+        qty_i = np.floor(qty * 100 + 0.5).astype(np.int64)
+        rev_i = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty_c": pa.array(qty_i),
+                "rev_c": pa.array(rev_i),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_cents"),
+            Sum("rev_c", alias_name="sum_rev_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def q_tf_lookup(sf_dir: str):
+    """Term-frequency lookup (reference mismo/tf/_tf.py:51-144): per record,
+    the frequency of its c_mktsegment value."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    counts = cust.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+    pdf = counts.to_pandas()
+    n_total = int(pdf["n"].sum())
+    freq = {s: int(c) for s, c in zip(pdf["c_mktsegment"], pdf["n"])}
+    import ray
+
+    ref = ray.put(freq)
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray
+
+        m = ray.get(ref)
+        segs = t["c_mktsegment"].to_pylist()
+        fr = np.array([m[s] / n_total for s in segs], dtype=np.float64)
+        return pa.table(
+            {
+                "record_id": t["c_custkey"].combine_chunks().cast(pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "tf_e6": _e6(fr),
+            }
+        )
+
+    return cust.map_batches(fn, batch_format="pyarrow")
+
+
+# -------------------------------------------------- rows-only (non-SQL) ops
+def q_minhash_lsh_dedupe(sf_dir: str):
+    from mismo_ray.dedupe import minhash_lsh_pairs
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+    return minhash_lsh_pairs(docs, "text", verify_jaccard=0.8).links_ds
+
+
+def q_simhash_pairs(sf_dir: str):
+    from mismo_ray.dedupe import simhash_pairs
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+    return simhash_pairs(docs, "text", max_hamming=3).links_ds
+
+
+def q_lang_id(sf_dir: str):
+    from mismo_ray.textstats import add_lang_id
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def q_flagship(sf_dir: str):
+    from mismo_ray.pipelines import flagship
+
+    result = flagship(sf_dir, train="labels", threshold_odds=10.0)
+    return result["records"].select_columns(
+        ["record_id", "url", "label_true", "component"]
+    )
+
+
+QUERIES = {
+    "key_counts": q_key_counts,
+    "pair_counts": q_pair_counts,
+    "key_linker_pairs": q_key_linker_pairs,
+    "key_linker_link": q_key_linker_link,
+    "unnest_linker": q_unnest_linker,
+    "exact_dedupe": q_exact_dedupe,
+    "fingerprint": q_fingerprint,
+    "token_stats": q_token_stats,
+    "token_count_bpe": q_token_count_bpe,
+    "term_idf": q_term_idf,
+    "document_counts": q_document_counts,
+    "rare_terms": q_rare_terms,
+    "connected_components": q_connected_components,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "fs_score": q_fs_score,
+    "filter_links_best": q_filter_links_best,
+    "with_n_links": q_with_n_links,
+    "link_counts": q_link_counts,
+    "degree": q_degree,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "groupby_agg": q_groupby_agg,
+    "tf_lookup": q_tf_lookup,
+    "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
+    "simhash_pairs": q_simhash_pairs,
+    "lang_id": q_lang_id,
+    "flagship_er": q_flagship,
+}
+
+
+from mismo_ray.textstats import STOPWORDS_EN as _STOPWORDS_EN
+
+_STOP_SQL = "'" + "','".join(sorted(_STOPWORDS_EN)) + "'"
+
+ORACLE_SQL = {
+    "key_counts": (
+        "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, count(*) AS n FROM part GROUP BY p_brand, p_size"
+    ),
+    "pair_counts": (
+        "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, CAST(count(*)*(count(*)-1)/2 AS BIGINT) AS n_pairs "
+        "FROM part GROUP BY p_brand, p_size"
+    ),
+    "key_linker_pairs": _PAIR_SQL,
+    "key_linker_link": (
+        "SELECT c_custkey AS record_id_l, s_suppkey AS record_id_r "
+        "FROM customer JOIN supplier ON c_nationkey = s_nationkey"
+    ),
+    "unnest_linker": (
+        "WITH toks AS (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok FROM part) "
+        "SELECT DISTINCT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r "
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_partkey < b.p_partkey"
+    ),
+    "exact_dedupe": (
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+        "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+    ),
+    "fingerprint": (
+        "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint "
+        "FROM documents"
+    ),
+    "token_stats": (
+        f"WITH t AS ({_TOKS_SQL}) "
+        "SELECT doc_id, length(text) AS n_chars, "
+        "len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens, "
+        "CAST(ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) * 1000000) AS BIGINT) AS avg_token_len_e6, "
+        f"CAST(ROUND(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x)))) * 1.0 / len(toks) * 1000000) AS BIGINT) AS stopword_ratio_e6 "
+        "FROM t"
+    ),
+    "token_count_bpe": (
+        f"WITH t AS ({_TOKS_SQL}) "
+        "SELECT doc_id, CAST(list_sum(list_transform(toks, x -> "
+        "greatest(1, CAST(ceil(length(x)/4.0) AS BIGINT)))) AS BIGINT) AS n_bpe_tokens FROM t"
+    ),
+    "term_idf": (
+        f"WITH t AS ({_TOKS_SQL}), "
+        "flat AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t), "
+        "df AS (SELECT term, count(*) AS df FROM flat GROUP BY term) "
+        "SELECT term, CAST(ROUND(LN((SELECT count(*) FROM documents WHERE text IS NOT NULL) "
+        "/ CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS idf_e6 FROM df"
+    ),
+    "document_counts": (
+        f"WITH t AS ({_TOKS_SQL}), "
+        "flat AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t) "
+        "SELECT term, count(*) AS n_records FROM flat GROUP BY term"
+    ),
+    "rare_terms": (
+        f"WITH t AS ({_TOKS_SQL}), "
+        "flat AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t), "
+        "df AS (SELECT term, count(*) AS n FROM flat GROUP BY term) "
+        "SELECT term FROM df WHERE n <= 100"
+    ),
+    "connected_components": (
+        "WITH RECURSIVE edges AS ("
+        " SELECT a.p_partkey AS s, b.p_partkey AS d FROM part a JOIN part b"
+        "  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey <> b.p_partkey"
+        " UNION "
+        " SELECT a.p_partkey, b.p_partkey FROM part a JOIN part b"
+        "  ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.p_partkey <> b.p_partkey"
+        "), walk(node, comp) AS ("
+        " SELECT p_partkey, p_partkey FROM part"
+        " UNION "
+        " SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node"
+        ") SELECT node AS record_id, min(comp) AS component FROM walk GROUP BY node"
+    ),
+    "sorted_neighborhood": (
+        "WITH r AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk "
+        "FROM customer) "
+        "SELECT least(a.c_custkey, b.c_custkey) AS record_id_l, "
+        "greatest(a.c_custkey, b.c_custkey) AS record_id_r "
+        "FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3"
+    ),
+    "fs_score": _FS_SQL_CORE,
+    "filter_links_best": (
+        f"WITH scored AS ({_FS_SQL_CORE}) "
+        "SELECT record_id_l, record_id_r, odds_e6 FROM ("
+        " SELECT record_id_l, record_id_r, odds_e6, "
+        " ROW_NUMBER() OVER (PARTITION BY record_id_r ORDER BY odds_e6 DESC, record_id_l) AS rk "
+        " FROM scored) WHERE rk = 1"
+    ),
+    "with_n_links": (
+        f"WITH pairs AS ({_PAIR_SQL}), "
+        "c AS (SELECT record_id_l, count(*) AS n FROM pairs GROUP BY record_id_l) "
+        "SELECT p.p_partkey AS record_id, coalesce(c.n, 0) AS n_links "
+        "FROM part p LEFT JOIN c ON c.record_id_l = p.p_partkey"
+    ),
+    "link_counts": (
+        f"WITH pairs AS ({_PAIR_SQL}), "
+        "c AS (SELECT record_id_l, count(*) AS n FROM pairs GROUP BY record_id_l), "
+        "nl AS (SELECT p.p_partkey, coalesce(c.n, 0) AS n_links "
+        " FROM part p LEFT JOIN c ON c.record_id_l = p.p_partkey) "
+        "SELECT n_links, count(*) AS n_records FROM nl GROUP BY n_links"
+    ),
+    "degree": (
+        f"WITH pairs AS ({_PAIR_SQL}), "
+        "sym AS (SELECT record_id_l AS a, record_id_r AS b FROM pairs "
+        " UNION ALL SELECT record_id_r, record_id_l FROM pairs), "
+        "d AS (SELECT DISTINCT a, b FROM sym) "
+        "SELECT a AS record_id, count(*) AS degree FROM d GROUP BY a"
+    ),
+    "ann_topk": (
+        "WITH sims AS ("
+        " SELECT a.vec_id AS q, b.vec_id AS n, "
+        " list_cosine_similarity(a.embedding, b.embedding) AS c "
+        " FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+        " WHERE a.vec_id < 20), "
+        "ranked AS (SELECT q, n, ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rk FROM sims) "
+        "SELECT q AS query_id, n AS neighbor_id, rk FROM ranked WHERE rk <= 3"
+    ),
+    "embedding_neardup": (
+        "SELECT a.vec_id AS record_id_l, b.vec_id AS record_id_r "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
+    ),
+    "groupby_agg": (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_rev_cents, "
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ),
+    "tf_lookup": (
+        "WITH c AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment), "
+        "tot AS (SELECT count(*) AS total FROM customer) "
+        "SELECT cu.c_custkey AS record_id, cu.c_mktsegment, "
+        "CAST(ROUND(c.n * 1.0 / tot.total * 1000000) AS BIGINT) AS tf_e6 "
+        "FROM customer cu JOIN c ON cu.c_mktsegment = c.c_mktsegment CROSS JOIN tot"
+    ),
+    # minhash_lsh_dedupe / simhash_pairs / lang_id / flagship_er:
+    # hash-function / model-driven ops, not SQL-expressible -> rows-only check.
+}

@@ -1,7 +1,10 @@
 from mismo_ray.linker._basic import EmptyLinker, FullLinker, IDLinker
 from mismo_ray.linker._common import Linker, Task, infer_task
 from mismo_ray.linker._key_linker import KeyLinker
+from mismo_ray.linker._or_linker import OrLinker
 from mismo_ray.linker._sample import sample_all_links, sample_records
+from mismo_ray.linker._sorted_neighborhood import SortedNeighborhoodLinker
+from mismo_ray.linker._unnest import UnnestLinker
 
 __all__ = [
     "EmptyLinker",
@@ -9,7 +12,10 @@ __all__ = [
     "IDLinker",
     "KeyLinker",
     "Linker",
+    "OrLinker",
+    "SortedNeighborhoodLinker",
     "Task",
+    "UnnestLinker",
     "infer_task",
     "sample_all_links",
     "sample_records",

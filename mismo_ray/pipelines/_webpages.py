@@ -1,0 +1,356 @@
+"""Flagship pipeline: Common-Crawl-style web-page entity resolution.
+
+Implements the BASELINE.json north_star over the input_hint table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``:
+
+    read -> extract byte-identical text per url (zero-copy Arrow map_batches)
+    -> blocking (KeyLinker on (domain, path stem) + sorted-neighborhood on a
+    text prefix) -> LevelComparer tiers (exact / token-set jaccard /
+    jaro-winkler on url path / length ratio) -> Fellegi-Sunter log-odds fitted
+    with EM -> threshold -> distributed connected components -> entity labels.
+
+The synthetic corpus is derived deterministically from the driver's
+``documents`` table (TESTDATA.md): each document becomes a planted duplicate
+cluster (skewed sizes, hot domains, typo-perturbed variants) with
+``label_true`` = doc_id, so blocking recall, comparer levels and final
+cluster membership are all checkable (FIXTURES.md §1).
+All randomness is hash-derived from ids — identical output at any
+parallelism (SURVEY §4 determinism).
+"""
+
+from __future__ import annotations
+
+import datetime
+import html as html_mod
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from mismo_ray._util import hash64, splitmix64
+from mismo_ray.compare import LevelComparer
+from mismo_ray.fs import Weights, train_using_em, train_using_labels
+from mismo_ray.keys import KeySpec
+from mismo_ray.linker import KeyLinker
+from mismo_ray.sets import jaccard
+from mismo_ray.text import jaro_winkler_similarity
+from mismo_ray.types import Linkage
+
+_HTML_TEMPLATE = (
+    "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
+    "<title>{title}</title></head><body>"
+    "<nav>deterministic boilerplate nav</nav>"
+    "<main id=\"content\">{body}</main>"
+    "<footer>generated corpus</footer></body></html>"
+)
+_MAIN_RE = re.compile(rb'<main id="content">(.*?)</main>', re.DOTALL)
+
+
+def render_html(title: str, body_text: str) -> bytes:
+    return _HTML_TEMPLATE.format(
+        title=html_mod.escape(title), body=html_mod.escape(body_text)
+    ).encode("utf-8")
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """Inverse of render_html: byte-identical text per url (the per-row
+    invariant in BASELINE.json input_hint)."""
+    m = _MAIN_RE.search(html)
+    if m is None:
+        return ""
+    return html_mod.unescape(m.group(1).decode("utf-8"))
+
+
+# --------------------------------------------------------------- synthesis
+def _mix(x: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return splitmix64(x.astype(np.uint64) ^ np.uint64(seed))
+
+
+def synth_pages(documents: ray.data.Dataset, *, seed: int = 42) -> ray.data.Dataset:
+    """documents (doc_id, text, lang, source) -> web-page corpus with planted
+    duplicate clusters.
+
+    - cluster sizes: 70% 1, 20% 2, 8% 3, 2% 6 (skewed, FIXTURES.md §1);
+    - ~10% of clusters land on one hot domain (exercises hot-key handling);
+    - variants v>0 get a deterministic one-character typo in one token;
+    - record_id = hash64(url).
+    """
+
+    def gen(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        sources = batch["source"].to_pylist()
+        h = _mix(doc_ids, seed)
+        out = {
+            "url": [],
+            "warc_ts": [],
+            "html": [],
+            "text": [],
+            "lang": [],
+            "label_true": [],
+        }
+        base_ts = datetime.datetime(2024, 1, 1)
+        for k in range(len(doc_ids)):
+            hv = int(h[k])
+            r = hv % 100
+            size = 1 if r < 70 else 2 if r < 90 else 3 if r < 98 else 6
+            if hv % 10 == 0:
+                domain = "portal.example.com"  # hot domain
+            else:
+                domain = f"site-{hv % 40}.example.org"
+            stem = f"d{hv % 1_000_000}"
+            toks = texts[k].split()
+            # interleave a doc-unique marker token every 6 tokens so texts of
+            # DIFFERENT documents are never near-duplicates (the raw corpus
+            # reuses phrasing heavily), while typo'd variants of the SAME
+            # document stay shingle-similar.
+            marked = []
+            for i, t in enumerate(toks):
+                if i % 6 == 0:
+                    marked.append(stem)
+                marked.append(t)
+            toks = marked
+            for v in range(size):
+                vtoks = list(toks)
+                if v > 0 and vtoks:
+                    i = (hv + v * 7) % len(vtoks)
+                    t = vtoks[i]
+                    vtoks[i] = (t[:-1] if len(t) > 2 and v % 2 else t + "x")
+                vtext = " ".join(vtoks)
+                url = f"https://{domain}/{sources[k]}/{stem}/v{v}"
+                title = f"{stem} {sources[k]}"
+                out["url"].append(url)
+                out["warc_ts"].append(
+                    base_ts + datetime.timedelta(seconds=(hv % 9_999_999) + v)
+                )
+                out["html"].append(render_html(title, vtext))
+                out["text"].append(vtext)
+                out["lang"].append(langs[k])
+                out["label_true"].append(int(doc_ids[k]))
+        tbl = pa.table(
+            {
+                "url": pa.array(out["url"], type=pa.string()),
+                "warc_ts": pa.array(out["warc_ts"], type=pa.timestamp("us")),
+                "html": pa.array(out["html"], type=pa.binary()),
+                "text": pa.array(out["text"], type=pa.string()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "label_true": pa.array(out["label_true"], type=pa.int64()),
+            }
+        )
+        rid = hash64(tbl["url"]).astype(np.int64)
+        return tbl.append_column("record_id", pa.array(rid))
+
+    return documents.map_batches(gen, batch_format="pyarrow")
+
+
+def load_pages(sf_dir: str, *, seed: int = 42) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return synth_pages(docs, seed=seed)
+
+
+# ------------------------------------------------------------ featurization
+def add_extracted_text(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """html -> extracted_text column; drops html immediately after (wide
+    binary rows are the block-size hazard, SURVEY §7.5)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        extracted = [extract_text_bytes(h) for h in t["html"].to_pylist()]
+        t = t.append_column("extracted_text", pa.array(extracted, type=pa.string()))
+        return t.drop_columns(["html"])
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+_URL_RE = re.compile(r"^https?://([^/]+)(/.*)?$")
+
+
+def featurize(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Add blocking/comparison features: domain, path_stem, text token count."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        domains, stems, paths = [], [], []
+        for u in t["url"].to_pylist():
+            m = _URL_RE.match(u)
+            host = m.group(1) if m else ""
+            path = (m.group(2) or "") if m else ""
+            parts = [p for p in path.split("/") if p]
+            stem = "/".join(parts[:-1]) if len(parts) > 1 else path
+            domains.append(host)
+            stems.append(stem)
+            paths.append(path)
+        t = t.append_column("domain", pa.array(domains, type=pa.string()))
+        t = t.append_column("path_stem", pa.array(stems, type=pa.string()))
+        t = t.append_column("path", pa.array(paths, type=pa.string()))
+        prefix = pc.utf8_slice_codeunits(t["extracted_text"], 0, 30)
+        return t.append_column("text_prefix", prefix)
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- comparison
+def _tokens(s: str | None) -> list[str] | None:
+    return None if s is None else s.split()
+
+
+def _shingles(s: str | None, w: int = 3) -> list[str] | None:
+    """Word w-gram shingles: sequence-sensitive, so texts drawn from a small
+    shared vocabulary still separate cleanly (token SETS would not)."""
+    if s is None:
+        return None
+    toks = s.split()
+    if len(toks) < w:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+
+def webpage_comparers() -> list[LevelComparer]:
+    def text_exact(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["extracted_text_l"], t["extracted_text_r"]).to_numpy(
+            zero_copy_only=False
+        )
+
+    def _shingle_jacc(t: pa.Table) -> np.ndarray:
+        return np.array(
+            [
+                jaccard(_shingles(a), _shingles(b)) or 0.0
+                for a, b in zip(
+                    t["extracted_text_l"].to_pylist(),
+                    t["extracted_text_r"].to_pylist(),
+                )
+            ]
+        )
+
+    def text_jaccard_high(t: pa.Table) -> np.ndarray:
+        return _shingle_jacc(t) >= 0.75
+
+    def text_jaccard_med(t: pa.Table) -> np.ndarray:
+        return _shingle_jacc(t) >= 0.35
+
+    def same_page(t: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return pc.and_(
+            pc.equal(t["domain_l"], t["domain_r"]),
+            pc.equal(t["path_stem_l"], t["path_stem_r"]),
+        ).to_numpy(zero_copy_only=False)
+
+    def path_jw_high(t: pa.Table) -> np.ndarray:
+        same = same_page(t)
+        jw = np.array(
+            [
+                (jaro_winkler_similarity(a, b) or 0.0) >= 0.95
+                for a, b in zip(t["path_l"].to_pylist(), t["path_r"].to_pylist())
+            ]
+        )
+        return same & jw
+
+    def same_domain(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["domain_l"], t["domain_r"]).to_numpy(zero_copy_only=False)
+
+    def same_lang(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["lang_l"], t["lang_r"]).to_numpy(zero_copy_only=False)
+
+    return [
+        LevelComparer(
+            "text",
+            ["exact", "near", "similar", "else"],
+            [
+                (text_exact, "exact"),
+                (text_jaccard_high, "near"),
+                (text_jaccard_med, "similar"),
+            ],
+        ),
+        LevelComparer("url", ["close", "same_domain", "else"],
+                      [(path_jw_high, "close"), (same_domain, "same_domain")]),
+        LevelComparer("lang", ["same", "else"], [(same_lang, "same")]),
+    ]
+
+
+PAIR_COLUMNS = ["extracted_text", "path", "path_stem", "domain", "lang"]
+
+
+def sn_key() -> KeySpec:
+    def fn(batch: pa.Table) -> pa.Array:
+        return batch["text_prefix"]
+
+    return KeySpec("text_prefix", fn, fn)
+
+
+# --------------------------------------------------------------- pipeline
+def run_er_pipeline(
+    pages: ray.data.Dataset,
+    *,
+    weights: Weights | None = None,
+    train: str = "em",
+    threshold_odds: float = 50.0,
+    max_train_pairs: int = 200_000,
+    sn_window: int = 3,
+    checkpoint_dir: str | None = None,
+    seed: int = 42,
+) -> dict:
+    """Full blocking -> compare -> score -> threshold -> cluster run.
+
+    Returns dict with the labeled records Dataset, scored links Dataset,
+    fitted weights and counters. ``pages`` must already carry
+    ``extracted_text`` + features (see add_extracted_text / featurize).
+    """
+    from mismo_ray.linker._or_linker import OrLinker
+    from mismo_ray.linker._sorted_neighborhood import SortedNeighborhoodLinker
+
+    counters: dict = {}
+    key_linker = KeyLinker(["domain", "path_stem"], max_pairs=1_000_000)
+    sn_linker = SortedNeighborhoodLinker(sn_key(), window=sn_window)
+    blocker = OrLinker([key_linker, sn_linker])
+    linkage = blocker(pages, pages)
+    counters["blocking"] = dict(blocker.last_counters)
+
+    pairs = linkage.links.with_both(PAIR_COLUMNS, PAIR_COLUMNS)
+    comparers = webpage_comparers()
+
+    if weights is None:
+        if train == "em":
+            weights = train_using_em(
+                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed
+            )
+        else:
+            weights = train_using_labels(
+                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed
+            )
+
+    scored = weights.compare_and_score(pairs, comparers)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["odds"], threshold_odds))
+
+    matches = scored.map_batches(keep, batch_format="pyarrow")
+    if checkpoint_dir is not None:
+        Linkage(left=pages, right=pages, links=matches).to_parquets(
+            f"{checkpoint_dir}/scored_linkage", counters=counters
+        )
+        matches = ray.data.read_parquet(f"{checkpoint_dir}/scored_linkage/links")
+
+    from mismo_ray.cluster import connected_components
+
+    labeled = connected_components(
+        links=matches,
+        records=pages,
+        label_as="component",
+        checkpoint_dir=f"{checkpoint_dir}/cc" if checkpoint_dir else None,
+    )
+    return {
+        "records": labeled,
+        "links": matches,
+        "weights": weights,
+        "counters": counters,
+    }
+
+
+def flagship(sf_dir: str, **kwargs) -> dict:
+    pages = featurize(add_extracted_text(load_pages(sf_dir)))
+    return run_er_pipeline(pages, **kwargs)

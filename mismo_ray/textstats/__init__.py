@@ -1,0 +1,175 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, fingerprinting.
+
+Not part of the reference's operator surface (mismo stops at record-linkage
+text features); required by the 100 TB training-data brief. All stateless
+vectorized ``map_batches`` stages; the language-ID stage is a callable class
+(actor pool) because it compiles token tables once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_WS = re.compile(r"\s+")
+
+STOPWORDS_EN = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+)
+_LANG_MARKERS = {
+    "en": STOPWORDS_EN,
+    "de": frozenset("der die das und oder von zu im ist sind war für auf mit als bei aus ein eine".split()),
+    "es": frozenset("el la los las y o de a en es son era para con como por un una".split()),
+    "fr": frozenset("le la les et ou de à en est sont était pour avec comme par un une".split()),
+}
+
+
+def norm_text(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return _WS.sub(" ", s.strip())
+
+
+def fingerprint(s: str | None) -> str | None:
+    """md5 of whitespace-normalized text — a deterministic document
+    fingerprint (matches DuckDB ``md5(regexp_replace(trim(s),'\\s+',' ','g'))``)."""
+    if s is None:
+        return None
+    return hashlib.md5(norm_text(s).encode("utf-8")).hexdigest()
+
+
+def add_fingerprint(
+    ds: ray.data.Dataset, column: str, *, result_name: str = "fingerprint"
+) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        vals = [fingerprint(v) for v in t[column].to_pylist()]
+        return t.append_column(result_name, pa.array(vals, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_token_stats(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+    """n_chars / n_tokens / n_uniq_tokens / avg_token_len / stopword_ratio
+    (english list) per row — the quality-scoring basics."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[column].to_pylist()
+        n_chars = np.zeros(len(texts), dtype=np.int64)
+        n_tokens = np.zeros(len(texts), dtype=np.int64)
+        n_uniq = np.zeros(len(texts), dtype=np.int64)
+        avg_len = np.zeros(len(texts), dtype=np.float64)
+        stop_ratio = np.zeros(len(texts), dtype=np.float64)
+        for i, s in enumerate(texts):
+            if s is None:
+                continue
+            toks = s.split()
+            n_chars[i] = len(s)
+            n_tokens[i] = len(toks)
+            n_uniq[i] = len(set(toks))
+            if toks:
+                avg_len[i] = sum(len(x) for x in toks) / len(toks)
+                stop_ratio[i] = sum(
+                    1 for x in toks if x.lower() in STOPWORDS_EN
+                ) / len(toks)
+        t = t.append_column("n_chars", pa.array(n_chars))
+        t = t.append_column("n_tokens", pa.array(n_tokens))
+        t = t.append_column("n_uniq_tokens", pa.array(n_uniq))
+        t = t.append_column("avg_token_len", pa.array(avg_len))
+        return t.append_column("stopword_ratio", pa.array(stop_ratio))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangId:
+    """Marker-token language-ID heuristic — an actor-pool stage (token tables
+    built once per actor in __init__; `map_batches(LangId, concurrency=N)`)."""
+
+    def __init__(self, languages: dict[str, frozenset] | None = None):
+        self.markers = languages or _LANG_MARKERS
+
+    def classify(self, text: str | None) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        toks = [t.lower() for t in text.split()]
+        if not toks:
+            return "und", 0.0
+        best_lang, best_score = "und", 0.0
+        for lang, markers in self.markers.items():
+            score = sum(1 for t in toks if t in markers) / len(toks)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang, best_score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = "text" if "text" in batch.column_names else batch.column_names[0]
+        langs, scores = [], []
+        for s in batch[col].to_pylist():
+            lang, score = self.classify(s)
+            langs.append(lang)
+            scores.append(score)
+        batch = batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        return batch.append_column("lang_score", pa.array(scores, type=pa.float64()))
+
+
+def add_lang_id(
+    ds: ray.data.Dataset, *, concurrency: int | tuple[int, int] = 2, batch_size: int = 4096
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size
+    )
+
+
+def token_count_bpe_ish(s: str | None) -> int:
+    """Cheap token-count proxy: whitespace words + long words split every 4
+    chars (a BPE-ish upper bound, deterministic, no model needed)."""
+    if not s:
+        return 0
+    n = 0
+    for w in s.split():
+        n += max(1, (len(w) + 3) // 4)
+    return n
+
+
+def add_token_count(
+    ds: ray.data.Dataset, column: str, *, result_name: str = "n_bpe_tokens"
+) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        vals = [token_count_bpe_ish(v) for v in t[column].to_pylist()]
+        return t.append_column(result_name, pa.array(vals, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_hash_fingerprints(
+    s: str | None, *, window: int = 16, keep_every: int = 8
+) -> list[int] | None:
+    """Rolling (Rabin-Karp style) hash fingerprints of character windows,
+    keeping hashes == 0 mod keep_every (winnowing-lite) — document
+    fingerprinting for near-dup sketching."""
+    if s is None:
+        return None
+    if len(s) < window:
+        return [hash_str64(s)] if s else []
+    B = 1000003
+    M = (1 << 61) - 1
+    h = 0
+    pw = pow(B, window - 1, M)
+    out = []
+    for i, ch in enumerate(s):
+        if i >= window:
+            h = (h - ord(s[i - window]) * pw) % M
+        h = (h * B + ord(ch)) % M
+        if i >= window - 1 and h % keep_every == 0:
+            out.append(h)
+    return out
+
+
+def hash_str64(s: str) -> int:
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[:8], "little", signed=True
+    )
