@@ -1,0 +1,171 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "pairs_scored": ..., "pairs_scored_per_sec": ...}
+
+--scaling: runs the same bench in two fresh processes (num_cpus=8 and 32)
+and reports both times + scaling efficiency (the sandbox stand-in for the
+N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "part", "lineitem", "embeddings"):
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    from mismo_ray.pipelines import add_extracted_text, featurize, load_pages, run_er_pipeline
+
+    # ---- headline: flagship web-page ER end to end
+    with timed("flagship_er"):
+        pages = featurize(add_extracted_text(load_pages(sf_dir))).materialize()
+        result = run_er_pipeline(pages, train="labels", threshold_odds=10.0)
+        n_records = result["records"].count()
+    # pairs scored = candidate pairs that went through compare+score
+    with timed("flagship_pair_count"):
+        n_pairs = result["links"].count()
+
+    # ---- representative operator benchmarks
+    from mismo_ray import driver_queries as dq
+
+    with timed("groupby_agg"):
+        dq.q_groupby_agg(sf_dir).to_pandas()
+    with timed("key_linker_pairs"):
+        n_kl_pairs = dq.q_key_linker_pairs(sf_dir).count()
+    with timed("exact_dedupe"):
+        dq.q_exact_dedupe(sf_dir).count()
+    with timed("minhash_lsh"):
+        dq.q_minhash_lsh_dedupe(sf_dir).count()
+    with timed("ann_topk"):
+        dq.q_ann_topk(sf_dir).count()
+    with timed("token_stats"):
+        dq.q_token_stats(sf_dir).count()
+
+    headline = timings["flagship_er"]
+    out = {
+        "metric": "e2e_seconds",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "flagship_records": n_records,
+        "pairs_scored": n_pairs,
+        "key_linker_pairs": n_kl_pairs,
+        "pairs_scored_per_sec": round(n_pairs / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling_worker() -> None:
+    """One fresh-process run of the compute-bound scaling pipeline."""
+    import ray
+    import ray.data
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("GRAFT_SCALE_MULT", "400"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mismo_ray.pipelines._webpages import scaling_pipeline
+
+    r = scaling_pipeline(sf_dir, multiplier=mult)
+    r.update({"num_cpus": num_cpus, "sf": sf_dir})
+    ray.shutdown()
+    print(json.dumps(r))
+
+
+def run_scaling() -> None:
+    """Same job at two parallelism levels in fresh processes — the sandbox
+    stand-in for the N vs 4N node criterion (BASELINE.md)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["seconds"], r_hi["seconds"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    assert r_lo["n_matches"] == r_hi["n_matches"], "non-deterministic result"
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "n_matches": r_lo["n_matches"],
+                "multiplier": r_lo["multiplier"],
+                "num_cpus": [lo, hi],
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling-worker" in sys.argv:
+        run_scaling_worker()
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -91,6 +91,108 @@ def minhash_signature(
     return sig
 
 
+def minhash_signatures_batch(
+    texts: list[str | None], *, num_hashes: int = 64, shingle_w: int = 5, seed: int = 7
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized minhash for a whole batch.
+
+    Returns (sig matrix (n_rows, num_hashes) uint64, valid bool mask). One
+    pandas-siphash pass over ALL shingles of the batch, then per-hash-function
+    ``np.minimum.reduceat`` over row segments — no per-row python.
+    """
+    n = len(texts)
+    all_shingles: list[str] = []
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    for i, s in enumerate(texts):
+        if s is not None:
+            valid[i] = True
+            sh = set(char_shingles(s, shingle_w) or [])
+            all_shingles.extend(sh)
+        offsets[i + 1] = len(all_shingles)
+    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not all_shingles:
+        return sig, valid
+    base = hash64(all_shingles, seed=seed)  # (S,)
+    with np.errstate(over="ignore"):
+        a = splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1))
+        b = splitmix64(a ^ np.uint64(0xABCDEF))
+    nonempty = offsets[:-1] < offsets[1:]
+    starts = offsets[:-1][nonempty]
+    with np.errstate(over="ignore"):
+        for k in range(num_hashes):
+            vals = base * a[k] + b[k]
+            sig[nonempty, k] = np.minimum.reduceat(vals, starts)
+    return sig, valid
+
+
+def charshingle_hashes(s: str, w: int, *, seed: int = 7) -> np.ndarray:
+    """uint64 hashes of all w-char shingles WITHOUT materializing substrings:
+    sliding-window polynomial hash over the char codes, splitmix-finalized.
+    (min-hashing is duplicate-insensitive, so no per-row set() needed.)"""
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= w:
+        win = codes[None, :]
+        w = n
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(codes, w)
+    B = np.uint64(1099511628211)
+    powers = np.empty(w, dtype=np.uint64)
+    p = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(w - 1, -1, -1):
+            powers[i] = p
+            p = p * B
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        return splitmix64(h ^ np.uint64(seed))
+
+
+def minhash_signatures_charhash_batch(
+    texts: list[str | None], *, num_hashes: int = 16, shingle_w: int = 24, seed: int = 7
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fast minhash over character shingles via rolling hashes (no python
+    string churn). Same output shape as minhash_signatures_batch; different
+    hash family, so signatures are not interchangeable between the two."""
+    n = len(texts)
+    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    valid = np.zeros(n, dtype=bool)
+    with np.errstate(over="ignore"):
+        a = splitmix64(
+            np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)
+        )
+        b = splitmix64(a ^ np.uint64(0xABCDEF))
+        for i, s in enumerate(texts):
+            if s is None:
+                continue
+            valid[i] = True
+            base = charshingle_hashes(s, shingle_w, seed=seed)
+            if len(base) == 0:
+                continue
+            # (S, k) affine family, min over shingles
+            sig[i] = (base[:, None] * a[None, :] + b[None, :]).min(axis=0)
+    return sig, valid
+
+
+def band_keys_from_signatures(
+    sig: np.ndarray, valid: np.ndarray, *, n_bands: int
+) -> list[list[int] | None]:
+    """(n_rows, num_hashes) signatures -> per-row list of one int64 key per
+    band (band index folded into the key's high byte)."""
+    n, num_hashes = sig.shape
+    rows = num_hashes // n_bands
+    with np.errstate(over="ignore"):
+        # combine the `rows` hash values of each band with a splitmix chain
+        acc = np.zeros((n, n_bands), dtype=np.uint64)
+        for r in range(rows):
+            acc = splitmix64(acc ^ sig[:, np.arange(n_bands) * rows + r])
+        band_tag = (np.arange(n_bands, dtype=np.uint64) << np.uint64(56))
+        keys = (acc ^ band_tag).astype(np.int64)
+    return [keys[i].tolist() if valid[i] else None for i in range(n)]
+
+
 def minhash_lsh_keys(
     s: str | None,
     *,
@@ -101,20 +203,10 @@ def minhash_lsh_keys(
 ) -> list[int] | None:
     """Banded LSH keys from the minhash signature: one 64-bit key per band
     (reference mismo/linker/_lsh.py:17-43, determinized)."""
-    sig = minhash_signature(char_shingles(s, shingle_w), num_hashes=num_hashes, seed=seed)
-    if sig is None:
-        return None
-    rows = num_hashes // n_bands
-    keys = []
-    for band in range(n_bands):
-        chunk = sig[band * rows : (band + 1) * rows]
-        h = hash64(chunk.tolist(), seed=band + 1)
-        with np.errstate(over="ignore"):
-            combined = np.uint64(0)
-            for x in h:
-                combined = splitmix64(np.array([combined ^ x], dtype=np.uint64))[0]
-        keys.append(int(np.int64(combined.astype(np.int64))) ^ (band << 56))
-    return keys
+    sig, valid = minhash_signatures_batch(
+        [s], num_hashes=num_hashes, shingle_w=shingle_w, seed=seed
+    )
+    return band_keys_from_signatures(sig, valid, n_bands=n_bands)[0]
 
 
 def minhash_lsh_pairs(
@@ -132,12 +224,13 @@ def minhash_lsh_pairs(
     shingle-jaccard verification (pairs below the bar are dropped)."""
 
     def keys_fn(batch: pa.Table) -> pa.Array:
-        out = [
-            minhash_lsh_keys(
-                v, num_hashes=num_hashes, n_bands=n_bands, shingle_w=shingle_w, seed=seed
-            )
-            for v in batch[column].to_pylist()
-        ]
+        sig, valid = minhash_signatures_batch(
+            batch[column].to_pylist(),
+            num_hashes=num_hashes,
+            shingle_w=shingle_w,
+            seed=seed,
+        )
+        out = band_keys_from_signatures(sig, valid, n_bands=n_bands)
         return pa.array(out, type=pa.list_(pa.int64()))
 
     keys_fn.__name__ = "lsh_keys"
@@ -179,6 +272,43 @@ def minhash_lsh_dedupe(
 
 
 # ---------------------------------------------------------------- simhash
+def simhash64_batch(
+    texts: list[str | None], *, shingle_w: int = 4, seed: int = 11
+) -> list[int | None]:
+    """Vectorized simhash for a batch: one hash pass over all shingles, then
+    64 ``np.add.reduceat`` bit-majority reductions over row segments."""
+    n = len(texts)
+    all_sh: list[str] = []
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    out: list[int | None] = [None] * n
+    for i, s in enumerate(texts):
+        if s is not None:
+            sh = char_shingles(s, shingle_w)
+            all_sh.extend(sh)
+        offsets[i + 1] = len(all_sh)
+    if not all_sh:
+        return [None if t is None else 0 for t in texts]
+    base = hash64(all_sh, seed=seed)
+    nonempty = offsets[:-1] < offsets[1:]
+    starts = offsets[:-1][nonempty]
+    sig = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for k in range(64):
+        pm = (((base >> np.uint64(k)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+        rowsum = np.add.reduceat(pm, starts)
+        sig |= (rowsum > 0).astype(np.uint64) << np.uint64(k)
+    vals = sig.astype(np.int64)
+    j = 0
+    for i in range(n):
+        if texts[i] is None:
+            out[i] = None
+        elif nonempty[i]:
+            out[i] = int(vals[j])
+            j += 1
+        else:
+            out[i] = 0
+    return out
+
+
 def simhash64(s: str | None, *, shingle_w: int = 4, seed: int = 11) -> int | None:
     if s is None:
         return None
@@ -214,10 +344,18 @@ def simhash_pairs(
     — catches all pairs within hamming distance 3 of each other by
     pigeonhole), verified by exact hamming distance."""
 
+    def add_simhash(t: pa.Table) -> pa.Table:
+        hs = simhash64_batch(
+            t[column].to_pylist(), shingle_w=shingle_w, seed=seed
+        )
+        return t.append_column("__simhash__", pa.array(hs, type=pa.int64()))
+
+    # compute each record's simhash ONCE; candidates carry it through the join
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow").materialize()
+
     def band_keys(batch: pa.Table) -> pa.Array:
         out = []
-        for v in batch[column].to_pylist():
-            h = simhash64(v, shingle_w=shingle_w, seed=seed)
+        for h in batch["__simhash__"].to_pylist():
             if h is None:
                 out.append(None)
                 continue
@@ -228,18 +366,20 @@ def simhash_pairs(
         return pa.array(out, type=pa.list_(pa.int64()))
 
     band_keys.__name__ = "simhash_bands"
-    linkage = UnnestLinker(band_keys, max_pairs=max_pairs)(ds, ds)
-    pairs = linkage.links.with_both([column], [column])
+    linkage = UnnestLinker(band_keys, max_pairs=max_pairs)(hashed, hashed)
+    pairs = linkage.links.with_both(["__simhash__"], ["__simhash__"])
 
     def verify(t: pa.Table) -> pa.Table:
-        keep = []
-        for a, b in zip(t[f"{column}_l"].to_pylist(), t[f"{column}_r"].to_pylist()):
-            ha = simhash64(a, shingle_w=shingle_w, seed=seed)
-            hb = simhash64(b, shingle_w=shingle_w, seed=seed)
-            keep.append(
-                ha is not None and hb is not None and hamming64(ha, hb) <= max_hamming
-            )
-        return t.filter(pa.array(keep)).select(["record_id_l", "record_id_r"])
+        ha = np.asarray(t["__simhash___l"], dtype=np.int64).astype(np.uint64)
+        hb = np.asarray(t["__simhash___r"], dtype=np.int64).astype(np.uint64)
+        x = ha ^ hb
+        dist = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        return t.filter(pa.array(dist <= max_hamming)).select(
+            ["record_id_l", "record_id_r"]
+        )
 
     verified = pairs.map_batches(verify, batch_format="pyarrow")
     return Linkage(left=ds, right=ds, links=verified)

@@ -62,6 +62,14 @@ def _labels_matrix(
 ) -> np.ndarray:
     """(n_pairs, n_comparers) integer level labels, computed distributed and
     collected (sample-sized by construction)."""
+    # pin the sample links: with_both consumes them twice (two joins) and a
+    # lazy pair DAG would be re-executed per consumption
+    linkage = Linkage(
+        left=linkage.left,
+        right=linkage.right,
+        links=linkage.links_ds.materialize(),
+        links_schema=linkage.links.schema,
+    )
     pairs = linkage.links.with_both()
     labeled = compare(pairs, list(comparers))
     names = [c.name for c in comparers]
@@ -98,6 +106,10 @@ def train_using_labels(
     comparers = list(comparers)
     # ---- m: true pairs (subsample records if the true-pair set is huge)
     tp = true_pairs_from_labels(left, right)
+    tp = Linkage(
+        left=tp.left, right=tp.right,
+        links=tp.links_ds.materialize(), links_schema=tp.links.schema,
+    )
     n_true = tp.links_ds.count()
     if n_true > max_pairs:
         links = sample_records(

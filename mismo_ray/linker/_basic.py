@@ -32,7 +32,15 @@ class FullLinker:
         links, _ = generate_pairs(
             left, right, [_const_key()], task=task, salt_rows=self.salt_rows
         )
-        return Linkage(left=left, right=right, links=links)
+        lbase = left.schema().base_schema
+        rbase = right.schema().base_schema if task == "link" else lbase
+        schema = pa.schema(
+            [
+                pa.field("record_id_l", lbase.field("record_id").type),
+                pa.field("record_id_r", rbase.field("record_id").type),
+            ]
+        )
+        return Linkage(left=left, right=right, links=links, links_schema=schema)
 
 
 class EmptyLinker:

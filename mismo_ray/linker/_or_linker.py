@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyarrow as pa
 import ray.data
 
 from mismo_ray._joins import distinct
@@ -41,4 +42,12 @@ class OrLinker:
         for other in links_list[1:]:
             unioned = unioned.union(other)
         deduped = distinct(unioned, ["record_id_l", "record_id_r"])
-        return Linkage(left=left, right=right, links=deduped)
+        lbase = left.schema().base_schema
+        rbase = right.schema().base_schema
+        schema = pa.schema(
+            [
+                pa.field("record_id_l", lbase.field("record_id").type),
+                pa.field("record_id_r", rbase.field("record_id").type),
+            ]
+        )
+        return Linkage(left=left, right=right, links=deduped, links_schema=schema)

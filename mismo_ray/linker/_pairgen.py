@@ -116,6 +116,7 @@ def _expand_salt(
     salt_ref,
     salt_rows: int,
     link: bool,
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Assign shuffle groups; replicate rows of salted blocks.
 
@@ -211,11 +212,21 @@ def _expand_salt(
                     .append_column("__role__", pa.array(role_out, type=pa.int8()))
                 )
         if not tables:
-            schema = batch.schema.append(pa.field("__grp__", pa.int64())).append(
-                pa.field("__role__", pa.int8())
+            schema = (
+                batch.schema.append(pa.field("__grp__", pa.int64()))
+                .append(pa.field("__role__", pa.int8()))
+                .append(pa.field("__bkt__", pa.int64()))
             )
             return schema.empty_table()
-        return pa.concat_tables(tables, promote_options="default")
+        out = pa.concat_tables(tables, promote_options="default")
+        # coarse shuffle bucket: the groupby shuffles on ~n_buckets groups and
+        # each reduce task enumerates MANY key groups vectorized — per-group
+        # map_groups calls would dominate wall time at millions of keys
+        grp = np.asarray(out["__grp__"], dtype=np.int64)
+        bkt = (splitmix64(grp.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return out.append_column("__bkt__", pa.array(bkt))
 
     return keyed.map_batches(fn, batch_format="pyarrow")
 
@@ -231,14 +242,14 @@ def _make_enumerator(
     coerce nullable ints to float)."""
 
     def sub_group_indices(g: pa.Table) -> list[np.ndarray]:
-        # exact key-tuple sub-groups inside one hash group: guards the
-        # 1-in-2^64 hash collision; pandas used only on the key columns.
-        if not key_cols:
-            return [np.arange(len(g))]
-        kdf = pd.DataFrame({c: g[c].to_pylist() for c in key_cols})
-        if len(kdf.drop_duplicates()) == 1:
-            return [np.arange(len(g))]
-        return list(kdf.groupby(key_cols, dropna=False, sort=False).indices.values())
+        # one bucket holds MANY key groups; split by (__grp__, exact key
+        # tuple) with a single C-speed pandas groupby. Including the real key
+        # values guards the 1-in-2^64 hash collision.
+        cols = ["__grp__", *key_cols]
+        kdf = pd.DataFrame(
+            {c: g[c].to_numpy(zero_copy_only=False) for c in cols}
+        )
+        return list(kdf.groupby(cols, dropna=False, sort=False).indices.values())
 
     def enumerate_pairs(g: pa.Table) -> pa.Table:
         role = np.asarray(g["__role__"].to_numpy(zero_copy_only=False))
@@ -316,6 +327,13 @@ def generate_pairs(
 
     if not link:
         keyed = project_keyed(left, keys, "left", carry_l)
+        if max_pairs is not None or salt_rows is not None:
+            # the count pre-pass and the pair-gen pass both consume the keyed
+            # projection; pin it once instead of re-running the key functions
+            # (and any upstream transforms) per consumption. At extreme scale
+            # with heavy carried columns, prefer carry=None + a later join so
+            # the pinned projection stays narrow.
+            keyed = keyed.materialize()
         counts = _block_counts(keyed)
         drop_ref = salt_ref = None
         hot: set = set()
@@ -337,17 +355,23 @@ def generate_pairs(
         counters["salted_keys"] = len(salt)
         drop_ref = ray.put(frozenset(hot)) if hot else None
         salt_ref = ray.put(salt) if salt else None
+        from mismo_ray._joins import default_num_partitions
+
         expanded = _expand_salt(
             keyed,
             drop_ref=drop_ref,
             salt_ref=salt_ref,
             salt_rows=salt_rows or (1 << 62),
             link=False,
+            n_buckets=default_num_partitions(),
         )
         enum = _make_enumerator(key_cols, carry_l, carry_r or carry_l, link=False)
     else:
         keyed_l = project_keyed(left, keys, "left", carry_l)
         keyed_r = project_keyed(right, keys, "right", carry_r)
+        if max_pairs is not None or salt_rows is not None:
+            keyed_l = keyed_l.materialize()
+            keyed_r = keyed_r.materialize()
         # carried-column arrow types, needed to fill nulls on the other side
         # so the two tagged projections union with one schema
         ltypes = {f.name: f.type for f in left.schema().base_schema}
@@ -403,14 +427,17 @@ def generate_pairs(
             counters["salted_keys"] = len(salt)
             drop_ref = ray.put(frozenset(hot)) if hot else None
             salt_ref = ray.put(salt) if salt else None
+        from mismo_ray._joins import default_num_partitions
+
         expanded = _expand_salt(
             keyed,
             drop_ref=drop_ref,
             salt_ref=salt_ref,
             salt_rows=salt_rows or (1 << 62),
             link=True,
+            n_buckets=default_num_partitions(),
         )
         enum = _make_enumerator(key_cols, carry_l, carry_r, link=True)
 
-    links = expanded.groupby("__grp__").map_groups(enum, batch_format="pyarrow")
+    links = expanded.groupby("__bkt__").map_groups(enum, batch_format="pyarrow")
     return links, counters

@@ -72,4 +72,7 @@ def sample_all_links(
         else sample_records(right, min(k, n_r), n_r, seed=seed + 1)
     )
     linkage = FullLinker(task="dedupe" if right is left else "link")(sub_l, sub_r)
-    return Linkage(left=left, right=right, links=linkage.links_ds)
+    return Linkage(
+        left=left, right=right, links=linkage.links_ds,
+        links_schema=linkage.links.schema,
+    )

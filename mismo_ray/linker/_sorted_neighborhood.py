@@ -163,4 +163,8 @@ class SortedNeighborhoodLinker:
             within = within.union(cross)
         links = distinct(within, ["record_id_l", "record_id_r"])
         self.last_counters = {"window": w}
-        return Linkage(left=left, right=right, links=links)
+        rid_t = left.schema().base_schema.field("record_id").type
+        schema = pa.schema(
+            [pa.field("record_id_l", rid_t), pa.field("record_id_r", rid_t)]
+        )
+        return Linkage(left=left, right=right, links=links, links_schema=schema)

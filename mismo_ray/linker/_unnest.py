@@ -77,4 +77,12 @@ class UnnestLinker:
         )
         self.last_counters = counters
         deduped = distinct(links, ["record_id_l", "record_id_r"])
-        return Linkage(left=left, right=right, links=deduped)
+        lbase = left.schema().base_schema
+        rbase = right.schema().base_schema if task == "link" else lbase
+        schema = pa.schema(
+            [
+                pa.field("record_id_l", lbase.field("record_id").type),
+                pa.field("record_id_r", rbase.field("record_id").type),
+            ]
+        )
+        return Linkage(left=left, right=right, links=deduped, links_schema=schema)

@@ -69,21 +69,33 @@ def _mix(x: np.ndarray, seed: int) -> np.ndarray:
         return splitmix64(x.astype(np.uint64) ^ np.uint64(seed))
 
 
-def synth_pages(documents: ray.data.Dataset, *, seed: int = 42) -> ray.data.Dataset:
+def synth_pages(
+    documents: ray.data.Dataset, *, seed: int = 42, multiplier: int = 1
+) -> ray.data.Dataset:
     """documents (doc_id, text, lang, source) -> web-page corpus with planted
     duplicate clusters.
 
     - cluster sizes: 70% 1, 20% 2, 8% 3, 2% 6 (skewed, FIXTURES.md §1);
     - ~10% of clusters land on one hot domain (exercises hot-key handling);
     - variants v>0 get a deterministic one-character typo in one token;
-    - record_id = hash64(url).
+    - record_id = hash64(url);
+    - ``multiplier`` replicates every document into that many independent
+      clusters (distinct label_true, distinct stems) — used to amplify the
+      corpus for compute-bound scaling benchmarks.
     """
 
     def gen(batch: pa.Table) -> pa.Table:
-        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        texts = batch["text"].to_pylist()
-        langs = batch["lang"].to_pylist()
-        sources = batch["source"].to_pylist()
+        base_doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        base_texts = batch["text"].to_pylist()
+        base_langs = batch["lang"].to_pylist()
+        base_sources = batch["source"].to_pylist()
+        n0 = len(base_doc_ids)
+        doc_ids = np.repeat(base_doc_ids * multiplier, multiplier) + np.tile(
+            np.arange(multiplier, dtype=np.int64), n0
+        )
+        texts = [t for t in base_texts for _ in range(multiplier)]
+        langs = [x for x in base_langs for _ in range(multiplier)]
+        sources = [x for x in base_sources for _ in range(multiplier)]
         h = _mix(doc_ids, seed)
         out = {
             "url": [],
@@ -102,7 +114,7 @@ def synth_pages(documents: ray.data.Dataset, *, seed: int = 42) -> ray.data.Data
                 domain = "portal.example.com"  # hot domain
             else:
                 domain = f"site-{hv % 40}.example.org"
-            stem = f"d{hv % 1_000_000}"
+            stem = f"d{hv % 1_000_000_000}"
             toks = texts[k].split()
             # interleave a doc-unique marker token every 6 tokens so texts of
             # DIFFERENT documents are never near-duplicates (the raw corpus
@@ -310,6 +322,17 @@ def run_er_pipeline(
     linkage = blocker(pages, pages)
     counters["blocking"] = dict(blocker.last_counters)
 
+    # pin the candidate pairs once: the following joins/score/cluster stages
+    # would otherwise re-execute the whole blocking DAG per consumption
+    # (object-store materialization; spills if the pair set is huge — use
+    # checkpoint_dir for a parquet checkpoint instead at very large scale)
+    linkage = Linkage(
+        left=pages,
+        right=pages,
+        links=linkage.links_ds.materialize(),
+        links_schema=linkage.links.schema,
+    )
+
     pairs = linkage.links.with_both(PAIR_COLUMNS, PAIR_COLUMNS)
     comparers = webpage_comparers()
 
@@ -328,7 +351,7 @@ def run_er_pipeline(
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["odds"], threshold_odds))
 
-    matches = scored.map_batches(keep, batch_format="pyarrow")
+    matches = scored.map_batches(keep, batch_format="pyarrow").materialize()
     if checkpoint_dir is not None:
         Linkage(left=pages, right=pages, links=matches).to_parquets(
             f"{checkpoint_dir}/scored_linkage", counters=counters
@@ -354,3 +377,182 @@ def run_er_pipeline(
 def flagship(sf_dir: str, **kwargs) -> dict:
     pages = featurize(add_extracted_text(load_pages(sf_dir)))
     return run_er_pipeline(pages, **kwargs)
+
+
+def fixed_weights() -> Weights:
+    """Deterministic FS weights (what EM converges to on this corpus, rounded)
+    — lets benchmark runs skip the training phase."""
+    from mismo_ray.fs import ComparerWeights, LevelWeights
+
+    return Weights(
+        [
+            ComparerWeights(
+                "text",
+                [
+                    LevelWeights("exact", m=0.05, u=1e-6),
+                    LevelWeights("near", m=0.85, u=1e-4),
+                    LevelWeights("similar", m=0.08, u=1e-3),
+                ],
+            ),
+            ComparerWeights(
+                "url",
+                [
+                    LevelWeights("close", m=0.98, u=1e-4),
+                    LevelWeights("same_domain", m=0.01, u=0.04),
+                ],
+            ),
+            ComparerWeights("lang", [LevelWeights("same", m=0.99, u=0.25)]),
+        ]
+    )
+
+
+def add_sketches(pages: ray.data.Dataset, *, num_hashes: int = 16) -> ray.data.Dataset:
+    """Compact per-record sketches for shuffle-light pair comparison:
+    ``fp`` (64-bit content hash) + ``sig`` (k-minhash over word shingles).
+    ~150 bytes/row vs ~1 KB of raw text — the 100 TB discipline: never ship
+    the document through the blocking shuffle when a sketch will do."""
+    from mismo_ray.dedupe import minhash_signatures_charhash_batch
+    from mismo_ray._util import hash64
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["extracted_text"].to_pylist()
+        sig, valid = minhash_signatures_charhash_batch(
+            texts, num_hashes=num_hashes, shingle_w=24
+        )
+        fp = hash64(texts).astype(np.int64)
+        t = t.append_column("fp", pa.array(fp))
+        return t.append_column(
+            "sig",
+            pa.array(
+                [
+                    sig[i].astype(np.int64).tolist() if valid[i] else None
+                    for i in range(len(texts))
+                ],
+                type=pa.list_(pa.int64(), num_hashes),
+            ),
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def sketch_comparers() -> list[LevelComparer]:
+    """Comparers over the compact sketches (same tiers as webpage_comparers;
+    jaccard estimated by minhash agreement instead of exact shingles)."""
+
+    def _sig_agree(t: pa.Table) -> np.ndarray:
+        sl = t["sig_l"]
+        sr = t["sig_r"]
+        if isinstance(sl, pa.ChunkedArray):
+            sl = sl.combine_chunks()
+        if isinstance(sr, pa.ChunkedArray):
+            sr = sr.combine_chunks()
+        n = len(sl)
+        if n == 0:
+            return np.zeros((0,))
+        a = np.asarray(sl.flatten()).reshape(n, -1)
+        b = np.asarray(sr.flatten()).reshape(n, -1)
+        return (a == b).mean(axis=1)
+
+    def text_exact(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["fp_l"], t["fp_r"]).to_numpy(zero_copy_only=False)
+
+    def text_near(t: pa.Table) -> np.ndarray:
+        return _sig_agree(t) >= 0.5
+
+    def text_similar(t: pa.Table) -> np.ndarray:
+        return _sig_agree(t) >= 0.25
+
+    def same_page(t: pa.Table) -> np.ndarray:
+        return pc.and_(
+            pc.equal(t["domain_l"], t["domain_r"]),
+            pc.equal(t["path_stem_l"], t["path_stem_r"]),
+        ).to_numpy(zero_copy_only=False)
+
+    def path_jw(t: pa.Table) -> np.ndarray:
+        same = same_page(t)
+        jw = np.array(
+            [
+                (jaro_winkler_similarity(a, b) or 0.0) >= 0.95
+                for a, b in zip(t["path_l"].to_pylist(), t["path_r"].to_pylist())
+            ]
+        )
+        return same & jw
+
+    def same_domain(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["domain_l"], t["domain_r"]).to_numpy(zero_copy_only=False)
+
+    def same_lang(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["lang_l"], t["lang_r"]).to_numpy(zero_copy_only=False)
+
+    return [
+        LevelComparer(
+            "text",
+            ["exact", "near", "similar", "else"],
+            [(text_exact, "exact"), (text_near, "near"), (text_similar, "similar")],
+        ),
+        LevelComparer(
+            "url",
+            ["close", "same_domain", "else"],
+            [(path_jw, "close"), (same_domain, "same_domain")],
+        ),
+        LevelComparer("lang", ["same", "else"], [(same_lang, "same")]),
+    ]
+
+
+SKETCH_PAIR_COLUMNS = ["fp", "sig", "path", "path_stem", "domain", "lang"]
+
+
+def scaling_pipeline(
+    sf_dir: str,
+    *,
+    multiplier: int = 100,
+    threshold_odds: float = 10.0,
+) -> dict:
+    """Compute-bound end-to-end ER for the two-cluster-size scaling benchmark.
+
+    One fused streaming execution: synth(multiplier-amplified corpus) ->
+    extract -> featurize -> per-record sketches (minhash + fingerprint) ->
+    keyed blocking shuffle carrying ONLY the compact sketch columns (no count
+    pre-pass: group sizes are bounded <= 6 by construction, so no hot keys
+    and no salting needed) -> bucketed pair enumeration -> LevelComparer +
+    fixed-weight FS scoring -> threshold -> count. Training and driver-side
+    clustering are excluded so the measured time is the distributed
+    map + shuffle work that actually scales with cluster size.
+    """
+    import time
+
+    t0 = time.time()
+    import ray as _ray
+
+    n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    # the test corpus is ONE small parquet file -> one read block; split it so
+    # the heavy synth/extract/featurize maps parallelize (a real corpus has
+    # thousands of files and never needs this)
+    docs = docs.repartition(n_cpus * 3)
+    pages = add_sketches(
+        featurize(add_extracted_text(synth_pages(docs, multiplier=multiplier)))
+    )
+    linker = KeyLinker(
+        ["domain", "path_stem"],
+        salt_rows=None,
+        carry=SKETCH_PAIR_COLUMNS,
+    )
+    linkage = linker(pages, pages)
+    weights = fixed_weights()
+    scored = weights.compare_and_score(linkage.links_ds, sketch_comparers())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["odds"], threshold_odds))
+
+    n_matches = scored.map_batches(keep, batch_format="pyarrow").count()
+    elapsed = time.time() - t0
+    n_docs = docs.count()
+    return {
+        "seconds": round(elapsed, 3),
+        "n_matches": n_matches,
+        "n_source_docs": n_docs,
+        "multiplier": multiplier,
+    }

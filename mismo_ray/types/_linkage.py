@@ -93,8 +93,21 @@ class LinksTable:
         columns_r: Sequence[str] | None = None,
         *,
         num_partitions: int | None = None,
+        broadcast_threshold: int = 200_000,
     ) -> ray.data.Dataset:
-        """links + ``<col>_l`` and ``<col>_r`` columns (two hash joins)."""
+        """links + ``<col>_l`` and ``<col>_r`` columns.
+
+        Small record tables (<= broadcast_threshold rows) are collected once
+        and broadcast via ``ray.put`` — one map over the links, no shuffle.
+        Larger tables fall back to two hash joins (the scale path).
+        """
+        try:
+            n_left = self.left.count()
+            n_right = n_left if self.right is self.left else self.right.count()
+        except Exception:
+            n_left = n_right = broadcast_threshold + 1
+        if max(n_left, n_right) <= broadcast_threshold:
+            return self._with_both_broadcast(columns_l, columns_r)
         n = num_partitions or default_num_partitions()
         left, lsch = _prune_rename(self.left, columns_l, "_l")
         right, rsch = _prune_rename(self.right, columns_r, "_r")
@@ -112,6 +125,60 @@ class LinksTable:
             out, right, on="record_id_r", num_partitions=n,
             left_schema=sch1, right_schema=rsch,
         )
+
+    def _with_both_broadcast(
+        self,
+        columns_l: Sequence[str] | None,
+        columns_r: Sequence[str] | None,
+    ) -> ray.data.Dataset:
+        import ray as _ray
+
+        def collect(ds: ray.data.Dataset, columns) -> tuple[dict, list, list]:
+            base = ds.schema().base_schema
+            cols = list(columns) if columns is not None else [
+                c for c in base.names if c != "record_id"
+            ]
+            types = [base.field(c).type for c in cols]
+            m: dict = {}
+            for b in ds.select_columns(["record_id", *cols]).iter_batches(
+                batch_format="pyarrow"
+            ):
+                ids = b["record_id"].to_pylist()
+                vals = [b[c].to_pylist() for c in cols]
+                for i, rid in enumerate(ids):
+                    m[rid] = tuple(v[i] for v in vals)
+            return m, cols, types
+
+        lmap, lcols, ltypes = collect(self.left, columns_l)
+        if self.right is self.left and (columns_r or None) == (columns_l or None):
+            rmap, rcols, rtypes = lmap, lcols, ltypes
+        else:
+            rmap, rcols, rtypes = collect(self.right, columns_r)
+        ref = _ray.put((lmap, rmap))
+
+        def attach(t: pa.Table) -> pa.Table:
+            lm, rm = _ray.get(ref)
+            lids = t["record_id_l"].to_pylist()
+            rids = t["record_id_r"].to_pylist()
+            lrows = [lm.get(x) for x in lids]
+            rrows = [rm.get(x) for x in rids]
+            for j, c in enumerate(lcols):
+                t = t.append_column(
+                    f"{c}_l",
+                    pa.array(
+                        [None if r is None else r[j] for r in lrows], type=ltypes[j]
+                    ),
+                )
+            for j, c in enumerate(rcols):
+                t = t.append_column(
+                    f"{c}_r",
+                    pa.array(
+                        [None if r is None else r[j] for r in rrows], type=rtypes[j]
+                    ),
+                )
+            return t
+
+        return self.ds.map_batches(attach, batch_format="pyarrow")
 
     def count(self) -> int:
         return self.ds.count()
