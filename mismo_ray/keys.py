@@ -70,7 +70,8 @@ def resolve_keys(keys) -> list[KeySpec]:
         if isinstance(k, KeySpec):
             out.append(k)
         elif isinstance(k, str):
-            out.append(KeySpec(k, _column_fn(k), _column_fn(k)))
+            fn = _column_fn(k)
+            out.append(KeySpec(k, fn, fn))
         elif callable(k):
             name = getattr(k, "__name__", f"key_{i}")
             if name == "<lambda>":

@@ -1,6 +1,8 @@
 from mismo_ray.linker._basic import EmptyLinker, FullLinker, IDLinker
 from mismo_ray.linker._common import Linker, Task, infer_task
+from mismo_ray.linker._join_linker import JoinLinker
 from mismo_ray.linker._key_linker import KeyLinker
+from mismo_ray.linker._lsh import MinhashLshLinker
 from mismo_ray.linker._or_linker import OrLinker
 from mismo_ray.linker._sample import sample_all_links, sample_records
 from mismo_ray.linker._sorted_neighborhood import SortedNeighborhoodLinker
@@ -10,8 +12,10 @@ __all__ = [
     "EmptyLinker",
     "FullLinker",
     "IDLinker",
+    "JoinLinker",
     "KeyLinker",
     "Linker",
+    "MinhashLshLinker",
     "OrLinker",
     "SortedNeighborhoodLinker",
     "Task",

@@ -55,16 +55,42 @@ class KeyLinker:
         self, left: ray.data.Dataset, right: ray.data.Dataset
     ) -> Linkage:
         task = infer_task(task=self.task, left=left, right=right)
-        links, counters = generate_pairs(
-            left,
-            right,
-            self.keys,
-            task=task,
-            max_pairs=self.max_pairs,
-            salt_rows=self.salt_rows,
-            carry_l=self.carry,
-            carry_r=self.carry,
-        )
+        asymmetric = any(k.left_fn is not k.right_fn for k in self.keys)
+        if task == "dedupe" and asymmetric:
+            # cross-field keys (left fn != right fn) cannot use the triangle
+            # enumeration; run link-mode over the same table and keep only the
+            # record_id_l < record_id_r orientation (the reference applies the
+            # same condition to its self-join, _key_linker.py:190-193).
+            links, counters = generate_pairs(
+                left,
+                left,
+                self.keys,
+                task="link",
+                max_pairs=self.max_pairs,
+                salt_rows=self.salt_rows,
+                carry_l=self.carry,
+                carry_r=self.carry,
+            )
+
+            def ordered(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.filter(
+                    pc.less(t["record_id_l"], t["record_id_r"])
+                )
+
+            links = links.map_batches(ordered, batch_format="pyarrow")
+        else:
+            links, counters = generate_pairs(
+                left,
+                right,
+                self.keys,
+                task=task,
+                max_pairs=self.max_pairs,
+                salt_rows=self.salt_rows,
+                carry_l=self.carry,
+                carry_r=self.carry,
+            )
         self.last_counters = counters
         lbase = left.schema().base_schema
         rbase = right.schema().base_schema if task == "link" else lbase

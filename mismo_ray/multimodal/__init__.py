@@ -1,0 +1,168 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool map_batches stages.
+
+Not in the reference (mismo is text/tabular only); part of the 100 TB
+training-data surface (task brief). The decode kernels themselves need
+image/audio libraries that are NOT in this container, so the decoders are
+STUBS behind ``decoder=`` hooks (a deterministic fake is provided for tests);
+everything Ray-side — schema, batch sizing, actor signature, output layout —
+is real and tested.
+
+Layout convention: a media table is
+    (record_id:int64, payload:binary, media_type:string, meta:struct/json)
+and each stage appends typed columns, never mutates payload in place.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from mismo_ray._util import hash64
+
+
+class DecodeError(RuntimeError):
+    pass
+
+
+def _missing_decoder(kind: str):
+    def decoder(payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            f"No {kind} decoder available in this environment: install a "
+            f"decode library and pass decoder=... (the Ray plumbing around "
+            f"this stage is fully functional)"
+        )
+
+    return decoder
+
+
+def fake_image_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes -> (8, 8, 3) uint8 'image'
+    derived from a seeded hash of the payload. Lets tests exercise the whole
+    actor-pool pipeline without a real codec."""
+    seed = int(hash64([payload])[0] & np.uint64(0x7FFFFFFF))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+class ImageFeaturizer:
+    """Actor-pool stage: decode image payloads and emit fixed-size feature
+    vectors (channel means + a coarse 2x2 luminance grid).
+
+    Use as ``ds.map_batches(ImageFeaturizer, fn_constructor_kwargs=...,
+    concurrency=N, batch_size=B, num_cpus=c)`` — decoder setup happens once
+    per actor in __init__ (SURVEY §2.4 actor-pool pattern). Batch sizes must
+    stay small for large payloads (wide-binary-row hazard, SURVEY §7.5).
+    """
+
+    N_FEATURES = 7
+
+    def __init__(
+        self,
+        decoder: Callable[[bytes], np.ndarray] | None = None,
+        *,
+        payload_column: str = "payload",
+        on_error: str = "null",
+    ):
+        self.decode = decoder or _missing_decoder("image")
+        self.payload_column = payload_column
+        if on_error not in ("null", "raise"):
+            raise ValueError("on_error must be 'null' or 'raise'")
+        self.on_error = on_error
+
+    def _features(self, img: np.ndarray) -> list[float]:
+        f = img.astype(np.float64)
+        means = f.mean(axis=(0, 1)).tolist()  # per-channel
+        lum = f.mean(axis=2)
+        h, w = lum.shape
+        grid = [
+            float(lum[: h // 2, : w // 2].mean()),
+            float(lum[: h // 2, w // 2 :].mean()),
+            float(lum[h // 2 :, : w // 2].mean()),
+            float(lum[h // 2 :, w // 2 :].mean()),
+        ]
+        return [*means, *grid]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch[self.payload_column].to_pylist():
+            if payload is None:
+                out.append(None)
+                continue
+            try:
+                out.append(self._features(self.decode(payload)))
+            except NotImplementedError:
+                raise
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                out.append(None)
+        return batch.append_column(
+            "image_features",
+            pa.array(out, type=pa.list_(pa.float64(), self.N_FEATURES)),
+        )
+
+
+def featurize_images(
+    ds: ray.data.Dataset,
+    *,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    payload_column: str = "payload",
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 64,
+    num_cpus: float = 1,
+) -> ray.data.Dataset:
+    """Actor-pool image featurization; small batch_size by default because
+    payload rows are wide."""
+    return ds.map_batches(
+        ImageFeaturizer,
+        fn_constructor_kwargs={
+            "decoder": decoder,
+            "payload_column": payload_column,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    *,
+    n_frames: int,
+    frame_decoder: Callable[[bytes, int], bytes] | None = None,
+    payload_column: str = "payload",
+) -> ray.data.Dataset:
+    """Video frame-sampling plumbing: one input row -> up to n_frames output
+    rows (record_id, frame_index, frame_payload). The frame extraction itself
+    is the pluggable ``frame_decoder(payload, index) -> bytes`` (stubbed)."""
+    if frame_decoder is None:
+        missing = _missing_decoder("video")
+
+        def frame_decoder(payload: bytes, index: int) -> bytes:  # noqa: F811
+            return missing(payload)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for rid, payload in zip(
+            t["record_id"].to_pylist(), t[payload_column].to_pylist()
+        ):
+            if payload is None:
+                continue
+            for i in range(n_frames):
+                ids.append(rid)
+                idxs.append(i)
+                frames.append(frame_decoder(payload, i))
+        return pa.table(
+            {
+                "record_id": pa.array(ids, type=pa.int64()),
+                "frame_index": pa.array(idxs, type=pa.int64()),
+                "frame_payload": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16)

@@ -1,0 +1,87 @@
+"""Misc reference utilities re-expressed Ray-first.
+
+- ``cases``: vectorized first-match-wins CASE WHEN
+  (reference mismo/_util.py:95-112);
+- ``re_extract_struct``: named-group regex -> struct column
+  (reference mismo/text/_re_extract.py:14-72);
+- ``sample_table``: row sampling with deterministic "hash" method
+  (reference mismo/_util.py:196-269);
+- ``n_naive_comparisons`` (reference mismo/_n_naive.py:9-32).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from mismo_ray._util import hash64
+
+
+def cases(*cond_value_pairs, else_=None, length: int | None = None):
+    """Vectorized CASE WHEN: pairs of (bool ndarray, scalar-or-array); first
+    match wins; unmatched rows get ``else_``."""
+    if not cond_value_pairs:
+        raise ValueError("need at least one (condition, value) pair")
+    conds = [np.asarray(c, dtype=bool) for c, _ in cond_value_pairs]
+    vals = [v for _, v in cond_value_pairs]
+    return np.select(conds, vals, default=else_)
+
+
+def re_extract_struct(arr, pattern: str) -> pa.Array:
+    """Extract named regex groups into a struct column; non-matching rows and
+    nulls -> null struct."""
+    rx = re.compile(pattern)
+    names = list(rx.groupindex.keys())
+    if not names:
+        raise ValueError("pattern must contain named groups")
+    vals = arr.to_pylist() if isinstance(arr, (pa.Array, pa.ChunkedArray)) else arr
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        m = rx.search(v)
+        out.append(None if m is None else {n: m.group(n) for n in names})
+    return pa.array(
+        out, type=pa.struct([(n, pa.string()) for n in names])
+    )
+
+
+def sample_table(
+    ds: ray.data.Dataset,
+    n: int,
+    *,
+    method: str = "hash",
+    seed: int = 0,
+    total: int | None = None,
+) -> ray.data.Dataset:
+    """~n rows: "hash" = deterministic per-record threshold on
+    hash(record_id) (stable across runs/parallelism; the reference's
+    cross-platform-deterministic method), "random" = ds.random_sample."""
+    if total is None:
+        total = ds.count()
+    if total == 0 or n >= total:
+        return ds
+    if method == "random":
+        return ds.random_sample(n / total, seed=seed)
+    if method != "hash":
+        raise ValueError(f"unknown method {method}")
+    thresh = np.uint64(int(min(1.0, n / total) * 2**64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = hash64(t["record_id"], seed=seed or 0xD1CE)
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def n_naive_comparisons(left, right=None) -> int:
+    """n(n-1)/2 for dedupe, n*m for linking."""
+    n = left if isinstance(left, int) else left.count()
+    if right is None:
+        return n * (n - 1) // 2
+    m = right if isinstance(right, int) else right.count()
+    return n * m
