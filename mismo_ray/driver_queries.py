@@ -455,6 +455,79 @@ def q_tf_lookup(sf_dir: str):
     return cust.map_batches(fn, batch_format="pyarrow")
 
 
+def q_keep_unambiguous(sf_dir: str):
+    """Window link filter: keep links whose record_id_r has exactly one
+    distinct record_id_l (reference filter_links nunique==1 window)."""
+    from mismo_ray.linkage import keep_unambiguous
+
+    linkage, _, _ = _part_linkage(sf_dir)
+    return keep_unambiguous(
+        linkage.links_ds, group="record_id_r", distinct="record_id_l"
+    )
+
+
+def q_diff_updates(sf_dir: str):
+    """Diff/Updates: before=part, after=deterministic modification
+    (reference mismo/types/_diff.py)."""
+    from mismo_ray.types import Diff
+
+    before = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def mk_before(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "record_id": t["p_partkey"].combine_chunks().cast(pa.int64()),
+                "p_name": t["p_name"],
+            }
+        )
+
+    before_ds = before.map_batches(mk_before, batch_format="pyarrow")
+
+    def mk_after(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["p_partkey"], dtype=np.int64)
+        names = t["p_name"].to_pylist()
+        out_ids, out_names = [], []
+        for k, nm in zip(keys, names):
+            if k % 10 == 0:
+                continue  # deletions
+            out_ids.append(int(k))
+            out_names.append(nm + "X" if k % 10 == 1 else nm)
+        for k, nm in zip(keys, names):
+            if k % 10 == 2:
+                out_ids.append(int(k) + 1_000_000)  # insertions
+                out_names.append(nm)
+        return pa.table(
+            {
+                "record_id": pa.array(out_ids, type=pa.int64()),
+                "p_name": pa.array(out_names, type=pa.string()),
+            }
+        )
+
+    after_ds = before.map_batches(mk_after, batch_format="pyarrow")
+    d = Diff(before=before_ds, after=after_ds)
+
+    def flatten(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            st = t["p_name"].combine_chunks()
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * len(t), type=pa.string()),
+                    "record_id": t["record_id"],
+                    "name_before": st.field("before"),
+                    "name_after": st.field("after"),
+                }
+            )
+
+        return fn
+
+    ins = d.insertions().map_batches(flatten("insert"), batch_format="pyarrow")
+    dels = d.deletions().map_batches(flatten("delete"), batch_format="pyarrow")
+    ups = d.updates().map_batches(flatten("update"), batch_format="pyarrow")
+    return ins.union(dels).union(ups)
+
+
 # -------------------------------------------------- rows-only (non-SQL) ops
 def q_minhash_lsh_dedupe(sf_dir: str):
     from mismo_ray.dedupe import minhash_lsh_pairs
@@ -510,6 +583,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "groupby_agg": q_groupby_agg,
     "tf_lookup": q_tf_lookup,
+    "keep_unambiguous": q_keep_unambiguous,
+    "diff_updates": q_diff_updates,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
@@ -652,6 +727,30 @@ ORACLE_SQL = {
         "SELECT cu.c_custkey AS record_id, cu.c_mktsegment, "
         "CAST(ROUND(c.n * 1.0 / tot.total * 1000000) AS BIGINT) AS tf_e6 "
         "FROM customer cu JOIN c ON cu.c_mktsegment = c.c_mktsegment CROSS JOIN tot"
+    ),
+    "keep_unambiguous": (
+        f"WITH pairs AS ({_PAIR_SQL}) "
+        "SELECT record_id_l, record_id_r FROM ("
+        " SELECT record_id_l, record_id_r, "
+        " count(DISTINCT record_id_l) OVER (PARTITION BY record_id_r) AS nd "
+        " FROM pairs) WHERE nd = 1"
+    ),
+    "diff_updates": (
+        "WITH before_t AS (SELECT p_partkey AS record_id, p_name FROM part), "
+        "after_t AS ("
+        " SELECT p_partkey AS record_id, "
+        "  CASE WHEN p_partkey % 10 = 1 THEN p_name || 'X' ELSE p_name END AS p_name "
+        " FROM part WHERE p_partkey % 10 <> 0 "
+        " UNION ALL "
+        " SELECT p_partkey + 1000000, p_name FROM part WHERE p_partkey % 10 = 2) "
+        "SELECT 'insert' AS kind, a.record_id, CAST(NULL AS VARCHAR) AS name_before, a.p_name AS name_after "
+        "FROM after_t a LEFT JOIN before_t b USING (record_id) WHERE b.record_id IS NULL "
+        "UNION ALL "
+        "SELECT 'delete', b.record_id, b.p_name, NULL "
+        "FROM before_t b LEFT JOIN after_t a USING (record_id) WHERE a.record_id IS NULL "
+        "UNION ALL "
+        "SELECT 'update', b.record_id, b.p_name, a.p_name "
+        "FROM before_t b JOIN after_t a USING (record_id) WHERE b.p_name <> a.p_name"
     ),
     # minhash_lsh_dedupe / simhash_pairs / lang_id / flagship_er:
     # hash-function / model-driven ops, not SQL-expressible -> rows-only check.
