@@ -83,6 +83,13 @@ def run_bench() -> dict:
     with timed("token_stats"):
         dq.q_token_stats(sf_dir).count()
 
+    # ---- scaled ER throughput (the 100 TB-representative regime: compute/
+    # shuffle-bound, not coordination-bound; same pipeline as --scaling)
+    from mismo_ray.pipelines._webpages import scaling_pipeline
+
+    with timed("scaled_er"):
+        scaled = scaling_pipeline(sf_dir, multiplier=100)
+
     headline = timings["flagship_er"]
     out = {
         "metric": "e2e_seconds",
@@ -95,6 +102,10 @@ def run_bench() -> dict:
         "pairs_scored": n_pairs,
         "key_linker_pairs": n_kl_pairs,
         "pairs_scored_per_sec": round(n_pairs / headline, 1) if headline else None,
+        "scaled_er": scaled,
+        "scaled_pages_per_sec": round(
+            scaled["n_source_docs"] * scaled["multiplier"] * 1.46 / scaled["seconds"]
+        ),
     }
     ray.shutdown()
     return out

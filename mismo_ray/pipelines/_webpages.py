@@ -315,7 +315,37 @@ def run_er_pipeline(
     from mismo_ray.linker._or_linker import OrLinker
     from mismo_ray.linker._sorted_neighborhood import SortedNeighborhoodLinker
 
+    import json
+    import os
+
     counters: dict = {}
+    # ---- resume: a completed scored-linkage checkpoint short-circuits the
+    # blocking + comparison + scoring stages entirely (north_rule: resumable
+    # mid-pipeline; the manifest marks stage completion)
+    ckpt = (
+        f"{checkpoint_dir}/scored_linkage" if checkpoint_dir is not None else None
+    )
+    if ckpt is not None and os.path.exists(f"{ckpt}/manifest.json"):
+        with open(f"{ckpt}/manifest.json") as f:
+            manifest = json.load(f)
+        counters = dict(manifest.get("counters", {}))
+        counters["resumed_from_checkpoint"] = True
+        matches = ray.data.read_parquet(f"{ckpt}/links")
+        from mismo_ray.cluster import connected_components
+
+        labeled = connected_components(
+            links=matches,
+            records=pages,
+            label_as="component",
+            checkpoint_dir=f"{checkpoint_dir}/cc" if checkpoint_dir else None,
+        )
+        return {
+            "records": labeled,
+            "links": matches,
+            "weights": weights,
+            "counters": counters,
+        }
+
     key_linker = KeyLinker(["domain", "path_stem"], max_pairs=1_000_000)
     sn_linker = SortedNeighborhoodLinker(sn_key(), window=sn_window)
     blocker = OrLinker([key_linker, sn_linker])
@@ -352,11 +382,11 @@ def run_er_pipeline(
         return t.filter(pc.greater_equal(t["odds"], threshold_odds))
 
     matches = scored.map_batches(keep, batch_format="pyarrow").materialize()
-    if checkpoint_dir is not None:
+    if ckpt is not None:
         Linkage(left=pages, right=pages, links=matches).to_parquets(
-            f"{checkpoint_dir}/scored_linkage", counters=counters
+            ckpt, counters=counters
         )
-        matches = ray.data.read_parquet(f"{checkpoint_dir}/scored_linkage/links")
+        matches = ray.data.read_parquet(f"{ckpt}/links")
 
     from mismo_ray.cluster import connected_components
 

@@ -77,10 +77,26 @@ def test_checkpoint_resume(ray_session, pages, tmp_path):
     result = run_er_pipeline(
         pages, train="labels", threshold_odds=10.0, checkpoint_dir=str(tmp_path)
     )
-    result["links"].count()
+    n_links = result["links"].count()
     assert (tmp_path / "scored_linkage" / "manifest.json").exists()
     # resumable: the scored linkage can be reloaded and clustered again
     from mismo_ray.types import Linkage
 
     lk = Linkage.from_parquets(str(tmp_path / "scored_linkage"))
-    assert lk.links_ds.count() == result["links"].count()
+    assert lk.links_ds.count() == n_links
+    # a second run against the same checkpoint dir short-circuits blocking +
+    # scoring and reproduces identical clusters
+    result2 = run_er_pipeline(
+        pages, train="labels", threshold_odds=10.0, checkpoint_dir=str(tmp_path)
+    )
+    assert result2["counters"].get("resumed_from_checkpoint") is True
+    assert result2["links"].count() == n_links
+    c1 = {
+        (r["record_id"], r["component"])
+        for r in result["records"].select_columns(["record_id", "component"]).take_all()
+    }
+    c2 = {
+        (r["record_id"], r["component"])
+        for r in result2["records"].select_columns(["record_id", "component"]).take_all()
+    }
+    assert c1 == c2
