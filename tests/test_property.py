@@ -1,0 +1,153 @@
+"""Property-based tests: distributed operators vs brute-force references on
+random inputs (hypothesis). The reference has no property tests (SURVEY §5);
+these guard the shuffle/salting/join machinery where hand-picked cases are
+weakest."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mismo_ray._joins import hash_join
+from mismo_ray.cluster import connected_components
+from mismo_ray.linker import KeyLinker, SortedNeighborhoodLinker
+from tests.conftest import rows_set
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys_strategy = st.lists(
+    st.one_of(st.sampled_from(["a", "b", "c", "d"]), st.none()),
+    min_size=0,
+    max_size=40,
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(keys=keys_strategy, salt_rows=st.sampled_from([None, 2, 5]))
+def test_key_linker_matches_bruteforce(keys, salt_rows):
+    ids = list(range(len(keys)))
+    expected = {
+        (i, j)
+        for i, j in combinations(ids, 2)
+        if keys[i] is not None and keys[i] == keys[j]
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": ids, "k": pa.array(keys, type=pa.string())})
+    )
+    got = rows_set(
+        KeyLinker("k", salt_rows=salt_rows)(ds, ds).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=30
+    ),
+    mode=st.sampled_from(["driver", "distributed"]),
+)
+def test_cc_matches_unionfind(edges, mode):
+    # brute-force union-find
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected_clusters = {}
+    for x in parent:
+        expected_clusters.setdefault(find(x), set()).add(x)
+    expected = {frozenset(v) for v in expected_clusters.values()}
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id_l": pa.array([a for a, _ in edges], type=pa.int64()),
+                "record_id_r": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+    )
+    labels = connected_components(links=ds, mode=mode).take_all()
+    got_clusters = {}
+    for r in labels:
+        got_clusters.setdefault(r["component"], set()).add(r["record_id"])
+    assert {frozenset(v) for v in got_clusters.values()} == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=20),
+    how=st.sampled_from(["inner", "left_outer", "full_outer"]),
+)
+def test_hash_join_matches_pandas(left, right, how):
+    ldf = pd.DataFrame(left, columns=["k", "x"])
+    rdf = pd.DataFrame(right, columns=["k", "y"])
+    expected = ldf.merge(
+        rdf, on="k", how={"inner": "inner", "left_outer": "left", "full_outer": "outer"}[how]
+    )
+    exp_set = {
+        (row.k, row.x if pd.notna(row.x) else None, row.y if pd.notna(row.y) else None)
+        for row in expected.itertuples()
+    }
+    lds = ray.data.from_arrow(
+        pa.table({"k": pa.array(ldf["k"], type=pa.int64()), "x": pa.array(ldf["x"], type=pa.int64())})
+    )
+    rds = ray.data.from_arrow(
+        pa.table({"k": pa.array(rdf["k"], type=pa.int64()), "y": pa.array(rdf["y"], type=pa.int64())})
+    )
+    out = hash_join(lds, rds, on="k", how=how).to_pandas()
+    got = {
+        (row.k, row.x if pd.notna(row.x) else None, row.y if pd.notna(row.y) else None)
+        for row in out.itertuples()
+    }
+    assert got == exp_set
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=0, max_size=30, unique=True),
+    window=st.sampled_from([1, 2, 3]),
+)
+def test_sorted_neighborhood_matches_bruteforce(vals, window):
+    ids = list(range(len(vals)))
+    order = sorted(ids, key=lambda i: (vals[i], i))
+    expected = set()
+    for pos in range(len(order)):
+        for d in range(1, window + 1):
+            if pos + d < len(order):
+                a, b = order[pos], order[pos + d]
+                expected.add((min(a, b), max(a, b)))
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": ids, "v": pa.array(vals, type=pa.int64())})
+    )
+    got = rows_set(
+        SortedNeighborhoodLinker("v", window=window)(ds, ds).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert got == expected
