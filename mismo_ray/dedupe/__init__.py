@@ -224,7 +224,10 @@ def minhash_lsh_pairs(
     shingle-jaccard verification (pairs below the bar are dropped)."""
 
     def keys_fn(batch: pa.Table) -> pa.Array:
-        sig, valid = minhash_signatures_batch(
+        # charhash signature family: string-free rolling hashes (the
+        # string-shingle family in minhash_signatures_batch gives the same
+        # LSH guarantees but materializes every shingle as a python string)
+        sig, valid = minhash_signatures_charhash_batch(
             batch[column].to_pylist(),
             num_hashes=num_hashes,
             shingle_w=shingle_w,

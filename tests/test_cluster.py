@@ -61,11 +61,22 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("mode", ["driver", "distributed"])
 @pytest.mark.parametrize("edges,expected", CASES)
-def test_cc_structures(ray_session, mode, edges, expected):
+def test_cc_structures_driver(ray_session, edges, expected):
     ds = edges_ds(edges)
-    got = clusters_of(connected_components(links=ds, mode=mode))
+    got = clusters_of(connected_components(links=ds, mode="driver"))
+    assert got == {frozenset(e) for e in expected}
+
+
+# the distributed path is expensive per round at toy scale; exercise it on
+# the three structurally distinct cases (multi-round chain, two components,
+# empty) — the property suite (test_property.py) additionally fuzzes it
+@pytest.mark.parametrize(
+    "edges,expected", [CASES[6], CASES[4], CASES[5]]
+)
+def test_cc_structures_distributed(ray_session, edges, expected):
+    ds = edges_ds(edges)
+    got = clusters_of(connected_components(links=ds, mode="distributed"))
     assert got == {frozenset(e) for e in expected}
 
 
