@@ -83,6 +83,35 @@ def run_bench() -> dict:
     with timed("token_stats"):
         dq.q_token_stats(sf_dir).count()
 
+    # ---- reference-comparable pair-count benchmark
+    # (mismo's KeyLinker("street") pair-count on 300k rows, BASELINE.md:
+    # 447M pairs in ~52ms on DuckDB. DuckDB evaluates a single in-process
+    # COUNT aggregate; ours is a distributed groupby — expect a constant-
+    # factor loss single-node and a win only past one node's capacity.)
+    import numpy as np
+    import pyarrow as paa
+    import ray as rr
+    from mismo_ray.linker import KeyLinker
+
+    with timed("pair_count_300k"):
+        n300 = 300_000
+        u = (np.arange(n300, dtype=np.float64) * 2654435761 % n300) / n300
+        street = (u ** 4 * 2000).astype(np.int64)  # skewed street keys
+        t300 = paa.table(
+            {
+                "record_id": np.arange(n300, dtype=np.int64),
+                "street": street,
+            }
+        )
+        ds300 = rr.data.from_arrow(t300).repartition(num_cpus * 2)
+        pc300 = KeyLinker("street").pair_counts(ds300, ds300)
+        n_pairs_300k = int(
+            sum(
+                r["n_pairs"]
+                for r in pc300.select_columns(["n_pairs"]).take_all()
+            )
+        )
+
     # ---- scaled ER throughput (the 100 TB-representative regime: compute/
     # shuffle-bound, not coordination-bound; same pipeline as --scaling)
     from mismo_ray.pipelines._webpages import scaling_pipeline
@@ -102,6 +131,7 @@ def run_bench() -> dict:
         "pairs_scored": n_pairs,
         "key_linker_pairs": n_kl_pairs,
         "pairs_scored_per_sec": round(n_pairs / headline, 1) if headline else None,
+        "pair_count_300k_pairs": n_pairs_300k,
         "scaled_er": scaled,
         "scaled_pages_per_sec": round(
             scaled["n_source_docs"] * scaled["multiplier"] * 1.46 / scaled["seconds"]

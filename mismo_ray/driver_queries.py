@@ -528,6 +528,33 @@ def q_diff_updates(sf_dir: str):
     return ins.union(dels).union(ups)
 
 
+def q_events_tumbling(sf_dir: str):
+    from mismo_ray.streaming import tumbling_window_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = tumbling_window_agg(ev, window_s=3600)
+
+    def finish(t: pa.Table) -> pa.Table:
+        vs = np.asarray(t["value_sum"], dtype=np.float64)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "window_start": t["window_start"],
+                "n_events": t["n_events"],
+                "value_sum_e6": _e6(vs),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_sessionize(sf_dir: str):
+    from mismo_ray.streaming import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ev, gap_s=1800)
+
+
 # -------------------------------------------------- rows-only (non-SQL) ops
 def q_minhash_lsh_dedupe(sf_dir: str):
     from mismo_ray.dedupe import minhash_lsh_pairs
@@ -583,6 +610,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "groupby_agg": q_groupby_agg,
     "tf_lookup": q_tf_lookup,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
     "keep_unambiguous": q_keep_unambiguous,
     "diff_updates": q_diff_updates,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
@@ -727,6 +756,26 @@ ORACLE_SQL = {
         "SELECT cu.c_custkey AS record_id, cu.c_mktsegment, "
         "CAST(ROUND(c.n * 1.0 / tot.total * 1000000) AS BIGINT) AS tf_e6 "
         "FROM customer cu JOIN c ON cu.c_mktsegment = c.c_mktsegment CROSS JOIN tot"
+    ),
+    "events_tumbling": (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS window_start, "
+        "count(*) AS n_events, "
+        "CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS value_sum_e6 "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "events_sessionize": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events), "
+        "marked AS (SELECT user_id, tus, "
+        " CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000 "
+        " THEN 1 ELSE 0 END AS brk FROM e), "
+        "sess AS (SELECT user_id, tus, "
+        " CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus "
+        "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, session_id, "
+        "CAST(min(tus) // 1000000 AS BIGINT) AS session_start_s, "
+        "CAST(max(tus) // 1000000 AS BIGINT) AS session_end_s, "
+        "count(*) AS n_events FROM sess GROUP BY user_id, session_id"
     ),
     "keep_unambiguous": (
         f"WITH pairs AS ({_PAIR_SQL}) "

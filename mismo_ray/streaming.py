@@ -1,0 +1,104 @@
+"""Stream-shaped operators over an ordered, partitioned event log.
+
+The reference has NO streaming operators (SURVEY §2.10 — strictly batch), so
+these are additive capabilities for the events-log shape (ray_guide
+"Streaming-shaped workloads"): treat the input as a log partitioned by key,
+implement windows as ``groupby(key)`` + per-group sorting + vectorized window
+assignment. Ordering assumption: windows are computed per key after an
+in-group sort on ``ts`` — no global order required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def tumbling_window_agg(
+    events: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    window_s: int = 3600,
+) -> ray.data.Dataset:
+    """Per (key, tumbling window): event count + value sum.
+
+    Window assignment is a stateless per-batch map (epoch // window); the
+    aggregation is a pre-aggregated groupby — one shuffle over
+    (key, window_start) partials.
+    """
+
+    def assign(t: pa.Table) -> pa.Table:
+        tcol = t[ts]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        epoch_us = tcol.cast(pa.int64())
+        win = np.asarray(epoch_us) // (window_s * 1_000_000)
+        vals = np.asarray(t[value], dtype=np.float64)
+        return pa.table(
+            {
+                key: t[key],
+                "window_start": pa.array(win * window_s),  # seconds since epoch
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "value_sum": pa.array(vals),
+            }
+        )
+
+    partials = events.map_batches(assign, batch_format="pyarrow")
+    return partials.groupby([key, "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("value_sum", alias_name="value_sum")
+    )
+
+
+def sessionize(
+    events: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: int = 1800,
+) -> ray.data.Dataset:
+    """Gap-based sessions per key: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_s``.
+
+    One shuffle: groupby(key) with per-group ts sort + vectorized cumsum of
+    gap breaks. Output: (key, session_id, session_start_s, session_end_s,
+    n_events) with session_id numbered per key in ts order.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts, kind="mergesort")
+        t_us = g[ts].astype("int64").to_numpy()  # microseconds
+        t = t_us // 1_000_000  # seconds (output granularity)
+        breaks = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            # gap comparison in exact microseconds (sub-second gaps matter)
+            breaks[1:] = (np.diff(t_us) > gap_s * 1_000_000).astype(np.int64)
+        session = breaks.cumsum()
+        out = (
+            pd.DataFrame(
+                {
+                    key: g[key].to_numpy(),
+                    "session_id": session,
+                    "t": t,
+                }
+            )
+            .groupby("session_id")
+            .agg(
+                **{
+                    key: (key, "first"),
+                    "session_start_s": ("t", "min"),
+                    "session_end_s": ("t", "max"),
+                    "n_events": ("t", "size"),
+                }
+            )
+            .reset_index()
+        )
+        return out[[key, "session_id", "session_start_s", "session_end_s", "n_events"]]
+
+    return events.select_columns([key, ts]).groupby(key).map_groups(
+        per_key, batch_format="pandas"
+    )
