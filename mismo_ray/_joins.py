@@ -131,6 +131,11 @@ def hash_join(
     rcols = jk + list(rout.values())
     arrow_how = _HOW_TO_ARROW[how]
 
+    out_order = jk + list(lout.values()) + list(rout.values())
+    if semi:
+        out_order = jk + list(lout.values())
+    final_names = [on[jk.index(c)] if c in jk else c for c in out_order]
+
     def join_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -140,11 +145,10 @@ def hash_join(
         joined = lt.join(
             rt, keys=jk, right_keys=jk, join_type=arrow_how, use_threads=False
         )
-        # restore left key names; drop any possible dupes is not needed since
-        # acero coalesces keys for all supported join types here
-        return joined.rename_columns(
-            [on[jk.index(c)] if c in jk else c for c in joined.column_names]
-        )
+        # acero's output column ORDER varies with the join type/inputs; force
+        # one canonical order (Ray treats blocks with permuted schemas as
+        # mismatched) and restore the left-side key names.
+        return joined.select(out_order).rename_columns(final_names)
 
     return unioned.groupby("__bucket__").map_groups(
         join_bucket, batch_format="pyarrow"

@@ -167,13 +167,20 @@ def _cc_distributed(
             }
         )
 
+    from mismo_ray._joins import default_num_partitions
+
+    n_blocks = default_num_partitions()
     nodes = distinct(
         edges.map_batches(initial_labels, batch_format="pyarrow"), "record_id"
     )
-    labels = nodes.map_batches(
-        lambda t: t.append_column("component", t["record_id"]),
-        batch_format="pyarrow",
-    ).materialize()
+    labels = (
+        nodes.map_batches(
+            lambda t: t.append_column("component", t["record_id"]),
+            batch_format="pyarrow",
+        )
+        .repartition(n_blocks)
+        .materialize()
+    )
 
     edges = edges.materialize()
     label_schema = pa.schema(
@@ -264,7 +271,14 @@ def _cc_distributed(
                 }
             )
 
-        new_labels = relabeled.map_batches(finish, batch_format="pyarrow").materialize()
+        # repartition bounds the per-round block count: the union/sort ops in
+        # each round roughly TRIPLE the label block count otherwise, and task
+        # counts (and round wall time) grow geometrically with rounds.
+        new_labels = (
+            relabeled.map_batches(finish, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
         n_updates = new_labels.sum("__changed__")
         labels = new_labels.drop_columns(["__changed__"]).materialize()
         if checkpoint_dir is not None:
