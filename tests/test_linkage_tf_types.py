@@ -295,3 +295,21 @@ def test_sample_frames_plumbing(ray_session):
     rows = sample_frames(ds, n_frames=3, frame_decoder=fake_frames).take_all()
     assert len(rows) == 3
     assert rows[0]["frame_payload"] == b"vid\x00"
+
+
+def test_datasets_unioned(ray_session):
+    from mismo_ray.datasets import Datasets
+
+    a = ray.data.from_arrow(
+        pa.table({"record_id": [1, 2], "x": ["p", "q"], "only_a": [1, 2]})
+    )
+    b = ray.data.from_arrow(pa.table({"record_id": [3], "x": ["r"]}))
+    ds = Datasets({"a": a, "b": b})
+    assert list(ds) == ["a", "b"]
+    rows = ds.unioned().take_all()
+    assert {(r["record_id"], r["x"], r["dataset"]) for r in rows} == {
+        (1, "p", "a"),
+        (2, "q", "a"),
+        (3, "r", "b"),
+    }
+    assert ds.all_record_ids().count() == 3
