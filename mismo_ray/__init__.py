@@ -14,8 +14,46 @@ Design rules (SURVEY.md §7):
 - nothing here calls ``ray.init``/``ray.shutdown`` (the caller owns the session).
 """
 
-from mismo_ray.types import Linkage, LinksTable
+from mismo_ray.compare import LevelComparer, compare
+from mismo_ray.keys import KeySpec, resolve_keys
+from mismo_ray.linker import (
+    EmptyLinker,
+    FullLinker,
+    IDLinker,
+    JoinLinker,
+    KeyLinker,
+    Linker,
+    MinhashLshLinker,
+    OrLinker,
+    SortedNeighborhoodLinker,
+    UnnestLinker,
+    infer_task,
+    sample_all_links,
+)
+from mismo_ray.types import Diff, Linkage, LinksTable, with_linked_values
 
 __version__ = "0.1.0"
 
-__all__ = ["Linkage", "LinksTable", "__version__"]
+__all__ = [
+    "Diff",
+    "EmptyLinker",
+    "FullLinker",
+    "IDLinker",
+    "JoinLinker",
+    "KeyLinker",
+    "KeySpec",
+    "LevelComparer",
+    "Linkage",
+    "Linker",
+    "LinksTable",
+    "MinhashLshLinker",
+    "OrLinker",
+    "SortedNeighborhoodLinker",
+    "UnnestLinker",
+    "__version__",
+    "compare",
+    "infer_task",
+    "resolve_keys",
+    "sample_all_links",
+    "with_linked_values",
+]

@@ -167,3 +167,26 @@ def test_levenshtein_ratio_array():
     assert got[2] == 0.0
     assert math.isnan(got[3])
     assert got[4] is None
+
+
+def test_textstats_units():
+    from mismo_ray.textstats import (
+        LangId,
+        fingerprint,
+        rolling_hash_fingerprints,
+        token_count_bpe_ish,
+    )
+
+    assert token_count_bpe_ish("") == 0
+    assert token_count_bpe_ish("hi") == 1
+    assert token_count_bpe_ish("abcdefgh xy") == 2 + 1  # 8//4 + 1
+    assert fingerprint("  a   b ") == fingerprint("a b")
+    assert fingerprint(None) is None
+    fp1 = rolling_hash_fingerprints("the quick brown fox jumps over the lazy dog")
+    fp2 = rolling_hash_fingerprints("the quick brown fox jumps over the lazy dog")
+    assert fp1 == fp2  # deterministic
+    assert rolling_hash_fingerprints(None) is None
+    lang = LangId()
+    assert lang.classify("the cat and the dog are in the house")[0] == "en"
+    assert lang.classify("der Hund und die Katze sind im Haus")[0] == "de"
+    assert lang.classify("")[0] == "und"
