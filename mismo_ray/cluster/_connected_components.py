@@ -19,9 +19,16 @@ Two execution paths:
   edge ids, numpy/dict union-find, broadcast labels back.
 
 Component label = the minimum int64 code over the component's members
-(identical to the reference's fixpoint). Singletons get ``code + max_label + 1``
-(unique, disjoint from propagated labels; the reference numbers them
-``max_label + row_number`` — same semantics, different arbitrary values).
+(identical to the reference's fixpoint). Singletons use their own id/code as
+the fresh label (unique, disjoint from min-member propagated labels; the
+reference numbers them ``max_label + row_number`` — same semantics,
+different arbitrary values, and no int64 overflow on hash-derived ids).
+
+Upgrade paths beyond plain min-label propagation (not needed for reference
+parity; rounds ~ cluster diameter, which is small for dup clusters):
+large-star/small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — the arXiv:1802.09478 survey the reference
+cites) and load-balanced distributed union-find (BTS, ICDE'24, PAPERS.md).
 """
 
 from __future__ import annotations

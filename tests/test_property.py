@@ -151,3 +151,29 @@ def test_sorted_neighborhood_matches_bruteforce(vals, window):
         ["record_id_l", "record_id_r"],
     )
     assert got == expected
+
+
+def test_sorted_neighborhood_many_blocks(ray_session):
+    """SN boundary stitching across many sorted blocks (the cross-block pairs
+    come from the driver-side boundary-row pass)."""
+    n, w = 2000, 3
+    vals = [(i * 7919) % 10007 for i in range(n)]  # unique, scrambled
+    ids = list(range(n))
+    order = sorted(ids, key=lambda i: (vals[i], i))
+    expected = set()
+    for pos in range(len(order)):
+        for d in range(1, w + 1):
+            if pos + d < len(order):
+                a, b = order[pos], order[pos + d]
+                expected.add((min(a, b), max(a, b)))
+    ds = (
+        ray.data.from_arrow(
+            pa.table({"record_id": ids, "v": pa.array(vals, type=pa.int64())})
+        )
+        .repartition(16)  # force many sorted blocks
+    )
+    got = rows_set(
+        SortedNeighborhoodLinker("v", window=w)(ds, ds).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert got == expected
