@@ -22,7 +22,7 @@ def entry() -> Any:
     from mismo_ray.pipelines import flagship
 
     result = flagship(
-        "/root/testdata/sf0.001", train="labels", threshold_odds=10.0
+        "/root/testdata/sf0.001", train="em", threshold_odds=10.0
     )
     return result["records"].select_columns(
         ["record_id", "url", "lang", "label_true", "component"]

