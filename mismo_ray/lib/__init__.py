@@ -1,3 +1,3 @@
-from mismo_ray.lib import email, geo, name, phone
+from mismo_ray.lib import address, email, geo, name, phone
 
-__all__ = ["email", "geo", "name", "phone"]
+__all__ = ["address", "email", "geo", "name", "phone"]

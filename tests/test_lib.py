@@ -166,3 +166,60 @@ def test_bin_lat_lon_nulls():
     lat_bin, lon_bin = geo.bin_lat_lon([None, 10.0], [None, 20.0], 15.0)
     assert lat_bin[0].as_py() is None
     assert lat_bin[1].as_py() is not None
+
+
+# ----------------------------------------------------------------- address
+def test_parse_street1():
+    from mismo_ray.lib import address
+
+    p = address.parse_street1("123 N. Main St.")
+    assert p["street_number"] == "123"
+    assert p["pre_directional"] == "N"
+    assert p["street_name"] == "MAIN"
+    assert p["street_type"] == "ST"
+    p2 = address.parse_street1("456 Martin Luther King Jr Boulevard SW Apt 4B")
+    assert p2["street_type"] == "BLVD"
+    assert p2["post_directional"] == "SW"
+    assert p2["unit"] == "4B"
+    assert p2["street_name"] == "MARTIN LUTHER KING JR"
+    p3 = address.parse_street1("P.O. Box 1234")
+    assert p3["is_pobox"] and p3["street_number"] == "1234"
+    assert address.parse_street1(None) is None
+    p4 = address.parse_street1("Broadway")
+    assert p4["street_name"] == "BROADWAY" and p4["street_type"] is None
+
+
+def test_featurize_address():
+    from mismo_ray.lib import address
+
+    f = address.featurize_address(
+        {"street1": "12 Main St", "city": "Anchorage", "state": "AK",
+         "street2": None, "postal_code": "99501", "country": None}
+    )
+    assert f["street_name"] == "MAIN"
+    assert f["street_number"] == "12"
+    assert f["city"] == "ANCHORAGE"
+    assert "MAI" in f["street_trigrams"]
+
+
+def test_address_match_level():
+    from mismo_ray.lib import address
+
+    a = {"street1": "12 MAIN ST", "city": "ANCHORAGE", "state": "AK",
+         "postal_code": "99501"}
+    b_same = dict(a)
+    b_typo = {**a, "street1": "12 MAIN STT"}
+    b_city = {**a, "street1": "99 OTHER AVE"}
+    b_state = {"street1": "5 X RD", "city": "FAIRBANKS", "state": "AK",
+               "postal_code": "99701"}
+    b_else = {"street1": "5 X RD", "city": "SEATTLE", "state": "WA",
+              "postal_code": "98101"}
+    assert address.match_level(a, b_same) == address.STREET1_AND_CITY_OR_POSTAL
+    assert address.match_level(a, b_typo) == address.POSSIBLE_TYPO
+    assert address.match_level(a, b_city) == address.SAME_REGION
+    assert address.match_level(a, b_state) == address.SAME_STATE
+    assert address.match_level(a, b_else) == address.ELSE
+    assert (
+        address.match_level(a, b_else, coords=((61.2, -149.9), (61.3, -149.8)))
+        == address.WITHIN_100KM
+    )
