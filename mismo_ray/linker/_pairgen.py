@@ -414,6 +414,8 @@ def generate_pairs(
                 jpdf_hot = joined.map_batches(
                     hot_filter, batch_format="pyarrow"
                 ).to_pandas()
+                if "__block__" not in jpdf_hot.columns:
+                    jpdf_hot = pd.DataFrame({"__block__": []})
             hot = set(jpdf_hot["__block__"].tolist())
             counters["hot_keys_dropped"] = len(hot)
             salt = {}
