@@ -401,7 +401,20 @@ def generate_pairs(
 
             cl = _block_counts(keyed_l)
             cr = _block_counts(keyed_r)
-            joined = hash_join(cl, cr, on="__block__", right_suffix="_r")
+            counts_schema = pa.schema(
+                [pa.field("__block__", pa.int64()), pa.field("n", pa.int64())]
+            )
+            # explicit schemas: an empty side's aggregate output has no
+            # inferable schema (ds.schema() is None) and empty corpora are
+            # legal inputs
+            joined = hash_join(
+                cl,
+                cr,
+                on="__block__",
+                right_suffix="_r",
+                left_schema=counts_schema,
+                right_schema=counts_schema,
+            )
             jpdf_hot = pd.DataFrame(columns=["__block__"])
             if max_pairs is not None:
 

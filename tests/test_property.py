@@ -177,3 +177,32 @@ def test_sorted_neighborhood_many_blocks(ray_session):
         ["record_id_l", "record_id_r"],
     )
     assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    lkeys=st.lists(st.one_of(st.sampled_from(["a", "b", "c"]), st.none()), max_size=25),
+    rkeys=st.lists(st.one_of(st.sampled_from(["a", "b", "c"]), st.none()), max_size=25),
+    salt_rows=st.sampled_from([None, 3]),
+)
+def test_key_linker_link_task_matches_bruteforce(lkeys, rkeys, salt_rows):
+    lids = list(range(len(lkeys)))
+    rids = [100 + i for i in range(len(rkeys))]
+    expected = {
+        (i, 100 + j)
+        for i, ki in enumerate(lkeys)
+        for j, kj in enumerate(rkeys)
+        if ki is not None and ki == kj
+    }
+    lds = ray.data.from_arrow(
+        pa.table({"record_id": lids, "k": pa.array(lkeys, type=pa.string())})
+    )
+    rds = ray.data.from_arrow(
+        pa.table({"record_id": rids, "k": pa.array(rkeys, type=pa.string())})
+    )
+    got = rows_set(
+        KeyLinker("k", salt_rows=salt_rows, task="link")(lds, rds).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert got == expected
