@@ -206,3 +206,53 @@ def test_key_linker_link_task_matches_bruteforce(lkeys, rkeys, salt_rows):
         ["record_id_l", "record_id_r"],
     )
     assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(["x", "y", "z"]), max_size=3),
+        ),
+        max_size=20,
+    ),
+    max_pairs=st.sampled_from([None, 4]),
+)
+def test_unnest_linker_matches_bruteforce(rows, max_pairs):
+    from collections import Counter
+
+    from mismo_ray.linker import UnnestLinker
+
+    ids = list(range(len(rows)))
+    # brute force incl. the max_pairs token-drop rule (n*n > max_pairs)
+    tok_counts = Counter()
+    for r in rows:
+        if r:
+            for t in set(r):
+                tok_counts[t] += 1
+    dropped = {
+        t
+        for t, n in tok_counts.items()
+        if max_pairs is not None and n * n > max_pairs
+    }
+    expected = set()
+    for i, j in combinations(ids, 2):
+        if rows[i] and rows[j]:
+            shared = (set(rows[i]) & set(rows[j])) - dropped
+            if shared:
+                expected.add((i, j))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": ids,
+                "toks": pa.array(rows, type=pa.list_(pa.string())),
+            }
+        )
+    )
+    got = rows_set(
+        UnnestLinker("toks", max_pairs=max_pairs)(ds, ds).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert got == expected
