@@ -175,13 +175,36 @@ def broadcast_isin(
     *,
     invert: bool = False,
 ) -> ray.data.Dataset:
-    """Semi (or anti, invert=True) join against a broadcast key set."""
-    ref = ray.put(frozenset(values))
+    """Semi (or anti, invert=True) join against a broadcast key set.
+
+    Scalar key types run through the Arrow ``pc.is_in`` kernel (one broadcast
+    value-set array, zero python per row); non-scalar keys (tuples/structs)
+    fall back to a python set probe.
+    """
+    import pyarrow.compute as pc
+
+    vals = list(values)
+    try:
+        value_set = pa.array(vals)
+        if pa.types.is_nested(value_set.type):
+            raise pa.ArrowInvalid("nested keys -> python path")
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        value_set = None
+    ref = ray.put(value_set if value_set is not None else frozenset(vals))
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        col = batch[column].to_pylist()
-        mask = np.fromiter((v in keys for v in col), dtype=bool, count=len(col))
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(keys, pa.Array):
+            mask = pc.is_in(
+                col, value_set=keys.cast(col.type)
+            ).to_numpy(zero_copy_only=False)
+            mask = np.asarray(mask, dtype=bool)
+        else:
+            pyl = col.to_pylist()
+            mask = np.fromiter((v in keys for v in pyl), dtype=bool, count=len(pyl))
         if invert:
             mask = ~mask
         return batch.filter(pa.array(mask))
@@ -199,13 +222,41 @@ def broadcast_lookup(
     result_type: pa.DataType | None = None,
 ) -> ray.data.Dataset:
     """Add a column by looking ``column`` up in a broadcast dict (dimension join
-    without a shuffle)."""
-    ref = ray.put(mapping)
+    without a shuffle).
+
+    Scalar keys run through ``pc.index_in`` + ``take`` (vectorized); non-scalar
+    keys fall back to a python dict probe. A mapped value of None is
+    indistinguishable from a miss on the Arrow path, so mappings containing
+    None values with a non-None ``default`` use the python path.
+    """
+    import pyarrow.compute as pc
+
+    arrow_pair = None
+    if not (default is not None and any(v is None for v in mapping.values())):
+        try:
+            keys_arr = pa.array(list(mapping.keys()))
+            if pa.types.is_nested(keys_arr.type):
+                raise pa.ArrowInvalid("nested keys -> python path")
+            vals_arr = pa.array(list(mapping.values()), type=result_type)
+            arrow_pair = (keys_arr, vals_arr)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            arrow_pair = None
+    ref = ray.put(arrow_pair if arrow_pair is not None else mapping)
 
     def fn(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        vals = [m.get(v, default) for v in batch[column].to_pylist()]
-        arr = pa.array(vals, type=result_type) if result_type else pa.array(vals)
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(m, tuple):
+            keys_arr, vals_arr = m
+            idx = pc.index_in(col, value_set=keys_arr.cast(col.type))
+            arr = pc.take(vals_arr, idx)  # miss -> null index -> null value
+            if default is not None:
+                arr = pc.fill_null(arr, default)
+        else:
+            vals = [m.get(v, default) for v in col.to_pylist()]
+            arr = pa.array(vals, type=result_type) if result_type else pa.array(vals)
         return batch.append_column(result_name, arr)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -324,23 +324,29 @@ def q_fs_score(sf_dir: str):
 def q_filter_links_best(sf_dir: str):
     """Window predicate: best pair per record_id_r (max odds, tie -> min
     record_id_l) — reference filter_links window semantics
-    (mismo/linkage/_linkage.py:206-301)."""
+    (mismo/linkage/_linkage.py:206-301). Ranks by the half-up-rounded
+    ``odds_e6`` (exactly what the oracle ranks by) and delegates the window
+    filter to the bucketed library op ``linkage.keep_best_per``."""
+    from mismo_ray.linkage import keep_best_per
+
     scored = _scored_pairs(sf_dir)
 
-    def best(g: pa.Table) -> pa.Table:
-        odds = np.asarray(g["odds"], dtype=np.float64)
-        lids = np.asarray(g["record_id_l"], dtype=np.int64)
-        order = np.lexsort((lids, -odds))
-        i = int(order[0])
+    def to_e6(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "record_id_l": [int(lids[i])],
-                "record_id_r": [int(g["record_id_r"][0].as_py())],
-                "odds_e6": [int(np.round(odds[i] * 1e6))],
+                "record_id_l": t["record_id_l"],
+                "record_id_r": t["record_id_r"],
+                "odds_e6": _e6(np.asarray(t["odds"], dtype=np.float64)),
             }
         )
 
-    return scored.groupby("record_id_r").map_groups(best, batch_format="pyarrow")
+    return keep_best_per(
+        scored.map_batches(to_e6, batch_format="pyarrow"),
+        group="record_id_r",
+        score="odds_e6",
+        tie_breaker="record_id_l",
+        keep_ties=False,
+    )
 
 
 def q_with_n_links(sf_dir: str):

@@ -72,12 +72,23 @@ def keep_best_per(
     group: str = "record_id_r",
     score: str = "score",
     tie_breaker: str = "record_id_l",
+    keep_ties: bool = True,
 ) -> ray.data.Dataset:
     """Keep row(s) with the max score per group (reference doctest: score ==
-    score.max() over group)."""
+    score.max() over group). With ``keep_ties=False`` exactly one row per
+    group survives: max score, ties broken by min ``tie_breaker`` (SQL
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY score DESC, tie)``=1).
+    """
 
     def keep(g: pd.DataFrame) -> np.ndarray:
-        return (g[score] == g[score].max()).to_numpy()
+        best = (g[score] == g[score].max()).to_numpy()
+        if keep_ties:
+            return best
+        tb = g[tie_breaker].to_numpy()
+        out = np.zeros(len(g), dtype=bool)
+        idx = np.flatnonzero(best)
+        out[idx[np.argmin(tb[idx])]] = True
+        return out
 
     return _grouped_filter(links, [group], keep)
 

@@ -64,29 +64,42 @@ def sessionize(
     """Gap-based sessions per key: a new session starts when the time since
     the previous event of the same key exceeds ``gap_s``.
 
-    One shuffle: groupby(key) with per-group ts sort + vectorized cumsum of
-    gap breaks. Output: (key, session_id, session_start_s, session_end_s,
-    n_events) with session_id numbered per key in ts order.
+    One shuffle over a COARSE bucket (hash(key) % ~2xCPUs), not over the raw
+    key — per-group ``map_groups`` calls would mean one task invocation per
+    user at millions of keys (the repo-wide bucketing rule, see linkage.py).
+    Inside each bucket everything is vectorized: one sort by (key, ts), one
+    cumsum of session breaks across the whole bucket, one pandas groupby-agg.
+    Output: (key, session_id, session_start_s, session_end_s, n_events) with
+    session_id numbered per key in ts order.
     """
+    from mismo_ray._joins import default_num_partitions
+    from mismo_ray._util import hash64
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="mergesort")
+    B = default_num_partitions()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = hash64(t[key]) % np.uint64(B)
+        return t.append_column("__sbkt__", pa.array(h.astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="mergesort")
+        kv = g[key].to_numpy()
         t_us = g[ts].astype("int64").to_numpy()  # microseconds
-        t = t_us // 1_000_000  # seconds (output granularity)
-        breaks = np.zeros(len(g), dtype=np.int64)
+        t_s = t_us // 1_000_000  # seconds (output granularity)
+        new_key = np.ones(len(g), dtype=bool)
+        brk = np.zeros(len(g), dtype=np.int64)
         if len(g) > 1:
+            new_key[1:] = kv[1:] != kv[:-1]
             # gap comparison in exact microseconds (sub-second gaps matter)
-            breaks[1:] = (np.diff(t_us) > gap_s * 1_000_000).astype(np.int64)
-        session = breaks.cumsum()
-        out = (
-            pd.DataFrame(
-                {
-                    key: g[key].to_numpy(),
-                    "session_id": session,
-                    "t": t,
-                }
-            )
-            .groupby("session_id")
+            brk[1:] = (
+                (np.diff(t_us) > gap_s * 1_000_000) & ~new_key[1:]
+            ).astype(np.int64)
+        # global session index across the bucket; per-key numbering recovered
+        # below (sessions of one key are contiguous after the sort)
+        gsid = (new_key.astype(np.int64) | brk).cumsum() - 1
+        agg = (
+            pd.DataFrame({key: kv, "__gsid__": gsid, "t": t_s})
+            .groupby("__gsid__", sort=True)
             .agg(
                 **{
                     key: (key, "first"),
@@ -95,10 +108,17 @@ def sessionize(
                     "n_events": ("t", "size"),
                 }
             )
-            .reset_index()
+            .reset_index(drop=True)
         )
-        return out[[key, "session_id", "session_start_s", "session_end_s", "n_events"]]
+        agg["session_id"] = agg.groupby(key, sort=False).cumcount()
+        return agg[[key, "session_id", "session_start_s", "session_end_s", "n_events"]]
 
-    return events.select_columns([key, ts]).groupby(key).map_groups(
-        per_key, batch_format="pandas"
+    return (
+        events.select_columns([key, ts])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__sbkt__")
+        .map_groups(
+            lambda g: per_bucket(g.drop(columns=["__sbkt__"])),
+            batch_format="pandas",
+        )
     )
