@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from mismo_ray._util import splitmix64
+from mismo_ray._util import hash64, splitmix64
 
 
 def _matrix(batch: pa.Table, column: str) -> np.ndarray:
@@ -118,42 +118,154 @@ def cosine_threshold_pairs(
     tau: float,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
+    chunk_rows: int = 8192,
 ) -> ray.data.Dataset:
-    """All unordered pairs (id_l < id_r) with cosine >= tau.
+    """All unordered pairs (id_l < id_r) with cosine >= tau. EXACT and fully
+    distributed — nothing is collected to the driver.
 
-    The corpus matrix is collected once and broadcast (embedding tables are
-    small relative to the corpus; an LSH-bucketed variant covers the case
-    where they are not)."""
-    rows = []
-    ids = []
-    for b in ds.select_columns([id_column, vector_column]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        rows.append(_matrix(b, vector_column))
-        ids.append(np.asarray(b[id_column], dtype=np.int64))
-    corpus = _normalize_rows(np.concatenate(rows)) if rows else np.zeros((0, 0))
-    corpus_ids = np.concatenate(ids) if ids else np.array([], dtype=np.int64)
-    ref = ray.put((corpus, corpus_ids))
+    Block-nested-loop theta join (the 1-Bucket-Theta shape): rows are hashed
+    into K = ceil(n / chunk_rows) chunks; each row is replicated into the K
+    chunk-pair groups it participates in; one keyed shuffle; each reduce task
+    holds exactly two chunks (<= 2*chunk_rows*dim*8 bytes) and computes the
+    cross/triangle cosine with a tiled matmul (bounded scratch memory).
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        corpus, corpus_ids = ray.get(ref)
-        vm = _normalize_rows(_matrix(batch, vector_column))
-        bids = np.asarray(batch[id_column], dtype=np.int64)
-        out_l, out_r = [], []
-        if len(bids) and len(corpus_ids):
-            sims = vm @ corpus.T
-            ii, jj = np.nonzero(sims >= tau)
-            a, b_ = bids[ii], corpus_ids[jj]
-            keep = a < b_
-            out_l, out_r = a[keep], b_[keep]
+    Cost is inherent to exact all-pairs: n*K rows shuffled, K^2/2 tasks. For
+    corpora where that is infeasible use ``lsh_threshold_pairs`` (approximate,
+    near-linear) — this exact path is the oracle/baseline.
+    """
+    narrow = ds.select_columns([id_column, vector_column])
+    n = narrow.count()
+    K = max(1, -(-n // chunk_rows))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].combine_chunks().cast(pa.int64())
+        chunk = (hash64(ids) % np.uint64(K)).astype(np.int64)
+        m = len(batch)
+        # replicate each row once per partner chunk; group id = canonical
+        # (min,max) chunk pair so every unordered row pair lands in exactly
+        # one group
+        take_idx = np.repeat(np.arange(m, dtype=np.int64), K)
+        c = np.repeat(chunk, K)
+        p = np.tile(np.arange(K, dtype=np.int64), m)
+        grp = np.where(c < p, c * K + p, p * K + c)
+        rep = batch.take(pa.array(take_idx))
+        return (
+            rep.append_column("__chunk__", pa.array(np.repeat(chunk, K)))
+            .append_column("__pg__", pa.array(grp))
+        )
+
+    expanded = narrow.map_batches(expand, batch_format="pyarrow")
+
+    def pairs_in_group(g: pa.Table, *, tile: int = 1024) -> pa.Table:
+        ids = np.asarray(g[id_column], dtype=np.int64)
+        chunks = np.asarray(g["__chunk__"], dtype=np.int64)
+        vm = _normalize_rows(_matrix(g, vector_column))
+        # the chunk pair is encoded in the group id (NOT inferred from the
+        # chunks present — a cross group whose partner chunk is empty must
+        # not degenerate into a second triangle over the present chunk)
+        pgid = int(g["__pg__"][0].as_py())
+        c1, c2 = pgid // K, pgid % K
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+
+        def emit(ai, bi, same):
+            if not (len(ai) and len(bi)):
+                return
+            # tiled matmul: bounded scratch even with large chunks
+            for s in range(0, len(ai), tile):
+                a_idx = ai[s : s + tile]
+                sims = vm[a_idx] @ vm[bi].T
+                ii, jj = np.nonzero(sims >= tau)
+                a, b_ = ids[a_idx[ii]], ids[bi[jj]]
+                keep = a < b_ if same else a != b_
+                a, b_ = a[keep], b_[keep]
+                if not same:
+                    swap = a > b_
+                    a, b_ = np.where(swap, b_, a), np.where(swap, a, b_)
+                out_l.append(a)
+                out_r.append(b_)
+
+        if c1 == c2:
+            idx = np.flatnonzero(chunks == c1)
+            emit(idx, idx, same=True)
+        else:
+            emit(np.flatnonzero(chunks == c1), np.flatnonzero(chunks == c2), same=False)
+        l = np.concatenate(out_l) if out_l else np.array([], dtype=np.int64)
+        r = np.concatenate(out_r) if out_r else np.array([], dtype=np.int64)
         return pa.table(
             {
-                "record_id_l": pa.array(out_l, type=pa.int64()),
-                "record_id_r": pa.array(out_r, type=pa.int64()),
+                "record_id_l": pa.array(l, type=pa.int64()),
+                "record_id_r": pa.array(r, type=pa.int64()),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    return expanded.groupby("__pg__").map_groups(
+        pairs_in_group, batch_format="pyarrow"
+    )
+
+
+def lsh_threshold_pairs(
+    ds: ray.data.Dataset,
+    *,
+    tau: float,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    bits_per_band: int = 8,
+    n_bands: int = 8,
+    max_pairs: int | None = 5_000_000,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Approximate cosine >= tau pairs, near-linear: banded random-hyperplane
+    LSH candidates -> exact cosine verify.
+
+    A pair is a candidate when ALL bits of SOME band agree:
+    P(candidate) = 1 - (1 - (1 - theta/pi)^bits_per_band)^n_bands, theta =
+    arccos(cos sim). Candidate generation reuses the salted pair-gen core
+    (UnnestLinker over the per-row band keys — inherits hot-bucket dropping +
+    salting), so no bucket ever exceeds one task's memory; the verify joins
+    the two vectors back per pair and computes a row-wise dot (einsum). This
+    is the 100 TB path; ``cosine_threshold_pairs`` is the exact baseline.
+    """
+    from mismo_ray.linker._unnest import UnnestLinker
+
+    total_bits = bits_per_band * n_bands
+    narrow = ds.select_columns([id_column, vector_column])
+
+    def with_rid(t: pa.Table) -> pa.Table:
+        rid = t[id_column].combine_chunks().cast(pa.int64())
+        if id_column == "record_id":
+            return t.set_column(t.schema.get_field_index("record_id"), "record_id", rid)
+        return t.append_column("record_id", rid)
+
+    recs = narrow.map_batches(with_rid, batch_format="pyarrow")
+
+    def band_keys(batch: pa.Table) -> pa.Array:
+        vm = _matrix(batch, vector_column)
+        dim = vm.shape[1] if vm.size else 1
+        planes = random_hyperplanes(dim, total_bits, seed)
+        if not len(vm):
+            return pa.array([], type=pa.list_(pa.int64()))
+        bits = (vm @ planes.T) > 0  # (n, total_bits)
+        keys = np.empty((len(vm), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            seg = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            w = 1 << np.arange(bits_per_band, dtype=np.int64)
+            keys[:, b] = (seg.astype(np.int64) @ w) | (b << 56)
+        return pa.array(keys.tolist(), type=pa.list_(pa.int64()))
+
+    band_keys.__name__ = "hyperplane_bands"
+    linkage = UnnestLinker(band_keys, max_pairs=max_pairs)(recs, recs)
+    cand = linkage.links.with_both([vector_column], [vector_column])
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = _normalize_rows(_matrix(t, f"{vector_column}_l"))
+        b = _normalize_rows(_matrix(t, f"{vector_column}_r"))
+        sims = np.einsum("ij,ij->i", a, b) if len(a) else np.array([])
+        return t.filter(pa.array(sims >= tau)).select(
+            ["record_id_l", "record_id_r"]
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:

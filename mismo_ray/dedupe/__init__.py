@@ -434,10 +434,25 @@ def embedding_neardup_pairs(
     tau: float = 0.95,
     id_column: str = "record_id",
     vector_column: str = "embedding",
+    method: str = "exact",
+    **kwargs,
 ) -> Linkage:
-    from mismo_ray.ann import cosine_threshold_pairs
+    """Near-dup pairs by embedding cosine.
 
-    links = cosine_threshold_pairs(
-        ds, tau=tau, id_column=id_column, vector_column=vector_column
-    )
+    method="exact": distributed chunk-pair block join, recall 1, O(n^2) work
+    spread over bounded-memory tasks. method="lsh": banded hyperplane LSH
+    candidates + exact verify — near-linear, recall < 1; the 100 TB path.
+    """
+    from mismo_ray.ann import cosine_threshold_pairs, lsh_threshold_pairs
+
+    if method == "exact":
+        links = cosine_threshold_pairs(
+            ds, tau=tau, id_column=id_column, vector_column=vector_column, **kwargs
+        )
+    elif method == "lsh":
+        links = lsh_threshold_pairs(
+            ds, tau=tau, id_column=id_column, vector_column=vector_column, **kwargs
+        )
+    else:
+        raise ValueError("method must be 'exact' or 'lsh'")
     return Linkage(left=ds, right=ds, links=links)
