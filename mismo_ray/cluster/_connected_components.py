@@ -47,6 +47,114 @@ logger = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------- factorizer
+def bucketed_lookup_join(
+    ds: ray.data.Dataset,
+    column: str,
+    mapping_ds: ray.data.Dataset,
+    *,
+    key_name: str,
+    val_name: str,
+    out_type: pa.DataType,
+    result_name: str | None = None,
+    on_missing=None,
+    ds_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Distributed key -> value lookup where the mapping is itself a Dataset
+    (corpus-sized — NEVER collected to the driver).
+
+    One keyed shuffle: both sides get ``__bkt__ = hash(key) % B``, are tagged
+    and unioned, and each bucket resolves its rows against its slice of the
+    mapping — ``pc.index_in`` + ``take`` for scalar key types, a python dict
+    keyed on ``_hashable`` for nested (struct/list) keys. ``result_name=None``
+    replaces ``column`` in place, else appends. Missing keys raise unless
+    ``on_missing(missing_key_array) -> fill value Array`` is given.
+    """
+    import pyarrow.compute as pc
+
+    from mismo_ray._joins import default_num_partitions
+
+    B = default_num_partitions()
+    schema = ds_schema or ds.schema().base_schema
+    key_type = schema.field(column).type
+    data_cols = list(schema.names)
+    nested = pa.types.is_nested(key_type)
+
+    def proj_map(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key__": t[key_name].combine_chunks().cast(key_type),
+            "__val__": t[val_name].combine_chunks().cast(out_type),
+        }
+        for c in data_cols:
+            cols[f"__d_{c}"] = pa.nulls(len(t), schema.field(c).type)
+        cols["__side__"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        out = pa.table(cols)
+        bkt = (hash64(out["__key__"]) % np.uint64(B)).astype(np.int64)
+        return out.append_column("__bkt__", pa.array(bkt))
+
+    def proj_data(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key__": t[column].combine_chunks(),
+            "__val__": pa.nulls(len(t), out_type),
+        }
+        for c in data_cols:
+            cols[f"__d_{c}"] = t[c]
+        cols["__side__"] = pa.array(np.ones(len(t), dtype=np.int8))
+        out = pa.table(cols)
+        bkt = (hash64(out["__key__"]) % np.uint64(B)).astype(np.int64)
+        return out.append_column("__bkt__", pa.array(bkt))
+
+    tagged = mapping_ds.map_batches(proj_map, batch_format="pyarrow").union(
+        ds.map_batches(proj_data, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side__"].to_numpy(zero_copy_only=False))
+        mrows = g.filter(pa.array(side == 0))
+        drows = g.filter(pa.array(side == 1))
+        keys = drows["__key__"].combine_chunks()
+        if nested:
+            local = {
+                _hashable(k): v
+                for k, v in zip(
+                    mrows["__key__"].to_pylist(), mrows["__val__"].to_pylist()
+                )
+            }
+            sentinel = object()
+            raw = [local.get(_hashable(k), sentinel) for k in keys.to_pylist()]
+            miss = np.fromiter((v is sentinel for v in raw), dtype=bool, count=len(raw))
+            vals = pa.array(
+                [None if v is sentinel else v for v in raw], type=out_type
+            )
+        else:
+            idx = pc.index_in(keys, value_set=mrows["__key__"].combine_chunks())
+            vals = pc.take(mrows["__val__"].combine_chunks(), idx)
+            miss = np.asarray(idx.is_null())
+        if miss.any():
+            if on_missing is None:
+                raise KeyError(
+                    f"{int(miss.sum())} keys of '{column}' missing from mapping"
+                )
+            fill = on_missing(keys.filter(pa.array(miss)))
+            vals_np = vals.to_pylist()
+            fill_l = fill.to_pylist() if isinstance(fill, pa.Array) else list(fill)
+            j = 0
+            for i in np.flatnonzero(miss):
+                vals_np[i] = fill_l[j]
+                j += 1
+            vals = pa.array(vals_np, type=out_type)
+        cols = {}
+        for c in data_cols:
+            if c == column and result_name is None:
+                cols[c] = vals
+            else:
+                cols[c] = drows[f"__d_{c}"]
+        if result_name is not None:
+            cols[result_name] = vals
+        return pa.table(cols)
+
+    return tagged.groupby("__bkt__").map_groups(resolve, batch_format="pyarrow")
+
+
 class Factorizer:
     """record_id <-> dense-ish unique int64 codes.
 
@@ -54,64 +162,141 @@ class Factorizer:
     _factorizer.py:43-60). Other types get a unique int64 via bucketed dense
     assignment: code = bucket + n_buckets * rank_within_bucket — sort-free,
     deterministic, distributed (SURVEY §2.9).
+
+    The id<->code mapping stays a (materialized) Dataset; encode/decode run
+    as bucketed lookup joins, so record-id vocabularies as large as the
+    corpus never touch the driver. Only when the vocabulary is provably small
+    (<= broadcast_threshold) is it collected into a broadcast dict fast path.
     """
 
-    def __init__(self, ids_ds: ray.data.Dataset, *, n_buckets: int = 1024):
+    def __init__(
+        self,
+        ids_ds: ray.data.Dataset,
+        *,
+        n_buckets: int = 1024,
+        broadcast_threshold: int = 2_000_000,
+    ):
         self.n_buckets = n_buckets
         schema = ids_ds.schema().base_schema
         self.id_type = schema.field("record_id").type
         self.is_int = pa.types.is_integer(self.id_type)
+        self.mapping = None
+        self._decode = None
         if self.is_int:
-            self.mapping = None
             return
-        # distinct ids -> assign codes per hash bucket
-        from mismo_ray._joins import distinct as _distinct
-        uniq = _distinct(ids_ds, "record_id")
+        # ids -> hash bucket; batch-local pre-dedupe cuts the shuffle volume,
+        # the authoritative dedupe happens inside each bucket group. A
+        # groupby on the raw id column would be wrong here: Ray's sort-based
+        # shuffle cannot compare nested (struct/list) keys — the int bucket
+        # is the only shuffle key this path ever sorts on.
+        import pyarrow.compute as pc
+
+        nested = pa.types.is_nested(self.id_type)
 
         def assign(t: pa.Table) -> pa.Table:
-            ids = t["record_id"]
+            ids = t["record_id"].combine_chunks()
+            if nested:
+                seen: dict = {}
+                for v in ids.to_pylist():
+                    seen.setdefault(_hashable(v), v)
+                ids = pa.array(list(seen.values()), type=self.id_type)
+            else:
+                ids = pc.unique(ids)
             bucket = (hash64(ids) % np.uint64(n_buckets)).astype(np.int64)
             return pa.table({"record_id": ids, "bucket": pa.array(bucket)})
 
-        bucketed = uniq.map_batches(assign, batch_format="pyarrow")
+        bucketed = ids_ds.map_batches(assign, batch_format="pyarrow")
 
         def code_group(g: pa.Table) -> pa.Table:
             b = g["bucket"][0].as_py()
-            codes = b + n_buckets * np.arange(len(g), dtype=np.int64)
-            return pa.table({"record_id": g["record_id"], "code": pa.array(codes)})
+            arr = g["record_id"].combine_chunks()
+            if nested:
+                seen: dict = {}
+                for v in arr.to_pylist():
+                    seen.setdefault(_hashable(v), v)
+                vals = list(seen.values())
+                order = np.argsort(hash64(vals), kind="stable")
+                uniq = pa.array([vals[i] for i in order], type=self.id_type)
+            else:
+                uniq = pc.unique(arr)
+                order = np.argsort(hash64(uniq), kind="stable")
+                uniq = uniq.take(pa.array(order, type=pa.int64()))
+            # rank within bucket ordered by id hash: deterministic across
+            # runs and parallelism levels (group row order is not)
+            codes = b + n_buckets * np.arange(len(uniq), dtype=np.int64)
+            return pa.table({"record_id": uniq, "code": pa.array(codes)})
 
-        coded = bucketed.groupby("bucket").map_groups(
-            code_group, batch_format="pyarrow"
+        self.coded = (
+            bucketed.groupby("bucket")
+            .map_groups(code_group, batch_format="pyarrow")
+            .materialize()
         )
-        # the id->code mapping is vocabulary-sized; collect + broadcast.
-        pdf = coded.to_pandas()
-        self.mapping = dict(zip(pdf["record_id"].map(_hashable), pdf["code"]))
-        self._decode = {v: k for k, v in self.mapping.items()}
+        self.coded_schema = pa.schema(
+            [pa.field("record_id", self.id_type), pa.field("code", pa.int64())]
+        )
+        self.n_codes = self.coded.count()
+        if self.n_codes <= broadcast_threshold:
+            pdf = self.coded.to_pandas()
+            self.mapping = dict(zip(pdf["record_id"].map(_hashable), pdf["code"]))
+            self._decode = {v: k for k, v in self.mapping.items()}
 
-    def encode_column(self, ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+    def encode_column(
+        self,
+        ds: ray.data.Dataset,
+        column: str,
+        *,
+        ds_schema: pa.Schema | None = None,
+    ) -> ray.data.Dataset:
         if self.is_int:
             return ds
-        mapping = self.mapping
+        if self.mapping is not None:
+            mapping = self.mapping
 
-        def fn(t: pa.Table) -> pa.Table:
-            vals = [mapping[_hashable(v)] for v in t[column].to_pylist()]
-            idx = t.schema.get_field_index(column)
-            return t.set_column(idx, column, pa.array(vals, type=pa.int64()))
+            def fn(t: pa.Table) -> pa.Table:
+                vals = [mapping[_hashable(v)] for v in t[column].to_pylist()]
+                idx = t.schema.get_field_index(column)
+                return t.set_column(idx, column, pa.array(vals, type=pa.int64()))
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+            return ds.map_batches(fn, batch_format="pyarrow")
+        return bucketed_lookup_join(
+            ds,
+            column,
+            self.coded,
+            key_name="record_id",
+            val_name="code",
+            out_type=pa.int64(),
+            ds_schema=ds_schema,
+        )
 
-    def decode_column(self, ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+    def decode_column(
+        self,
+        ds: ray.data.Dataset,
+        column: str,
+        *,
+        ds_schema: pa.Schema | None = None,
+    ) -> ray.data.Dataset:
         if self.is_int:
             return ds
-        decode = self._decode
-        id_type = self.id_type
+        if self._decode is not None:
+            decode = self._decode
+            id_type = self.id_type
 
-        def fn(t: pa.Table) -> pa.Table:
-            vals = [decode[v] for v in t[column].to_pylist()]
-            idx = t.schema.get_field_index(column)
-            return t.set_column(idx, column, pa.array(vals, type=id_type))
+            def fn(t: pa.Table) -> pa.Table:
+                vals = [decode[v] for v in t[column].to_pylist()]
+                idx = t.schema.get_field_index(column)
+                return t.set_column(idx, column, pa.array(vals, type=id_type))
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+            return ds.map_batches(fn, batch_format="pyarrow")
+        # join on the code side: swap key/val roles of the coded mapping
+        return bucketed_lookup_join(
+            ds,
+            column,
+            self.coded,
+            key_name="code",
+            val_name="record_id",
+            out_type=self.id_type,
+            ds_schema=ds_schema,
+        )
 
 
 def _hashable(v):
@@ -306,6 +491,7 @@ def connected_components(
     label_as: str = "component",
     mode: str = "auto",
     driver_threshold: int = 2_000_000,
+    factorize_broadcast_threshold: int = 2_000_000,
     checkpoint_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Label records by connected component of the link graph.
@@ -368,13 +554,16 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        f = Factorizer(both)
+        f = Factorizer(both, broadcast_threshold=factorize_broadcast_threshold)
         edges = f.encode_column(
             edges.map_batches(
                 lambda t: t.rename_columns(["record_id", "record_id_r"]),
                 batch_format="pyarrow",
             ),
             "record_id",
+            ds_schema=pa.schema(
+                [pa.field("record_id", id_type), pa.field("record_id_r", id_type)]
+            ),
         ).map_batches(
             lambda t: t.rename_columns(["record_id_l", "record_id_r"]),
             batch_format="pyarrow",
@@ -385,6 +574,9 @@ def connected_components(
                 batch_format="pyarrow",
             ),
             "record_id",
+            ds_schema=pa.schema(
+                [pa.field("record_id_l", pa.int64()), pa.field("record_id", id_type)]
+            ),
         ).map_batches(
             lambda t: t.rename_columns(["record_id_l", "record_id_r"]),
             batch_format="pyarrow",
@@ -393,7 +585,13 @@ def connected_components(
         edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir
     )
     if not int_ids:
-        labels = f.decode_column(labels, "record_id")
+        labels = f.decode_column(
+            labels,
+            "record_id",
+            ds_schema=pa.schema(
+                [pa.field("record_id", pa.int64()), pa.field("component", pa.int64())]
+            ),
+        )
     if records is None:
         return labels.map_batches(
             lambda t: t.rename_columns(
@@ -411,21 +609,40 @@ def connected_components(
 def _attach_labels_join(
     records: ray.data.Dataset, labels: ray.data.Dataset, label_as: str
 ) -> ray.data.Dataset:
-    """Scale path: hash left-outer join records x labels; singletons (null
-    component) use their own record_id as a fresh label (unique, disjoint
-    from min-member-id component labels; int ids required here — non-int ids
-    were factorized before reaching this path)."""
+    """Scale path: join records x labels without collecting either side.
+
+    Int ids: hash left-outer join; singletons (null component) use their own
+    record_id as a fresh label (unique, disjoint from min-member-id component
+    labels). Non-int ids: bucketed lookup join; singleton fresh labels come
+    from the id hash in the >= 2^62 range, disjoint from factorized codes."""
     import pyarrow.compute as pc
 
-    joined = hash_join(records, labels, on="record_id", how="left_outer")
+    id_type = records.schema().base_schema.field("record_id").type
+    if pa.types.is_integer(id_type):
+        joined = hash_join(records, labels, on="record_id", how="left_outer")
 
-    def fill(t: pa.Table) -> pa.Table:
-        rid = t["record_id"].combine_chunks().cast(pa.int64())
-        comp = pc.coalesce(t["component"], rid)
-        out = t.drop_columns(["component"])
-        return out.append_column(label_as, comp)
+        def fill(t: pa.Table) -> pa.Table:
+            rid = t["record_id"].combine_chunks().cast(pa.int64())
+            comp = pc.coalesce(t["component"], rid)
+            out = t.drop_columns(["component"])
+            return out.append_column(label_as, comp)
 
-    return joined.map_batches(fill, batch_format="pyarrow")
+        return joined.map_batches(fill, batch_format="pyarrow")
+
+    def fresh(missing_keys: pa.Array) -> pa.Array:
+        h = (hash64(missing_keys) >> np.uint64(2)) | np.uint64(1 << 62)
+        return pa.array(h.astype(np.int64))
+
+    return bucketed_lookup_join(
+        records,
+        "record_id",
+        labels,
+        key_name="record_id",
+        val_name="component",
+        out_type=pa.int64(),
+        result_name=label_as,
+        on_missing=fresh,
+    )
 
 
 def _attach_labels_broadcast(

@@ -230,6 +230,49 @@ def q_connected_components(sf_dir: str):
     return labeled.select_columns(["record_id", "component"])
 
 
+def q_connected_components_str(sf_dir: str):
+    """CC over STRING record ids through the corpus-scale path: Factorizer
+    encode/decode and singleton attach all as bucketed lookup joins (no
+    broadcast dict, no driver union-find). Output component label = min
+    member record-id string (SQL-expressible, unlike raw factorized codes)."""
+    from ray.data.aggregate import Min
+
+    from mismo_ray._joins import hash_join
+    from mismo_ray.cluster import connected_components
+    from mismo_ray.linker import KeyLinker
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def with_sid(t: pa.Table) -> pa.Table:
+        sid = [f"P{v}" for v in t["p_partkey"].to_pylist()]
+        return t.append_column("record_id", pa.array(sid, type=pa.string()))
+
+    recs = parts.map_batches(with_sid, batch_format="pyarrow")
+    linkage = KeyLinker(["p_brand", "p_size"], salt_rows=4096)(recs, recs)
+    labeled = connected_components(
+        links=linkage.links_ds,
+        records=recs.select_columns(["record_id"]),
+        mode="distributed",
+        driver_threshold=0,
+        factorize_broadcast_threshold=0,
+    )
+    mins = labeled.groupby("component").aggregate(
+        Min("record_id", alias_name="component_id")
+    )
+    out = hash_join(
+        labeled,
+        mins,
+        on="component",
+        left_schema=pa.schema(
+            [pa.field("record_id", pa.string()), pa.field("component", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [pa.field("component", pa.int64()), pa.field("component_id", pa.string())]
+        ),
+    )
+    return out.select_columns(["record_id", "component_id"])
+
+
 def q_sorted_neighborhood(sf_dir: str):
     from mismo_ray.linker import SortedNeighborhoodLinker
 
@@ -606,6 +649,7 @@ QUERIES = {
     "document_counts": q_document_counts,
     "rare_terms": q_rare_terms,
     "connected_components": q_connected_components,
+    "connected_components_str": q_connected_components_str,
     "sorted_neighborhood": q_sorted_neighborhood,
     "fs_score": q_fs_score,
     "filter_links_best": q_filter_links_best,
@@ -700,6 +744,18 @@ ORACLE_SQL = {
         " UNION "
         " SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node"
         ") SELECT node AS record_id, min(comp) AS component FROM walk GROUP BY node"
+    ),
+    "connected_components_str": (
+        "WITH RECURSIVE recs AS ("
+        " SELECT 'P' || CAST(p_partkey AS VARCHAR) AS rid, p_brand, p_size FROM part"
+        "), edges AS ("
+        " SELECT a.rid AS s, b.rid AS d FROM recs a JOIN recs b"
+        "  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.rid <> b.rid"
+        "), walk(node, comp) AS ("
+        " SELECT rid, rid FROM recs"
+        " UNION "
+        " SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node"
+        ") SELECT node AS record_id, min(comp) AS component_id FROM walk GROUP BY node"
     ),
     "sorted_neighborhood": (
         "WITH r AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk "

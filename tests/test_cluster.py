@@ -109,6 +109,71 @@ def test_cc_struct_ids(ray_session):
     }
 
 
+def test_cc_string_ids_join_path(ray_session):
+    """Force the corpus-scale path end to end: no broadcast dict anywhere —
+    Factorizer encode/decode and singleton label attach all run as bucketed
+    lookup joins (factorize_broadcast_threshold=0, driver_threshold=0)."""
+    links = edges_ds(
+        [("a", "x"), ("b", "x"), ("b", "y"), ("c", "y"), ("g", "h")],
+        id_type=pa.string(),
+    )
+    records = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(
+                    ["a", "b", "c", "x", "y", "g", "h", "solo1", "solo2"],
+                    type=pa.string(),
+                ),
+                "v": list(range(9)),
+            }
+        )
+    )
+    labeled = connected_components(
+        links=links,
+        records=records,
+        mode="distributed",
+        driver_threshold=0,
+        factorize_broadcast_threshold=0,
+    )
+    rows = labeled.take_all()
+    comp = {r["record_id"]: r["component"] for r in rows}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["x"] == comp["y"]
+    assert comp["g"] == comp["h"] != comp["a"]
+    # singletons: fresh unique labels disjoint from factorized codes
+    assert comp["solo1"] != comp["solo2"]
+    assert {comp["solo1"], comp["solo2"]}.isdisjoint({comp["a"], comp["g"]})
+    assert {r["v"] for r in rows} == set(range(9))  # original columns survive
+
+
+def test_cc_struct_ids_join_path(ray_session):
+    """Nested (struct) record ids through the no-broadcast join path — the
+    in-bucket python-dict fallback of bucketed_lookup_join."""
+    id_type = pa.struct([("dataset", pa.string()), ("record_id", pa.int64())])
+    mk = lambda d, i: {"dataset": d, "record_id": i}
+    links = edges_ds(
+        [(mk("a", 1), mk("b", 1)), (mk("a", 2), mk("b", 2)), (mk("b", 2), mk("a", 3))],
+        id_type=id_type,
+    )
+    labels = connected_components(
+        links=links,
+        mode="distributed",
+        driver_threshold=0,
+        factorize_broadcast_threshold=0,
+    )
+    rows = labels.take_all()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(
+            tuple(sorted(r["record_id"].items()))
+        )
+    got = {frozenset(v) for v in by_comp.values()}
+    a = lambda d, i: tuple(sorted({"dataset": d, "record_id": i}.items()))
+    assert got == {
+        frozenset({a("a", 1), a("b", 1)}),
+        frozenset({a("a", 2), a("b", 2), a("a", 3)}),
+    }
+
+
 @pytest.mark.parametrize("mode", ["driver", "distributed"])
 def test_cc_with_records_and_singletons(ray_session, mode):
     records = ray.data.from_arrow(
