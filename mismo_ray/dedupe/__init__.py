@@ -209,6 +209,51 @@ def minhash_lsh_keys(
     return band_keys_from_signatures(sig, valid, n_bands=n_bands)[0]
 
 
+def hash_set_jaccard_batch(
+    vals_l: list, vals_r: list, shingle_fn: Callable[[str], np.ndarray]
+) -> np.ndarray:
+    """Exact set-jaccard per pair over uint64 shingle hashes (collision-free
+    whp): one sorted-unique hash array per UNIQUE value in the batch
+    (memoized — near-dup candidates repeat the same records many times), then
+    a C-speed ``np.intersect1d`` per pair. No python string churn, no per-pair
+    re-shingling. Empty-vs-anything = 0.0 (matches ``sets.jaccard``); a null
+    on either side = 0.0 (candidates never have null keys)."""
+    cache: dict[str, np.ndarray] = {}
+
+    def hs(s: str) -> np.ndarray:
+        arr = cache.get(s)
+        if arr is None:
+            arr = np.unique(shingle_fn(s))
+            cache[s] = arr
+        return arr
+
+    out = np.zeros(len(vals_l), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(vals_l, vals_r)):
+        if a is None or b is None:
+            continue
+        ha, hb = hs(a), hs(b)
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        if inter:
+            out[i] = inter / (ha.size + hb.size - inter)
+    return out
+
+
+def _sig_agreement(t: pa.Table, num_hashes: int) -> np.ndarray:
+    """Row-wise minhash-signature agreement fraction (jaccard estimator,
+    std ~ sqrt(j(1-j)/num_hashes)) over fixed-size-list sig columns."""
+    sl, sr = t["__sig___l"], t["__sig___r"]
+    if isinstance(sl, pa.ChunkedArray):
+        sl = sl.combine_chunks()
+    if isinstance(sr, pa.ChunkedArray):
+        sr = sr.combine_chunks()
+    n = len(sl)
+    if n == 0:
+        return np.zeros(0)
+    a = np.asarray(sl.flatten()).reshape(n, num_hashes)
+    b = np.asarray(sr.flatten()).reshape(n, num_hashes)
+    return (a == b).mean(axis=1)
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     column: str,
@@ -217,13 +262,26 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     shingle_w: int = 5,
     verify_jaccard: float | None = None,
+    verify_mode: str = "hybrid",
+    verify_margin: float = 0.15,
     max_pairs: int | None = None,
     seed: int = 7,
 ) -> Linkage:
-    """Candidate near-dup pairs via banded minhash LSH; optional exact
-    shingle-jaccard verification (pairs below the bar are dropped)."""
+    """Candidate near-dup pairs via banded minhash LSH; optional
+    shingle-jaccard verification (pairs below the bar are dropped).
 
-    def keys_fn(batch: pa.Table) -> pa.Array:
+    The signature is computed ONCE per record into a narrow sketch table
+    (record_id, sig — ~8+8*num_hashes bytes/row) which is what gets pinned
+    and shuffled; band keys derive from it, and verification re-uses it:
+
+    - verify_mode="hybrid" (default): pairs whose signature-estimated jaccard
+      is outside [bar-margin, bar+margin] are decided from the sketch alone;
+      only the borderline band joins the raw texts back for an exact check.
+    - "exact": every pair exact-checked (memoized hash-shingle sets).
+    - "est": sketch-only (cheapest; est error ~ 1/sqrt(num_hashes)).
+    """
+
+    def add_sig(batch: pa.Table) -> pa.Table:
         # charhash signature family: string-free rolling hashes (the
         # string-shingle family in minhash_signatures_batch gives the same
         # LSH guarantees but materializes every shingle as a python string)
@@ -233,28 +291,214 @@ def minhash_lsh_pairs(
             shingle_w=shingle_w,
             seed=seed,
         )
-        out = band_keys_from_signatures(sig, valid, n_bands=n_bands)
-        return pa.array(out, type=pa.list_(pa.int64()))
+        return pa.table(
+            {
+                "record_id": batch["record_id"],
+                "__sig__": pa.array(
+                    [
+                        sig[i].astype(np.int64).tolist() if valid[i] else None
+                        for i in range(len(valid))
+                    ],
+                    type=pa.list_(pa.int64(), num_hashes),
+                ),
+            }
+        )
+
+    # narrow sketch table (≈ 8+8*num_hashes B/row); not materialized here —
+    # generate_pairs pins its keyed projection (sig included) exactly once
+    sketches = ds.map_batches(add_sig, batch_format="pyarrow")
+
+    def keys_fn(batch: pa.Table) -> pa.Array:
+        sigcol = batch["__sig__"]
+        if isinstance(sigcol, pa.ChunkedArray):
+            sigcol = sigcol.combine_chunks()
+        n = len(sigcol)
+        valid = ~np.asarray(sigcol.is_null())
+        if n == 0:
+            return pa.array([], type=pa.list_(pa.int64()))
+        if valid.all():
+            sig = (
+                np.asarray(sigcol.flatten())
+                .reshape(n, num_hashes)
+                .astype(np.int64)
+                .astype(np.uint64)
+            )
+        else:
+            # rare null-sig rows: flatten() length no longer matches n*k
+            sig = np.zeros((n, num_hashes), dtype=np.uint64)
+            for i, v in enumerate(sigcol.to_pylist()):
+                if v is not None:
+                    sig[i] = np.asarray(v, dtype=np.int64).astype(np.uint64)
+        return pa.array(
+            band_keys_from_signatures(sig, valid, n_bands=n_bands),
+            type=pa.list_(pa.int64()),
+        )
 
     keys_fn.__name__ = "lsh_keys"
-    linker = UnnestLinker(keys_fn, max_pairs=max_pairs)
-    linkage = linker(ds, ds)
+
+    # ---- explode band keys WITH the signature carried alongside, so the
+    # pair-gen shuffle delivers (id_l, id_r, sig_l, sig_r) directly and the
+    # verify stage needs NO join back to the corpus for the common case.
+    def explode_bands(t: pa.Table) -> pa.Table:
+        keys = keys_fn(t)
+        valid = np.flatnonzero(~np.asarray(keys.is_null()))
+        empty = pa.table(
+            {
+                "record_id": t["record_id"].combine_chunks().slice(0, 0),
+                "token": pa.array([], type=pa.int64()),
+                "__sig__": pa.array([], type=pa.list_(pa.int64(), num_hashes)),
+            }
+        )
+        if len(valid) == 0:
+            return empty
+        take_rows = pa.array(np.repeat(valid, n_bands), type=pa.int64())
+        toks = keys.take(pa.array(valid, type=pa.int64())).flatten()
+        return pa.table(
+            {
+                "record_id": t["record_id"].take(take_rows),
+                "token": toks,
+                "__sig__": t["__sig__"].take(take_rows),
+            }
+        )
+
+    from mismo_ray._joins import default_num_partitions
+    from mismo_ray.keys import resolve_keys
+    from mismo_ray.linker._pairgen import generate_pairs
+
+    ex = sketches.map_batches(explode_bands, batch_format="pyarrow")
+    links, _counters = generate_pairs(
+        ex,
+        ex,
+        resolve_keys("token"),
+        task="dedupe",
+        max_pairs=max_pairs,
+        salt_rows=2048,
+        carry_l=["__sig__"],
+    )
+
+    ids_only = ["record_id_l", "record_id_r"]
+
+    # ---- multi-band duplicate drop, carry-preserving: coarse bucket on the
+    # pair hash + vectorized consecutive-dup mask per bucket (a raw distinct
+    # would lose carried columns; a groupby per pair would be a task per pair)
+    B = default_num_partitions()
+
+    def pair_dedup(pairs: ray.data.Dataset) -> ray.data.Dataset:
+        def pbucket(t: pa.Table) -> pa.Table:
+            h = (hash64(t["record_id_l"]) ^ hash64(t["record_id_r"])) % np.uint64(B)
+            return t.append_column("__pbkt__", pa.array(h.astype(np.int64)))
+
+        def dedup_group(g: pa.Table) -> pa.Table:
+            l = g["record_id_l"].to_numpy(zero_copy_only=False)
+            r = g["record_id_r"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((r, l))
+            dup = np.zeros(len(order), dtype=bool)
+            if len(order) > 1:
+                dup[1:] = (l[order[1:]] == l[order[:-1]]) & (
+                    r[order[1:]] == r[order[:-1]]
+                )
+            keep = pa.array(order[~dup], type=pa.int64())
+            return g.take(keep).drop_columns(["__pbkt__"])
+
+        return (
+            pairs.map_batches(pbucket, batch_format="pyarrow")
+            .groupby("__pbkt__")
+            .map_groups(dedup_group, batch_format="pyarrow")
+        )
+
     if verify_jaccard is None:
-        return linkage
-    pairs = linkage.links.with_both([column], [column])
+        return Linkage(
+            left=ds, right=ds, links=pair_dedup(links).select_columns(ids_only)
+        )
 
-    def verify(t: pa.Table) -> pa.Table:
-        keep = [
-            (jaccard(char_shingles(a, shingle_w), char_shingles(b, shingle_w)) or 0.0)
-            >= verify_jaccard
-            for a, b in zip(
-                t[f"{column}_l"].to_pylist(), t[f"{column}_r"].to_pylist()
+    # ---- verify. The est-tag map runs BEFORE the dedup shuffle so the
+    # (usually much smaller) surviving set is what gets shuffled:
+    # tag 2 = clear accept from the sketch, 1 = borderline (exact check),
+    # reject rows dropped immediately. Duplicate pairs carry identical sigs,
+    # hence identical tags — tag-then-dedup == dedup-then-tag.
+    if verify_mode == "est":
+        lo, hi = verify_jaccard, verify_jaccard
+    elif verify_mode == "exact":
+        lo, hi = -1.0, 2.0  # everything borderline -> exact-checked
+    elif verify_mode == "hybrid":
+        lo, hi = verify_jaccard - verify_margin, verify_jaccard + verify_margin
+    else:
+        raise ValueError("verify_mode must be 'hybrid', 'exact' or 'est'")
+
+    def tag_fn(t: pa.Table) -> pa.Table:
+        est = _sig_agreement(t, num_hashes)
+        tag = np.where(est >= hi, 2, np.where(est > lo, 1, 0)).astype(np.int8)
+        out = pa.table(
+            {
+                "record_id_l": t["record_id_l"],
+                "record_id_r": t["record_id_r"],
+                "__tag__": pa.array(tag),
+            }
+        )
+        return out.filter(pa.array(tag > 0))
+
+    decided = pair_dedup(
+        links.map_batches(tag_fn, batch_format="pyarrow")
+    ).materialize()
+
+    def only(tag_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            m = np.asarray(t["__tag__"].to_numpy(zero_copy_only=False)) == tag_val
+            return t.filter(pa.array(m)).select(ids_only)
+
+        return fn
+
+    accepted = decided.map_batches(only(2), batch_format="pyarrow")
+    borderline = decided.map_batches(only(1), batch_format="pyarrow")
+    nb = borderline.count()
+    if nb == 0:
+        return Linkage(left=ds, right=ds, links=accepted)
+
+    # exact hash-shingle jaccard for the (usually small) undecided band.
+    # Small sets skip joins entirely: one map-only filter pass over the
+    # corpus collects just the referenced texts into a broadcast dict, and
+    # the verify is a single map over the borderline pairs. Large sets fall
+    # back to the full corpus join (with_both).
+    shingle = lambda s: charshingle_hashes(s, shingle_w, seed=seed)  # noqa: E731
+    if nb <= 1_000_000:
+        idset: set = set()
+        for b in borderline.iter_batches(batch_format="pyarrow"):
+            idset.update(b["record_id_l"].to_pylist())
+            idset.update(b["record_id_r"].to_pylist())
+        from mismo_ray._joins import broadcast_isin
+
+        texts: dict = {}
+        for b in broadcast_isin(
+            ds.select_columns(["record_id", column]), "record_id", idset
+        ).iter_batches(batch_format="pyarrow"):
+            texts.update(zip(b["record_id"].to_pylist(), b[column].to_pylist()))
+        tref = ray.put(texts)
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            m = ray.get(tref)
+            jacc = hash_set_jaccard_batch(
+                [m.get(v) for v in t["record_id_l"].to_pylist()],
+                [m.get(v) for v in t["record_id_r"].to_pylist()],
+                shingle,
             )
-        ]
-        return t.filter(pa.array(keep)).select(["record_id_l", "record_id_r"])
+            return t.filter(pa.array(jacc >= verify_jaccard)).select(ids_only)
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
-    return Linkage(left=ds, right=ds, links=verified)
+        checked = borderline.map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        pairs = Linkage(left=ds, right=ds, links=borderline).links.with_both(
+            [column], [column]
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            jacc = hash_set_jaccard_batch(
+                t[f"{column}_l"].to_pylist(),
+                t[f"{column}_r"].to_pylist(),
+                shingle,
+            )
+            return t.filter(pa.array(jacc >= verify_jaccard)).select(ids_only)
+
+        checked = pairs.map_batches(verify, batch_format="pyarrow")
+    return Linkage(left=ds, right=ds, links=accepted.union(checked))
 
 
 def minhash_lsh_dedupe(
@@ -351,9 +595,16 @@ def simhash_pairs(
         hs = simhash64_batch(
             t[column].to_pylist(), shingle_w=shingle_w, seed=seed
         )
-        return t.append_column("__simhash__", pa.array(hs, type=pa.int64()))
+        return pa.table(
+            {
+                "record_id": t["record_id"],
+                "__simhash__": pa.array(hs, type=pa.int64()),
+            }
+        )
 
-    # compute each record's simhash ONCE; candidates carry it through the join
+    # compute each record's simhash ONCE; candidates carry it through the
+    # join. Only the 16 B/row (id, simhash) sketch is pinned — never the
+    # text corpus (at beyond-memory scale checkpoint it to parquet instead).
     hashed = ds.map_batches(add_simhash, batch_format="pyarrow").materialize()
 
     def band_keys(batch: pa.Table) -> pa.Array:
@@ -415,13 +666,22 @@ def ngram_jaccard_pairs(
     pairs = linkage.links.with_both([column], [column])
 
     def verify(t: pa.Table) -> pa.Table:
-        keep = [
-            (jaccard(ngrams_fn(a, n), ngrams_fn(b, n)) or 0.0) >= min_jaccard
-            for a, b in zip(
-                t[f"{column}_l"].to_pylist(), t[f"{column}_r"].to_pylist()
-            )
-        ]
-        return t.filter(pa.array(keep)).select(["record_id_l", "record_id_r"])
+        # memoized uint64 ngram-hash sets + C-speed intersections (equals
+        # string-set jaccard whp; see hash_set_jaccard_batch)
+        jacc = hash_set_jaccard_batch(
+            t[f"{column}_l"].to_pylist(),
+            t[f"{column}_r"].to_pylist(),
+            # ngrams() of a string shorter than n is EMPTY (charshingle_hashes
+            # would hash the whole short string instead) — keep that semantic
+            lambda s: (
+                charshingle_hashes(s, n)
+                if len(s) >= n
+                else np.empty(0, dtype=np.uint64)
+            ),
+        )
+        return t.filter(pa.array(jacc >= min_jaccard)).select(
+            ["record_id_l", "record_id_r"]
+        )
 
     verified = pairs.map_batches(verify, batch_format="pyarrow")
     return Linkage(left=ds, right=ds, links=verified)

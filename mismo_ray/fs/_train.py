@@ -24,7 +24,7 @@ import ray.data
 from mismo_ray.compare import LevelComparer, compare
 from mismo_ray.fs._weights import ComparerWeights, LevelWeights, Weights
 from mismo_ray.linker._key_linker import KeyLinker
-from mismo_ray.linker._sample import sample_all_links, sample_records
+from mismo_ray.linker._sample import sample_all_links
 from mismo_ray.types import Linkage
 
 
@@ -112,22 +112,25 @@ def train_using_labels(
     )
     n_true = tp.links_ds.count()
     if n_true > max_pairs:
-        links = sample_records(
-            tp.links_ds.map_batches(
-                lambda t: t.rename_columns(
-                    ["record_id" if c == "record_id_l" else c for c in t.column_names]
-                ),
-                batch_format="pyarrow",
-            ),
-            max_pairs,
-            n_true,
-            seed=seed,
-        ).map_batches(
-            lambda t: t.rename_columns(
-                ["record_id_l" if c == "record_id" else c for c in t.column_names]
-            ),
-            batch_format="pyarrow",
-        )
+        # sample PAIRS independently via a hash threshold on the
+        # (record_id_l, record_id_r) pair — sampling by left record would
+        # keep/drop whole clusters together and bias m-weights when cluster
+        # sizes are skewed (reference samples pairs uniformly)
+        import numpy as np
+        import pyarrow as pa
+
+        from mismo_ray._util import combine_hash_columns
+
+        thresh = np.uint64(int(min(1.0, max_pairs / n_true) * 2**64))
+        pair_seed = (seed or 0) ^ 0xD1CE
+
+        def sample_pairs(t: pa.Table) -> pa.Table:
+            h = combine_hash_columns(
+                t, ["record_id_l", "record_id_r"], seed=pair_seed
+            )
+            return t.filter(pa.array(h < thresh))
+
+        links = tp.links_ds.map_batches(sample_pairs, batch_format="pyarrow")
         tp = Linkage(left=tp.left, right=tp.right, links=links)
     m_labels = _labels_matrix(tp, comparers)
     # ---- u: random pair sample, assumed non-matches

@@ -121,11 +121,14 @@ def _expand_salt(
     """Assign shuffle groups; replicate rows of salted blocks.
 
     Unsalted: grp = block, role = BOTH (dedupe) or L/R by side (link).
-    Salted dedupe: row in sub-block b joins groups (b,b) role BOTH is wrong —
-    (b,b) is a triangle among sub-block b's rows (role BOTH), and every
-    cross group (i,j), i<j, with role L for i-rows and role R for j-rows.
-    Salted link: left rows keep their sub-block (grp (b)); right rows are
-    replicated into every sub-block group.
+    Salted dedupe (salt[b] = n rows): row in sub-block b joins the triangle
+    group (b,b) with role BOTH, and every cross group (i,j), i<j, with role L
+    for i-rows and role R for j-rows.
+    Salted link (salt[b] = (n_left, n_right)): BOTH sides are sub-blocked —
+    sl = ceil(nl/salt_rows) left blocks, sr = ceil(nr/salt_rows) right — and
+    every (i, j) cross group gets its left rows (role L, replicated sr times)
+    and right rows (role R, replicated sl times), so per-task enumeration is
+    bounded by ~salt_rows^2 under skew on EITHER side.
     """
 
     def grp_id(block: np.ndarray | int, i, j) -> np.ndarray | int:
@@ -167,33 +170,30 @@ def _expand_salt(
             hot = batch.filter(pa.array(is_salted))
             hblock = block[is_salted]
             rid = np.asarray(hot["record_id"])
-            sub = (
-                hash64(rid, seed=0xBEEF) % np.maximum(
-                    np.fromiter(
-                        (math.ceil(salt[b] / salt_rows) for b in hblock),
-                        dtype=np.uint64,
-                        count=len(hblock),
-                    ),
-                    1,
-                )
-            ).astype(np.int64)
+            subh = hash64(rid, seed=0xBEEF)  # raw sub-block hash; mod per side
             hside = side[is_salted] if link else None
             idx_out, grp_out, role_out = [], [], []
             for r in range(len(hblock)):
                 b = hblock[r]
-                s = math.ceil(salt[b] / salt_rows)
                 if link:
-                    if hside[r] == 0:  # left: stays in its sub-block
-                        idx_out.append(r)
-                        grp_out.append(grp_id(b, sub[r], sub[r]))
-                        role_out.append(_ROLE_L)
-                    else:  # right: replicated to every sub-block
-                        for i in range(s):
+                    nl, nr = salt[b]
+                    sl = max(1, math.ceil(nl / salt_rows))
+                    sr = max(1, math.ceil(nr / salt_rows))
+                    if hside[r] == 0:  # left row in sub-block i x all right j
+                        i = int(subh[r] % np.uint64(sl))
+                        for j in range(sr):
                             idx_out.append(r)
-                            grp_out.append(grp_id(b, i, i))
+                            grp_out.append(grp_id(b, i, j))
+                            role_out.append(_ROLE_L)
+                    else:  # right row in sub-block j x all left i
+                        j = int(subh[r] % np.uint64(sr))
+                        for i in range(sl):
+                            idx_out.append(r)
+                            grp_out.append(grp_id(b, i, j))
                             role_out.append(_ROLE_R)
                 else:
-                    bsub = sub[r]
+                    s = max(1, math.ceil(salt[b] / salt_rows))
+                    bsub = int(subh[r] % np.uint64(s))
                     idx_out.append(r)
                     grp_out.append(grp_id(b, bsub, bsub))
                     role_out.append(_ROLE_BOTH)
@@ -338,15 +338,22 @@ def generate_pairs(
         drop_ref = salt_ref = None
         hot: set = set()
         salt: dict = {}
+        # ONE collect pass for both the hot-key drop set and the salt map
+        # (two separate passes would re-run the counts groupby)
+        mp = max_pairs if max_pairs is not None else (1 << 62)
+        sr = salt_rows if salt_rows is not None else (1 << 62)
+        cpdf = _collect_filtered(counts, lambda n: (n * n > mp) | (n > sr))
         if max_pairs is not None:
             # npairs per key uses n*n for dedupe — reference parity quirk
             # (_key_linker.py:195-222 computes nleft*nright on the same table).
-            cpdf = _collect_filtered(counts, lambda n: n * n > max_pairs)
-            hot = set(int(b) for b in cpdf["__block__"])
+            hot_mask = cpdf["n"].to_numpy() ** 2 > max_pairs
+            hot = set(int(b) for b in cpdf["__block__"][hot_mask])
             counters["hot_keys_dropped"] = len(hot)
-            counters["hot_records_dropped"] = int(cpdf["n"].sum()) if len(cpdf) else 0
+            counters["hot_records_dropped"] = (
+                int(cpdf["n"][hot_mask].sum()) if len(cpdf) else 0
+            )
         if salt_rows is not None:
-            spdf = _collect_filtered(counts, lambda n: n > salt_rows)
+            spdf = cpdf[cpdf["n"].to_numpy() > salt_rows]
             salt = {
                 int(b): int(n)
                 for b, n in zip(spdf["__block__"], spdf["n"])
@@ -415,29 +422,40 @@ def generate_pairs(
                 left_schema=counts_schema,
                 right_schema=counts_schema,
             )
-            jpdf_hot = pd.DataFrame(columns=["__block__"])
+            # ONE collect pass over the joined per-block counts serves both
+            # the hot-key drop set and the TWO-SIDED salt map: a block is
+            # salted when EITHER side exceeds salt_rows (left-only salting
+            # would leave right-skewed blocks with salt_rows * n_right pair
+            # enumeration in one task).
+            mp = max_pairs if max_pairs is not None else (1 << 62)
+            sr_t = salt_rows if salt_rows is not None else (1 << 62)
+
+            def hot_or_salt(t: pa.Table) -> pa.Table:
+                nl = np.asarray(t["n"], dtype=np.int64)
+                nr = np.asarray(t["n_r"], dtype=np.int64)
+                return t.filter(
+                    pa.array((nl * nr > mp) | (nl > sr_t) | (nr > sr_t))
+                )
+
+            jpdf = joined.map_batches(hot_or_salt, batch_format="pyarrow").to_pandas()
+            if "__block__" not in jpdf.columns:
+                jpdf = pd.DataFrame({"__block__": [], "n": [], "n_r": []})
+            hot = set()
             if max_pairs is not None:
-
-                def hot_filter(t: pa.Table) -> pa.Table:
-                    npairs = np.asarray(t["n"], dtype=np.int64) * np.asarray(
-                        t["n_r"], dtype=np.int64
-                    )
-                    return t.filter(pa.array(npairs > max_pairs))
-
-                jpdf_hot = joined.map_batches(
-                    hot_filter, batch_format="pyarrow"
-                ).to_pandas()
-                if "__block__" not in jpdf_hot.columns:
-                    jpdf_hot = pd.DataFrame({"__block__": []})
-            hot = set(jpdf_hot["__block__"].tolist())
+                hot_mask = (
+                    jpdf["n"].to_numpy(dtype=np.int64)
+                    * jpdf["n_r"].to_numpy(dtype=np.int64)
+                    > max_pairs
+                )
+                hot = set(int(b) for b in jpdf["__block__"][hot_mask])
             counters["hot_keys_dropped"] = len(hot)
             salt = {}
             if salt_rows is not None:
-                spdf = _collect_filtered(cl, lambda n: n > salt_rows)
                 salt = {
-                    int(b): int(n)
-                    for b, n in zip(spdf["__block__"], spdf["n"])
+                    int(b): (int(nl), int(nr))
+                    for b, nl, nr in zip(jpdf["__block__"], jpdf["n"], jpdf["n_r"])
                     if int(b) not in hot
+                    and (int(nl) > salt_rows or int(nr) > salt_rows)
                 }
             counters["salted_keys"] = len(salt)
             drop_ref = ray.put(frozenset(hot)) if hot else None

@@ -256,3 +256,28 @@ def test_unnest_linker_matches_bruteforce(rows, max_pairs):
         ["record_id_l", "record_id_r"],
     )
     assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_key_linker_link_right_side_skew_salting():
+    """A block heavy ONLY on the right side must still be salted (two-sided
+    sub-blocking): correctness + the salt counter actually firing."""
+    n_r = 500
+    lds = ray.data.from_arrow(
+        pa.table({"record_id": [0, 1, 2], "k": ["hot", "hot", "cold"]})
+    )
+    rds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": list(range(100, 100 + n_r)),
+                "k": ["hot"] * (n_r - 1) + ["cold"],
+            }
+        )
+    )
+    linker = KeyLinker("k", salt_rows=50, task="link")
+    got = rows_set(linker(lds, rds).links_ds, ["record_id_l", "record_id_r"])
+    expected = {(i, 100 + j) for i in (0, 1) for j in range(n_r - 1)} | {
+        (2, 100 + n_r - 1)
+    }
+    assert got == expected
+    assert linker.last_counters.get("salted_keys", 0) >= 1
