@@ -334,15 +334,20 @@ def generate_pairs(
             # with heavy carried columns, prefer carry=None + a later join so
             # the pinned projection stays narrow.
             keyed = keyed.materialize()
-        counts = _block_counts(keyed)
         drop_ref = salt_ref = None
         hot: set = set()
         salt: dict = {}
         # ONE collect pass for both the hot-key drop set and the salt map
-        # (two separate passes would re-run the counts groupby)
-        mp = max_pairs if max_pairs is not None else (1 << 62)
-        sr = salt_rows if salt_rows is not None else (1 << 62)
-        cpdf = _collect_filtered(counts, lambda n: (n * n > mp) | (n > sr))
+        # (two separate passes would re-run the counts groupby) — and NO
+        # pass at all when neither cap is set (bounded-group pipelines opt
+        # out of the pre-pass entirely)
+        if max_pairs is not None or salt_rows is not None:
+            counts = _block_counts(keyed)
+            mp = max_pairs if max_pairs is not None else (1 << 62)
+            sr = salt_rows if salt_rows is not None else (1 << 62)
+            cpdf = _collect_filtered(counts, lambda n: (n * n > mp) | (n > sr))
+        else:
+            cpdf = pd.DataFrame({"__block__": [], "n": []})
         if max_pairs is not None:
             # npairs per key uses n*n for dedupe — reference parity quirk
             # (_key_linker.py:195-222 computes nleft*nright on the same table).

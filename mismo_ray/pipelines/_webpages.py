@@ -34,7 +34,6 @@ from mismo_ray.compare import LevelComparer
 from mismo_ray.fs import Weights, train_using_em, train_using_labels
 from mismo_ray.keys import KeySpec
 from mismo_ray.linker import KeyLinker
-from mismo_ray.sets import jaccard
 from mismo_ray.text import jaro_winkler_similarity
 from mismo_ray.types import Linkage
 
@@ -221,22 +220,52 @@ def _shingles(s: str | None, w: int = 3) -> list[str] | None:
     return [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
 
 
+def _wordshingle_hashes(s: str, w: int = 3) -> np.ndarray:
+    """uint64 hashes of the word w-gram shingles of ``s`` (same set-jaccard as
+    the string shingles whp, no python string-window churn): hash the tokens
+    once, then a splitmix chain over each w-token window."""
+    toks = s.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = hash64(toks)
+    if len(th) < w:
+        w = len(th)
+    acc = th[: len(th) - w + 1].copy()
+    with np.errstate(over="ignore"):
+        for k in range(1, w):
+            acc = splitmix64(acc ^ th[k : len(th) - w + 1 + k])
+    return acc
+
+
 def webpage_comparers() -> list[LevelComparer]:
+    import weakref
+
+    from mismo_ray.dedupe import hash_set_jaccard_batch
+
     def text_exact(t: pa.Table) -> np.ndarray:
         return pc.equal(t["extracted_text_l"], t["extracted_text_r"]).to_numpy(
             zero_copy_only=False
         )
 
+    # per-batch memo: both jaccard levels see the SAME table object (the
+    # LevelComparer evaluates levels in order per batch), so compute the
+    # jaccard vector once. Identity check through a live weakref is sound —
+    # a freed table's ref resolves to None, never to a new table.
+    memo = {"ref": None, "val": None}
+
     def _shingle_jacc(t: pa.Table) -> np.ndarray:
-        return np.array(
-            [
-                jaccard(_shingles(a), _shingles(b)) or 0.0
-                for a, b in zip(
-                    t["extracted_text_l"].to_pylist(),
-                    t["extracted_text_r"].to_pylist(),
-                )
-            ]
+        r = memo["ref"]
+        if r is not None and r() is t:
+            return memo["val"]
+        # memoized hash-shingle sets per unique text (EM's record sample
+        # repeats each text in ~sqrt(max_pairs) pairs) + C-speed intersects
+        val = hash_set_jaccard_batch(
+            t["extracted_text_l"].to_pylist(),
+            t["extracted_text_r"].to_pylist(),
+            _wordshingle_hashes,
         )
+        memo["ref"], memo["val"] = weakref.ref(t), val
+        return val
 
     def text_jaccard_high(t: pa.Table) -> np.ndarray:
         return _shingle_jacc(t) >= 0.75
