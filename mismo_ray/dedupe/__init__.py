@@ -258,6 +258,7 @@ def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     column: str,
     *,
+    right: ray.data.Dataset | None = None,
     num_hashes: int = 64,
     n_bands: int = 16,
     shingle_w: int = 5,
@@ -269,6 +270,11 @@ def minhash_lsh_pairs(
 ) -> Linkage:
     """Candidate near-dup pairs via banded minhash LSH; optional
     shingle-jaccard verification (pairs below the bar are dropped).
+
+    ``right=None`` (or ``right is ds``): dedupe task — unordered non-self
+    pairs within one corpus. Otherwise: link task — cross-corpus (l, r)
+    pairs, both corpora sketched with the SAME seeded hash families so band
+    keys collide exactly like in-corpus ones.
 
     The signature is computed ONCE per record into a narrow sketch table
     (record_id, sig — ~8+8*num_hashes bytes/row) which is what gets pinned
@@ -304,9 +310,15 @@ def minhash_lsh_pairs(
             }
         )
 
+    link = right is not None and right is not ds
+    right_src = right if link else ds
+
     # narrow sketch table (≈ 8+8*num_hashes B/row); not materialized here —
     # generate_pairs pins its keyed projection (sig included) exactly once
     sketches = ds.map_batches(add_sig, batch_format="pyarrow")
+    sketches_r = (
+        right.map_batches(add_sig, batch_format="pyarrow") if link else None
+    )
 
     def keys_fn(batch: pa.Table) -> pa.Array:
         sigcol = batch["__sig__"]
@@ -366,14 +378,20 @@ def minhash_lsh_pairs(
     from mismo_ray.linker._pairgen import generate_pairs
 
     ex = sketches.map_batches(explode_bands, batch_format="pyarrow")
+    ex_r = (
+        sketches_r.map_batches(explode_bands, batch_format="pyarrow")
+        if link
+        else ex
+    )
     links, _counters = generate_pairs(
         ex,
-        ex,
+        ex_r,
         resolve_keys("token"),
-        task="dedupe",
+        task="link" if link else "dedupe",
         max_pairs=max_pairs,
         salt_rows=2048,
         carry_l=["__sig__"],
+        carry_r=["__sig__"] if link else None,
     )
 
     ids_only = ["record_id_l", "record_id_r"]
@@ -408,7 +426,9 @@ def minhash_lsh_pairs(
 
     if verify_jaccard is None:
         return Linkage(
-            left=ds, right=ds, links=pair_dedup(links).select_columns(ids_only)
+            left=ds,
+            right=right_src,
+            links=pair_dedup(links).select_columns(ids_only),
         )
 
     # ---- verify. The est-tag map runs BEFORE the dedup shuffle so the
@@ -452,7 +472,7 @@ def minhash_lsh_pairs(
     borderline = decided.map_batches(only(1), batch_format="pyarrow")
     nb = borderline.count()
     if nb == 0:
-        return Linkage(left=ds, right=ds, links=accepted)
+        return Linkage(left=ds, right=right_src, links=accepted)
 
     # exact hash-shingle jaccard for the (usually small) undecided band.
     # Small sets skip joins entirely: one map-only filter pass over the
@@ -461,33 +481,43 @@ def minhash_lsh_pairs(
     # back to the full corpus join (with_both).
     shingle = lambda s: charshingle_hashes(s, shingle_w, seed=seed)  # noqa: E731
     if nb <= 1_000_000:
-        idset: set = set()
+        idset_l: set = set()
+        idset_r: set = set()
         for b in borderline.iter_batches(batch_format="pyarrow"):
-            idset.update(b["record_id_l"].to_pylist())
-            idset.update(b["record_id_r"].to_pylist())
+            idset_l.update(b["record_id_l"].to_pylist())
+            idset_r.update(b["record_id_r"].to_pylist())
         from mismo_ray._joins import broadcast_isin
 
-        texts: dict = {}
-        for b in broadcast_isin(
-            ds.select_columns(["record_id", column]), "record_id", idset
-        ).iter_batches(batch_format="pyarrow"):
-            texts.update(zip(b["record_id"].to_pylist(), b[column].to_pylist()))
-        tref = ray.put(texts)
+        def collect_texts(src: ray.data.Dataset, idset: set) -> dict:
+            out: dict = {}
+            for b in broadcast_isin(
+                src.select_columns(["record_id", column]), "record_id", idset
+            ).iter_batches(batch_format="pyarrow"):
+                out.update(zip(b["record_id"].to_pylist(), b[column].to_pylist()))
+            return out
+
+        if link:
+            texts_l = collect_texts(ds, idset_l)
+            texts_r = collect_texts(right_src, idset_r)
+        else:
+            texts_l = collect_texts(ds, idset_l | idset_r)
+            texts_r = texts_l
+        tref = ray.put((texts_l, texts_r))
 
         def verify_bcast(t: pa.Table) -> pa.Table:
-            m = ray.get(tref)
+            m_l, m_r = ray.get(tref)
             jacc = hash_set_jaccard_batch(
-                [m.get(v) for v in t["record_id_l"].to_pylist()],
-                [m.get(v) for v in t["record_id_r"].to_pylist()],
+                [m_l.get(v) for v in t["record_id_l"].to_pylist()],
+                [m_r.get(v) for v in t["record_id_r"].to_pylist()],
                 shingle,
             )
             return t.filter(pa.array(jacc >= verify_jaccard)).select(ids_only)
 
         checked = borderline.map_batches(verify_bcast, batch_format="pyarrow")
     else:
-        pairs = Linkage(left=ds, right=ds, links=borderline).links.with_both(
-            [column], [column]
-        )
+        pairs = Linkage(
+            left=ds, right=right_src, links=borderline
+        ).links.with_both([column], [column])
 
         def verify(t: pa.Table) -> pa.Table:
             jacc = hash_set_jaccard_batch(
@@ -498,7 +528,7 @@ def minhash_lsh_pairs(
             return t.filter(pa.array(jacc >= verify_jaccard)).select(ids_only)
 
         checked = pairs.map_batches(verify, batch_format="pyarrow")
-    return Linkage(left=ds, right=ds, links=accepted.union(checked))
+    return Linkage(left=ds, right=right_src, links=accepted.union(checked))
 
 
 def minhash_lsh_dedupe(

@@ -612,6 +612,27 @@ def q_minhash_lsh_dedupe(sf_dir: str):
     return minhash_lsh_pairs(docs, "text", verify_jaccard=0.8).links_ds
 
 
+def q_minhash_lsh_link(sf_dir: str):
+    """Link task: cross-corpus near-dup between the even- and odd-doc_id
+    halves of the documents table (rows-only check; hash-function op)."""
+    from mismo_ray.dedupe import minhash_lsh_pairs
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    left = docs.map_batches(half(0), batch_format="pyarrow")
+    right = docs.map_batches(half(1), batch_format="pyarrow")
+    return minhash_lsh_pairs(
+        left, "text", right=right, verify_jaccard=0.8
+    ).links_ds
+
+
 def q_simhash_pairs(sf_dir: str):
     from mismo_ray.dedupe import simhash_pairs
 
@@ -665,6 +686,7 @@ QUERIES = {
     "keep_unambiguous": q_keep_unambiguous,
     "diff_updates": q_diff_updates,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
+    "minhash_lsh_link": q_minhash_lsh_link,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "flagship_er": q_flagship,

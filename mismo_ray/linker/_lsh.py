@@ -54,16 +54,14 @@ class MinhashLshLinker:
     def __call__(
         self, left: ray.data.Dataset, right: ray.data.Dataset
     ) -> Linkage:
-        if right is not left:
-            raise NotImplementedError(
-                "MinhashLshLinker currently supports the dedupe task "
-                "(near-dup detection within one corpus)"
-            )
         from mismo_ray.dedupe import minhash_lsh_pairs
+        from mismo_ray.linker._common import infer_task
 
-        linkage = minhash_lsh_pairs(
+        task = infer_task(task=self.task, left=left, right=right)
+        return minhash_lsh_pairs(
             left,
             self.column,
+            right=right if task == "link" else None,
             num_hashes=self.num_hashes,
             n_bands=self.n_bands,
             shingle_w=self.shingle_w,
@@ -71,4 +69,3 @@ class MinhashLshLinker:
             max_pairs=self.max_pairs,
             seed=self.seed,
         )
-        return linkage
