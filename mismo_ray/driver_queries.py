@@ -504,6 +504,56 @@ def q_tf_lookup(sf_dir: str):
     return cust.map_batches(fn, batch_format="pyarrow")
 
 
+_ADDR_NAMES = ["MAPLE", "OAK", "CEDAR", "ELM", "PINE", "WALNUT", "SPRUCE", "BIRCH"]
+_ADDR_SUFS = ["ST", "AVENUE", "RD"]
+_ADDR_SUF_CANON = ["street", "avenue", "road"]
+_ADDR_CITIES = ["SPRINGFIELD", "RIVERSIDE", "FRANKLIN", "NEW HAVEN", "CLINTON", "SALEM"]
+_ADDR_STATES_IN = ["IL", "CALIFORNIA", "TX", "NEW YORK", "OH", "FLORIDA"]
+_ADDR_STATES_OUT = ["IL", "CA", "TX", "NY", "OH", "FL"]
+
+
+def q_postal_parse(sf_dir: str):
+    """Full-address tagger + libpostal-style near-dupe fingerprints
+    (mismo_ray.lib.postal; reference mismo/lib/geo/_postal.py:26-172): the
+    address string is synthesized deterministically from c_custkey, parsed by
+    the rule tagger, and the oracle recomputes every expected field (and the
+    first fingerprint key) from the same components — a true inversion check."""
+    from mismo_ray.lib.postal import fingerprint_address_array, tag_address_array
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def build_and_parse(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        addrs = []
+        for k in keys:
+            house = 100 + k % 899
+            name = _ADDR_NAMES[k % 8]
+            suf = _ADDR_SUFS[k % 3]
+            city = _ADDR_CITIES[k % 6]
+            state = _ADDR_STATES_IN[(k // 6) % 6]
+            zipc = 10000 + (k * 7) % 89999
+            addrs.append(f"{house} {name} {suf}, {city}, {state} {zipc}")
+        parsed = tag_address_array(addrs)
+        fps = fingerprint_address_array(parsed)
+        st = parsed.combine_chunks() if isinstance(parsed, pa.ChunkedArray) else parsed
+        return pa.table(
+            {
+                "record_id": pa.array(keys),
+                "street1": st.field("street1"),
+                "city": st.field("city"),
+                "state": st.field("state"),
+                "postal_code": st.field("postal_code"),
+                "fp0": pa.array([v[0] if v else None for v in fps.to_pylist()]),
+                "n_fp": pa.array(
+                    [len(v) if v is not None else None for v in fps.to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return cust.map_batches(build_and_parse, batch_format="pyarrow")
+
+
 def q_keep_unambiguous(sf_dir: str):
     """Window link filter: keep links whose record_id_r has exactly one
     distinct record_id_l (reference filter_links nunique==1 window)."""
@@ -684,6 +734,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "keep_unambiguous": q_keep_unambiguous,
+    "postal_parse": q_postal_parse,
     "diff_updates": q_diff_updates,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     "minhash_lsh_link": q_minhash_lsh_link,
@@ -860,6 +911,21 @@ ORACLE_SQL = {
         "CAST(min(tus) // 1000000 AS BIGINT) AS session_start_s, "
         "CAST(max(tus) // 1000000 AS BIGINT) AS session_end_s, "
         "count(*) AS n_events FROM sess GROUP BY user_id, session_id"
+    ),
+    "postal_parse": (
+        "WITH comp AS (SELECT c_custkey AS k, "
+        " CAST(100 + c_custkey % 899 AS VARCHAR) AS house, "
+        " ['MAPLE','OAK','CEDAR','ELM','PINE','WALNUT','SPRUCE','BIRCH'][CAST(c_custkey % 8 AS INT)+1] AS nm, "
+        " ['ST','AVENUE','RD'][CAST(c_custkey % 3 AS INT)+1] AS suf, "
+        " ['street','avenue','road'][CAST(c_custkey % 3 AS INT)+1] AS canon, "
+        " ['SPRINGFIELD','RIVERSIDE','FRANKLIN','NEW HAVEN','CLINTON','SALEM'][CAST(c_custkey % 6 AS INT)+1] AS city, "
+        " ['IL','CA','TX','NY','OH','FL'][CAST((c_custkey // 6) % 6 AS INT)+1] AS st_out, "
+        " CAST(10000 + (c_custkey * 7) % 89999 AS VARCHAR) AS zipc "
+        " FROM customer) "
+        "SELECT k AS record_id, house || ' ' || nm || ' ' || suf AS street1, "
+        "city, st_out AS state, zipc AS postal_code, "
+        "'act|' || lower(nm) || ' ' || canon || '|' || house || '|' || lower(city) AS fp0, "
+        "CAST(4 AS BIGINT) AS n_fp FROM comp"
     ),
     "keep_unambiguous": (
         f"WITH pairs AS ({_PAIR_SQL}) "
