@@ -15,9 +15,10 @@ Pinned semantics:
   NOTE the evaluation ORDER is NICKNAMES, TYPO, INITIALS (the reference
   checks TYPO before INITIALS even though INITIALS has the smaller enum
   value — _compare.py:74-107); we replicate that order.
-- nicknames: the reference bundles a large alias-pairs dataset; we ship a
-  small seed set of well-known English nickname pairs and accept a
-  user-supplied pairs iterable (``are_aliases(..., aliases=...)``).
+- nicknames: a bundled ~550-pair English nickname dataset
+  (lib/_nickname_data.py) mirrors the reference's bundled lookup
+  (_nicknames.py:85-95); a user-supplied pairs iterable overrides it
+  (``are_aliases(..., aliases=...)``).
 """
 
 from __future__ import annotations
@@ -36,47 +37,13 @@ LEVELS = ["NULL", "EXACT", "GIVEN_SURNAME", "NICKNAMES", "INITIALS", "TYPO", "EL
 
 _NON_ALNUM = re.compile(r"[^A-Z0-9]+|\s+")
 
-# Small seed of widely known English nickname/alias pairs (public knowledge);
-# pass your own pairs for production use.
+# Bundled nickname dataset (mismo_ray/lib/_nickname_data.py; ~300 canonical
+# names / 550+ pairs — the reference loads the `nicknames` package the same
+# way, _nicknames.py:85-95). Pass your own pairs for other locales.
+from mismo_ray.lib._nickname_data import nickname_pairs as _bundled_pairs
+
 SEED_NICKNAMES: frozenset[tuple[str, str]] = frozenset(
-    (a.upper(), b.upper())
-    for a, b in [
-        ("robert", "bob"), ("robert", "rob"), ("robert", "bobby"),
-        ("william", "bill"), ("william", "will"), ("william", "billy"),
-        ("richard", "dick"), ("richard", "rick"), ("richard", "rich"),
-        ("james", "jim"), ("james", "jimmy"), ("john", "jack"),
-        ("john", "johnny"), ("michael", "mike"), ("michael", "mickey"),
-        ("elizabeth", "liz"), ("elizabeth", "beth"), ("elizabeth", "betty"),
-        ("elizabeth", "eliza"), ("margaret", "peggy"), ("margaret", "maggie"),
-        ("katherine", "kate"), ("katherine", "kathy"), ("katherine", "katie"),
-        ("catherine", "cathy"), ("christopher", "chris"), ("daniel", "dan"),
-        ("daniel", "danny"), ("thomas", "tom"), ("thomas", "tommy"),
-        ("charles", "charlie"), ("charles", "chuck"), ("joseph", "joe"),
-        ("joseph", "joey"), ("anthony", "tony"), ("patricia", "pat"),
-        ("patricia", "patty"), ("patricia", "trisha"), ("jennifer", "jen"),
-        ("jennifer", "jenny"), ("susan", "sue"), ("susan", "susie"),
-        ("deborah", "debbie"), ("deborah", "deb"), ("edward", "ed"),
-        ("edward", "eddie"), ("edward", "ted"), ("andrew", "andy"),
-        ("andrew", "drew"), ("nicholas", "nick"), ("samuel", "sam"),
-        ("benjamin", "ben"), ("alexander", "alex"), ("jonathan", "jon"),
-        ("matthew", "matt"), ("timothy", "tim"), ("stephen", "steve"),
-        ("steven", "steve"), ("david", "dave"), ("donald", "don"),
-        ("kenneth", "ken"), ("ronald", "ron"), ("gerald", "jerry"),
-        ("lawrence", "larry"), ("frederick", "fred"), ("abigail", "abby"),
-        ("rebecca", "becky"), ("victoria", "vicky"), ("pamela", "pam"),
-        ("sandra", "sandy"), ("barbara", "barb"), ("dorothy", "dot"),
-        ("theodore", "ted"), ("theodore", "theo"), ("gregory", "greg"),
-        ("raymond", "ray"), ("leonard", "leo"), ("eugene", "gene"),
-        ("vincent", "vince"), ("peter", "pete"), ("philip", "phil"),
-        ("walter", "walt"), ("albert", "al"), ("arthur", "art"),
-        ("harold", "hal"), ("henry", "hank"), ("isabella", "bella"),
-        ("jacqueline", "jackie"), ("kimberly", "kim"), ("cynthia", "cindy"),
-        ("jessica", "jess"), ("stephanie", "steph"), ("amanda", "mandy"),
-        ("melissa", "mel"), ("michelle", "shelly"), ("christine", "chris"),
-        ("christina", "tina"), ("angela", "angie"), ("virginia", "ginny"),
-        ("florence", "flo"), ("frances", "fran"), ("josephine", "jo"),
-        ("louise", "lou"), ("nathaniel", "nate"), ("zachary", "zach"),
-    ]
+    (a.upper(), b.upper()) for a, b in _bundled_pairs()
 )
 
 
@@ -137,7 +104,9 @@ def is_nickname_for(
 ) -> bool:
     if nick is None or canonical is None:
         return False
-    return (canonical.upper(), nick.upper()) in _alias_lookup(aliases)
+    nu, cu = nick.upper().strip(), canonical.upper().strip()
+    # same name counts (reference _nicknames.py:67-75)
+    return nu == cu or (cu, nu) in _alias_lookup(aliases)
 
 
 def initials_equal(left: str, right: str) -> bool:

@@ -254,15 +254,11 @@ def levenshtein_ratio_array(a, b) -> pa.Array:
     return pa.array(out, type=pa.float64())
 
 
-def double_metaphone(s: str | None):
-    """Double Metaphone (optional dep, mirroring the reference's optional
-    DoubleMetaphone package; reference _similarity.py:9-36)."""
-    if s is None:
-        return None
-    try:
-        from doublemetaphone import doublemetaphone  # type: ignore
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise NotImplementedError(
-            "double_metaphone requires the optional DoubleMetaphone package"
-        ) from e
-    return list(doublemetaphone(s))
+def double_metaphone(s: str | None) -> list[str] | None:
+    """Double Metaphone phonetic encoding (reference _similarity.py:9-36
+    doctest shapes: catherine -> ['K0RN', 'KTRN'], '' -> ['', ''], None ->
+    None). Bundled pure-python implementation of Philips' algorithm
+    (text/_metaphone.py) — no optional native package needed."""
+    from mismo_ray.text._metaphone import double_metaphone_py
+
+    return double_metaphone_py(s)

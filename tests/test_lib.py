@@ -223,3 +223,52 @@ def test_address_match_level():
         address.match_level(a, b_else, coords=((61.2, -149.9), (61.3, -149.8)))
         == address.WITHIN_100KM
     )
+
+
+# ------------------------------------------------------- nicknames (bundled)
+def test_bundled_nickname_dataset():
+    from mismo_ray.lib.name import SEED_NICKNAMES, are_aliases, is_nickname_for
+
+    assert len(SEED_NICKNAMES) > 500  # real dataset, not a 30-pair seed
+    # reference _nicknames.py semantics: case-insensitive, same-name True
+    assert are_aliases("Peggy", "Margaret")
+    assert are_aliases("margaret", "PEGGY")
+    assert are_aliases("Sally", "Sarah")
+    assert are_aliases("Jack", "John")
+    assert are_aliases("x", "x")
+    assert not are_aliases("Peggy", "John")
+    assert is_nickname_for("Bill", "William")
+    assert is_nickname_for("same", "same")  # same name returns True
+    assert not is_nickname_for("William", "Bill")  # directional
+
+
+def test_name_match_level_nicknames_dataset():
+    from mismo_ray.lib.name import NICKNAMES, match_level, normalize_name
+
+    le = normalize_name({"given": "Margaret", "surname": "Thatcher"})
+    ri = normalize_name({"given": "Peggy", "surname": "Thatcher"})
+    assert match_level(le, ri) == NICKNAMES
+
+
+# --------------------------------------------------------- double metaphone
+def test_double_metaphone_reference_doctest():
+    from mismo_ray.text import double_metaphone
+
+    # the exact doctest from reference _similarity.py:17-25
+    assert double_metaphone("catherine") == ["K0RN", "KTRN"]
+    assert double_metaphone("") == ["", ""]
+    assert double_metaphone(None) is None
+
+
+def test_double_metaphone_known_vectors():
+    from mismo_ray.text import double_metaphone
+
+    assert double_metaphone("smith") == ["SM0", "XMT"]
+    assert double_metaphone("schmidt") == ["XMT", "SMT"]
+    assert double_metaphone("jose") == ["HS", ""]
+    assert double_metaphone("wasserman") == ["ASRMN", "FSRMN"]
+    assert double_metaphone("Tymczak") == ["TMSK", "TMXK"]
+    assert double_metaphone("Xavier") == ["SF", "SFR"]
+    # homophones share a primary code
+    assert double_metaphone("Bryan")[0] == double_metaphone("Brian")[0]
+    assert double_metaphone("Philip")[0] == double_metaphone("Phillip")[0]
