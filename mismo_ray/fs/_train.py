@@ -57,20 +57,87 @@ def make_weights(
     return ComparerWeights(comparer.name, [lw for lw in lws if lw.name != "else"])
 
 
+def _pairs_broadcast(linkage: Linkage, columns: Sequence[str]) -> "ray.data.Dataset":
+    """Assemble (ids + suffixed columns) pair rows for a SAMPLE linkage
+    without shuffling the corpus: the sample is bounded by max_pairs by
+    construction, so the referenced records fit a broadcast — collect them
+    via a map-only filter pass, then ``pc.index_in`` + ``take`` per link
+    batch (no joins, no corpus reshuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from mismo_ray._joins import broadcast_isin
+
+    links = linkage.links_ds
+    ids_l: set = set()
+    ids_r: set = set()
+    for b in links.iter_batches(batch_format="pyarrow"):
+        ids_l.update(b["record_id_l"].to_pylist())
+        ids_r.update(b["record_id_r"].to_pylist())
+    same = linkage.right is linkage.left
+
+    def collect(src, idset) -> pa.Table:
+        tables = [
+            b
+            for b in broadcast_isin(
+                src.select_columns(["record_id", *columns]), "record_id", idset
+            ).iter_batches(batch_format="pyarrow")
+        ]
+        return (
+            pa.concat_tables(tables)
+            if tables
+            else pa.schema(
+                [pa.field("record_id", pa.int64())]
+                + [pa.field(c, pa.string()) for c in columns]
+            ).empty_table()
+        )
+
+    slim_l = collect(linkage.left, ids_l | ids_r if same else ids_l)
+    slim_r = slim_l if same else collect(linkage.right, ids_r)
+    ref = ray.put((slim_l, slim_r))
+
+    def assemble(t: pa.Table) -> pa.Table:
+        sl, sr = ray.get(ref)
+        il = pc.index_in(
+            t["record_id_l"].combine_chunks(), value_set=sl["record_id"].combine_chunks()
+        )
+        ir = pc.index_in(
+            t["record_id_r"].combine_chunks(), value_set=sr["record_id"].combine_chunks()
+        )
+        cols = {
+            "record_id_l": t["record_id_l"],
+            "record_id_r": t["record_id_r"],
+        }
+        for c in columns:
+            cols[f"{c}_l"] = pc.take(sl[c].combine_chunks(), il)
+            cols[f"{c}_r"] = pc.take(sr[c].combine_chunks(), ir)
+        return pa.table(cols)
+
+    return links.map_batches(assemble, batch_format="pyarrow")
+
+
 def _labels_matrix(
-    linkage: Linkage, comparers: Sequence[LevelComparer]
+    linkage: Linkage,
+    comparers: Sequence[LevelComparer],
+    columns: Sequence[str] | None = None,
 ) -> np.ndarray:
     """(n_pairs, n_comparers) integer level labels, computed distributed and
-    collected (sample-sized by construction)."""
-    # pin the sample links: with_both consumes them twice (two joins) and a
-    # lazy pair DAG would be re-executed per consumption
+    collected (sample-sized by construction). With ``columns`` given, pair
+    assembly uses the broadcast path (no corpus shuffle — the right call for
+    bounded training samples); otherwise the general with_both joins."""
+    # pin the sample links: the pair-assembly consumes them (twice on the
+    # join path) and a lazy pair DAG would be re-executed per consumption
     linkage = Linkage(
         left=linkage.left,
         right=linkage.right,
         links=linkage.links_ds.materialize(),
         links_schema=linkage.links.schema,
     )
-    pairs = linkage.links.with_both()
+    if columns is not None:
+        pairs = _pairs_broadcast(linkage, list(columns))
+    else:
+        pairs = linkage.links.with_both()
     labeled = compare(pairs, list(comparers))
     names = [c.name for c in comparers]
     cols = [[] for _ in names]
@@ -101,8 +168,11 @@ def train_using_labels(
     *,
     max_pairs: int = 1_000_000,
     seed: int = 0,
+    columns: Sequence[str] | None = None,
 ) -> Weights:
-    """m from true (label_true) pairs, u from a random cross-product sample."""
+    """m from true (label_true) pairs, u from a random cross-product sample.
+    ``columns``: the record columns the comparers read — enables the
+    broadcast (no-shuffle) pair assembly for the bounded samples."""
     comparers = list(comparers)
     # ---- m: true pairs (subsample records if the true-pair set is huge)
     tp = true_pairs_from_labels(left, right)
@@ -132,10 +202,10 @@ def train_using_labels(
 
         links = tp.links_ds.map_batches(sample_pairs, batch_format="pyarrow")
         tp = Linkage(left=tp.left, right=tp.right, links=links)
-    m_labels = _labels_matrix(tp, comparers)
+    m_labels = _labels_matrix(tp, comparers, columns)
     # ---- u: random pair sample, assumed non-matches
     us_sample = sample_all_links(left, right, max_pairs=max_pairs, seed=seed)
-    u_labels = _labels_matrix(us_sample, comparers)
+    u_labels = _labels_matrix(us_sample, comparers, columns)
     out = []
     for i, c in enumerate(comparers):
         ms = level_proportions(c.levels, m_labels[:, i])
@@ -152,14 +222,15 @@ def train_using_pairs(
     *,
     max_pairs: int = 1_000_000,
     seed: int = 0,
+    columns: Sequence[str] | None = None,
 ) -> Weights:
     """Like train_using_labels but with explicit true (record_id_l, record_id_r)
     pairs (reference _train.py:179-224)."""
     comparers = list(comparers)
     tp = Linkage(left=left, right=right, links=true_links)
-    m_labels = _labels_matrix(tp, comparers)
+    m_labels = _labels_matrix(tp, comparers, columns)
     us_sample = sample_all_links(left, right, max_pairs=max_pairs, seed=seed)
-    u_labels = _labels_matrix(us_sample, comparers)
+    u_labels = _labels_matrix(us_sample, comparers, columns)
     out = []
     for i, c in enumerate(comparers):
         out.append(

@@ -33,10 +33,11 @@ def train_using_em(
     seed: int = 0,
     n_iter: int = 5,
     match_odds: float = 10.0,
+    columns=None,
 ) -> Weights:
     comparers = list(comparers)
     sample = sample_all_links(left, right, max_pairs=max_pairs, seed=seed)
-    labels = _labels_matrix(sample, comparers)  # (n_pairs, n_comparers)
+    labels = _labels_matrix(sample, comparers, columns)  # (n_pairs, n_comparers)
     weights = Weights(
         [
             make_weights(

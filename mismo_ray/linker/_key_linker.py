@@ -42,11 +42,16 @@ class KeyLinker:
         salt_rows: int | None = 2048,
         carry: Sequence[str] | None = None,
         name: str | None = None,
+        count_prepass: bool = True,
     ):
         self.keys: list[KeySpec] = resolve_keys(keys)
         self.max_pairs = max_pairs
         self.task = task
         self.salt_rows = salt_rows
+        # count_prepass=False: enforce max_pairs inside the reduce tasks and
+        # skip the per-key count barrier — only for keys whose group size is
+        # bounded by construction (see generate_pairs docstring)
+        self.count_prepass = count_prepass
         self.carry = list(carry) if carry else []
         self.name = name or "+".join(k.name for k in self.keys)
         self.last_counters: dict = {}
@@ -70,6 +75,7 @@ class KeyLinker:
                 salt_rows=self.salt_rows,
                 carry_l=self.carry,
                 carry_r=self.carry,
+                count_prepass=self.count_prepass,
             )
 
             def ordered(t: pa.Table) -> pa.Table:
@@ -90,6 +96,7 @@ class KeyLinker:
                 salt_rows=self.salt_rows,
                 carry_l=self.carry,
                 carry_r=self.carry,
+                count_prepass=self.count_prepass,
             )
         self.last_counters = counters
         lbase = left.schema().base_schema

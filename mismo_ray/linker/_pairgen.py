@@ -236,6 +236,7 @@ def _make_enumerator(
     carry_l: list[str],
     carry_r: list[str],
     link: bool,
+    inline_max_pairs: int | None = None,
 ):
     """Vectorized within-group pair enumeration, arrow in / arrow out
     (arrow ``take`` preserves column types exactly; a pandas detour would
@@ -261,12 +262,19 @@ def _make_enumerator(
             if link:
                 li = idx[srole == _ROLE_L]
                 ri = idx[srole == _ROLE_R]
+                if inline_max_pairs is not None and len(li) * len(ri) > inline_max_pairs:
+                    continue  # in-task hot-key drop (no count pre-pass mode)
                 if len(li) and len(ri):
                     il, ir = np.meshgrid(li, ri, indexing="ij")
                     all_l.append(il.ravel())
                     all_r.append(ir.ravel())
             else:
                 both = idx[srole == _ROLE_BOTH]
+                if (
+                    inline_max_pairs is not None
+                    and len(both) * len(both) > inline_max_pairs
+                ):
+                    continue  # n*n quirk parity (reference _key_linker.py:195-222)
                 if len(both) > 1:
                     order = both[np.argsort(ids[both], kind="stable")]
                     a, b = np.triu_indices(len(order), k=1)
@@ -313,11 +321,19 @@ def generate_pairs(
     salt_rows: int | None = 2048,
     carry_l: Sequence[str] | None = None,
     carry_r: Sequence[str] | None = None,
+    count_prepass: bool = True,
 ) -> tuple[ray.data.Dataset, dict]:
     """Generate candidate pairs for records sharing ALL keys.
 
     Returns (links Dataset, counters dict). Links schema:
     record_id_l, record_id_r [, carried columns suffixed _l/_r].
+
+    ``count_prepass=False`` skips the per-key count pre-pass (one fewer
+    barrier + no pinned keyed projection): the ``max_pairs`` hot-key drop is
+    enforced INSIDE each reduce task instead, and no salting happens. Only
+    correct when every key group's ROWS fit one task (pair count is still
+    bounded by max_pairs; row count is not) — use for keys whose group size
+    is bounded by construction.
     """
     carry_l = list(carry_l or [])
     carry_r = list(carry_r or [])
@@ -327,7 +343,7 @@ def generate_pairs(
 
     if not link:
         keyed = project_keyed(left, keys, "left", carry_l)
-        if max_pairs is not None or salt_rows is not None:
+        if (max_pairs is not None or salt_rows is not None) and count_prepass:
             # the count pre-pass and the pair-gen pass both consume the keyed
             # projection; pin it once instead of re-running the key functions
             # (and any upstream transforms) per consumption. At extreme scale
@@ -341,14 +357,14 @@ def generate_pairs(
         # (two separate passes would re-run the counts groupby) — and NO
         # pass at all when neither cap is set (bounded-group pipelines opt
         # out of the pre-pass entirely)
-        if max_pairs is not None or salt_rows is not None:
+        if (max_pairs is not None or salt_rows is not None) and count_prepass:
             counts = _block_counts(keyed)
             mp = max_pairs if max_pairs is not None else (1 << 62)
             sr = salt_rows if salt_rows is not None else (1 << 62)
             cpdf = _collect_filtered(counts, lambda n: (n * n > mp) | (n > sr))
         else:
             cpdf = pd.DataFrame({"__block__": [], "n": []})
-        if max_pairs is not None:
+        if max_pairs is not None and count_prepass:
             # npairs per key uses n*n for dedupe — reference parity quirk
             # (_key_linker.py:195-222 computes nleft*nright on the same table).
             hot_mask = cpdf["n"].to_numpy() ** 2 > max_pairs
@@ -357,7 +373,7 @@ def generate_pairs(
             counters["hot_records_dropped"] = (
                 int(cpdf["n"][hot_mask].sum()) if len(cpdf) else 0
             )
-        if salt_rows is not None:
+        if salt_rows is not None and count_prepass:
             spdf = cpdf[cpdf["n"].to_numpy() > salt_rows]
             salt = {
                 int(b): int(n)
@@ -377,11 +393,14 @@ def generate_pairs(
             link=False,
             n_buckets=default_num_partitions(),
         )
-        enum = _make_enumerator(key_cols, carry_l, carry_r or carry_l, link=False)
+        enum = _make_enumerator(
+            key_cols, carry_l, carry_r or carry_l, link=False,
+            inline_max_pairs=None if count_prepass else max_pairs,
+        )
     else:
         keyed_l = project_keyed(left, keys, "left", carry_l)
         keyed_r = project_keyed(right, keys, "right", carry_r)
-        if max_pairs is not None or salt_rows is not None:
+        if (max_pairs is not None or salt_rows is not None) and count_prepass:
             keyed_l = keyed_l.materialize()
             keyed_r = keyed_r.materialize()
         # carried-column arrow types, needed to fill nulls on the other side
@@ -408,7 +427,7 @@ def generate_pairs(
         tr = keyed_r.map_batches(tag(1), batch_format="pyarrow")
         keyed = tl.union(tr)
         drop_ref = salt_ref = None
-        if max_pairs is not None or salt_rows is not None:
+        if (max_pairs is not None or salt_rows is not None) and count_prepass:
             from mismo_ray._joins import hash_join
 
             cl = _block_counts(keyed_l)
@@ -475,7 +494,10 @@ def generate_pairs(
             link=True,
             n_buckets=default_num_partitions(),
         )
-        enum = _make_enumerator(key_cols, carry_l, carry_r, link=True)
+        enum = _make_enumerator(
+            key_cols, carry_l, carry_r, link=True,
+            inline_max_pairs=None if count_prepass else max_pairs,
+        )
 
     links = expanded.groupby("__bkt__").map_groups(enum, batch_format="pyarrow")
     return links, counters

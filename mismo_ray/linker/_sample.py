@@ -71,7 +71,12 @@ def sample_all_links(
         if right is left
         else sample_records(right, min(k, n_r), n_r, seed=seed + 1)
     )
-    linkage = FullLinker(task="dedupe" if right is left else "link")(sub_l, sub_r)
+    # the sampled sides are ~sqrt(max_pairs) rows by construction: when that
+    # fits one enumeration task, skip the count/salt pre-pass barriers
+    linkage = FullLinker(
+        task="dedupe" if right is left else "link",
+        salt_rows=None if k <= 2048 else 2048,
+    )(sub_l, sub_r)
     return Linkage(
         left=left, right=right, links=linkage.links_ds,
         links_schema=linkage.links.schema,

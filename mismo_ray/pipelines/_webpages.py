@@ -376,7 +376,13 @@ def run_er_pipeline(
             "counters": counters,
         }
 
-    key_linker = KeyLinker(["domain", "path_stem"], max_pairs=1_000_000)
+    # (domain, path_stem) group sizes are bounded by cluster size (<= 6 by
+    # synthesis; stems are cluster-unique even on the hot domain), so the
+    # count pre-pass barrier is skipped and the max_pairs guard runs in-task
+    key_linker = KeyLinker(
+        ["domain", "path_stem"], max_pairs=1_000_000,
+        salt_rows=None, count_prepass=False,
+    )
     sn_linker = SortedNeighborhoodLinker(sn_key(), window=sn_window)
     blocker = OrLinker([key_linker, sn_linker])
     linkage = blocker(pages, pages)
@@ -399,11 +405,13 @@ def run_er_pipeline(
     if weights is None:
         if train == "em":
             weights = train_using_em(
-                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed
+                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed,
+                columns=PAIR_COLUMNS,
             )
         else:
             weights = train_using_labels(
-                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed
+                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed,
+                columns=PAIR_COLUMNS,
             )
 
     scored = weights.compare_and_score(pairs, comparers)

@@ -1,0 +1,232 @@
+"""EDA / viz surface: the reference's chart helpers re-expressed as
+backend-free Vega-Lite spec dicts over collected aggregates.
+
+Reference: mismo/types/_linked_table.py:351-471 (``link_counts.chart``),
+mismo/types/_upset.py:47-227 (upset intersection chart), mismo/fs/_plot.py
+:22-123 (weights odds plot). Those emit altair charts; altair is not
+installed here, and an altair ``Chart`` is just a Vega-Lite JSON spec — so
+these return the spec dict directly (``json.dumps``-able, renderable by any
+vega-lite host; pass to ``altair.Chart.from_dict`` when altair exists).
+
+Only the AGGREGATES are collected (a handful of rows); the heavy work —
+e.g. the upset intersection counts over millions of pairs — runs distributed
+first (``upset_counts``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from mismo_ray._joins import default_num_partitions
+from mismo_ray._util import hash64
+
+
+def _rows(data) -> list[dict]:
+    if isinstance(data, ray.data.Dataset):
+        return data.take_all()
+    if isinstance(data, pa.Table):
+        return data.to_pylist()
+    return list(data)
+
+
+def link_counts_chart(link_counts) -> dict:
+    """Bar chart of number of records by link count (reference
+    _linked_table.py:351-433 semantics: log-ish scale, totals in the title).
+
+    ``link_counts``: the (n_links, n_records) aggregate from
+    ``Linkage.link_counts`` — a Dataset, pa.Table or list of dicts.
+    """
+    rows = sorted(_rows(link_counts), key=lambda r: r["n_links"])
+    total = int(sum(r["n_records"] for r in rows))
+    values = [
+        {
+            "n_links": int(r["n_links"]),
+            "n_records": int(r["n_records"]),
+            "frac_records": (r["n_records"] / total) if total else 0.0,
+        }
+        for r in rows
+    ]
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": {
+            "text": ["Number of Records", f"({total:_} total)"],
+            "anchor": "middle",
+        },
+        "data": {"values": values},
+        "mark": "bar",
+        "encoding": {
+            "x": {"field": "n_links", "type": "ordinal", "title": "Number of Links"},
+            "y": {
+                "field": "n_records",
+                "type": "quantitative",
+                "scale": {"type": "symlog"},
+                "title": "Number of Records",
+            },
+            "tooltip": [
+                {"field": "n_links", "type": "ordinal"},
+                {"field": "n_records", "type": "quantitative"},
+                {"field": "frac_records", "type": "quantitative", "format": ".1%"},
+            ],
+        },
+    }
+
+
+def upset_counts(
+    links_by_name: Mapping[str, ray.data.Dataset],
+) -> pa.Table:
+    """Distributed UpSet intersection counts over several linkers' pair sets
+    (reference _upset.py:47-227 input shape).
+
+    Each pair is attributed to the exact SET of linkers that produced it:
+    tag each link set with a bit, union, coarse-bucket on the pair hash,
+    OR the bits per pair inside each bucket (vectorized), then a tiny final
+    groupby over ~2^n_linkers masks. Returns (intersection: list<string>,
+    mask: int64, n_pairs: int64) collected to a pa.Table (2^n rows).
+    """
+    names = list(links_by_name)
+    if len(names) > 16:
+        raise ValueError("upset_counts supports at most 16 link sets")
+    B = default_num_partitions()
+
+    def tag(bit: int):
+        def fn(t: pa.Table) -> pa.Table:
+            l = t["record_id_l"].combine_chunks().cast(pa.int64())
+            r = t["record_id_r"].combine_chunks().cast(pa.int64())
+            h = ((hash64(l) ^ hash64(r)) % np.uint64(B)).astype(np.int64)
+            return pa.table(
+                {
+                    "record_id_l": l,
+                    "record_id_r": r,
+                    "__bit__": pa.array(
+                        np.full(len(t), 1 << bit, dtype=np.int64)
+                    ),
+                    "__ubkt__": pa.array(h),
+                }
+            )
+
+        return fn
+
+    tagged = None
+    for i, name in enumerate(names):
+        part = links_by_name[name].map_batches(tag(i), batch_format="pyarrow")
+        tagged = part if tagged is None else tagged.union(part)
+
+    def masks_in_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l": g["record_id_l"].to_numpy(zero_copy_only=False),
+                "r": g["record_id_r"].to_numpy(zero_copy_only=False),
+                "b": g["__bit__"].to_numpy(zero_copy_only=False),
+            }
+        )
+        # OR the bits per distinct pair, then count pairs per mask
+        masks = df.groupby(["l", "r"], sort=False)["b"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        counts = masks.value_counts()
+        return pa.table(
+            {
+                "mask": pa.array(counts.index.to_numpy(dtype=np.int64)),
+                "n": pa.array(counts.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_mask = (
+        tagged.groupby("__ubkt__")
+        .map_groups(masks_in_bucket, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+    rows = sorted(per_mask.take_all(), key=lambda r: -r["n_pairs"])
+    return pa.table(
+        {
+            "intersection": pa.array(
+                [
+                    [names[i] for i in range(len(names)) if r["mask"] >> i & 1]
+                    for r in rows
+                ],
+                type=pa.list_(pa.string()),
+            ),
+            "mask": pa.array([int(r["mask"]) for r in rows], type=pa.int64()),
+            "n_pairs": pa.array([int(r["n_pairs"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def upset_chart(counts: pa.Table) -> dict:
+    """Vega-Lite bar chart of the upset intersection counts
+    (reference _upset.py rendering, reduced to the count bars)."""
+    labels = [
+        " ∩ ".join(v) if v else "(none)"
+        for v in counts["intersection"].to_pylist()
+    ]
+    values = [
+        {"intersection": lab, "n_pairs": int(n)}
+        for lab, n in zip(labels, counts["n_pairs"].to_pylist())
+    ]
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": "Pairs by linker intersection",
+        "data": {"values": values},
+        "mark": "bar",
+        "encoding": {
+            "x": {
+                "field": "intersection",
+                "type": "nominal",
+                "sort": "-y",
+                "title": "Produced by exactly",
+            },
+            "y": {
+                "field": "n_pairs",
+                "type": "quantitative",
+                "title": "Number of Pairs",
+            },
+            "tooltip": [
+                {"field": "intersection", "type": "nominal"},
+                {"field": "n_pairs", "type": "quantitative"},
+            ],
+        },
+    }
+
+
+def weights_chart(weights) -> dict:
+    """Log-odds bar chart per comparer level (reference fs/_plot.py:22-123
+    content: one row per (comparer, level) with m, u and log2 odds)."""
+    values = []
+    for cw in weights:
+        for lw in cw:
+            values.append(
+                {
+                    "comparer": cw.name,
+                    "level": lw.name,
+                    "m": lw.m,
+                    "u": lw.u,
+                    "log2_odds": float(np.log2(lw.odds))
+                    if lw.odds > 0
+                    else None,
+                }
+            )
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": "Fellegi-Sunter level weights (log2 odds)",
+        "data": {"values": values},
+        "mark": "bar",
+        "encoding": {
+            "row": {"field": "comparer", "type": "nominal"},
+            "x": {"field": "log2_odds", "type": "quantitative"},
+            "y": {"field": "level", "type": "nominal", "sort": None},
+            "tooltip": [
+                {"field": "comparer", "type": "nominal"},
+                {"field": "level", "type": "nominal"},
+                {"field": "m", "type": "quantitative", "format": ".4f"},
+                {"field": "u", "type": "quantitative", "format": ".4f"},
+                {"field": "log2_odds", "type": "quantitative", "format": ".2f"},
+            ],
+        },
+    }

@@ -1,0 +1,83 @@
+"""Viz surface smoke tests: Vega-Lite spec dicts + the distributed upset
+intersection counts (reference _linked_table.chart / _upset.py / fs/_plot
+equivalents)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import ray.data
+
+
+def _links(pairs):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id_l": pa.array([a for a, _ in pairs], type=pa.int64()),
+                "record_id_r": pa.array([b for _, b in pairs], type=pa.int64()),
+            }
+        )
+    )
+
+
+def test_link_counts_chart(ray_session):
+    from mismo_ray.viz import link_counts_chart
+
+    spec = link_counts_chart(
+        [
+            {"n_links": 0, "n_records": 1000},
+            {"n_links": 1, "n_records": 500},
+            {"n_links": 2, "n_records": 100},
+        ]
+    )
+    json.dumps(spec)  # must be pure-JSON
+    assert spec["mark"] == "bar"
+    assert "(1_600 total)" in spec["title"]["text"][1]
+    vals = spec["data"]["values"]
+    assert vals[0] == {"n_links": 0, "n_records": 1000, "frac_records": 0.625}
+
+
+def test_upset_counts_and_chart(ray_session):
+    from mismo_ray.viz import upset_chart, upset_counts
+
+    a = _links([(1, 2), (3, 4), (5, 6)])
+    b = _links([(3, 4), (5, 6), (7, 8)])
+    c = _links([(5, 6)])
+    counts = upset_counts({"A": a, "B": b, "C": c})
+    by_key = {
+        tuple(i): n
+        for i, n in zip(
+            counts["intersection"].to_pylist(), counts["n_pairs"].to_pylist()
+        )
+    }
+    assert by_key == {
+        ("A",): 1,          # (1,2)
+        ("A", "B"): 1,      # (3,4)
+        ("A", "B", "C"): 1, # (5,6)
+        ("B",): 1,          # (7,8)
+    }
+    spec = upset_chart(counts)
+    json.dumps(spec)
+    assert {v["intersection"] for v in spec["data"]["values"]} == {
+        "A", "B", "A ∩ B", "A ∩ B ∩ C"
+    }
+
+
+def test_weights_chart():
+    from mismo_ray.fs import ComparerWeights, LevelWeights, Weights
+    from mismo_ray.viz import weights_chart
+
+    w = Weights(
+        [
+            ComparerWeights(
+                "name",
+                [LevelWeights("exact", m=0.9, u=0.01), LevelWeights("close", m=0.5, u=0.05)],
+            )
+        ]
+    )
+    spec = weights_chart(w)
+    json.dumps(spec)
+    vals = spec["data"]["values"]
+    assert [v["level"] for v in vals] == ["exact", "close"]
+    assert abs(vals[0]["log2_odds"] - 6.4919) < 1e-3  # log2(90)
