@@ -75,22 +75,23 @@ def brute_force_topk(
                 }
             )
         sims = vm @ qm.T  # (n, q)
-        out_q, out_n, out_s = [], [], []
         kk = min(k + (1 if exclude_self else 0), len(ids))
-        for j in range(sims.shape[1]):
-            col = sims[:, j]
-            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
-            for i in idx:
-                if exclude_self and ids[i] == qids[j]:
-                    continue
-                out_q.append(qids[j])
-                out_n.append(ids[i])
-                out_s.append(col[i])
+        nq = sims.shape[1]
+        # one argpartition over the whole (n, q) matrix — no python per query
+        if kk < len(ids):
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        else:
+            top = np.tile(np.arange(len(ids))[:, None], (1, nq))
+        qj = np.tile(np.arange(nq), top.shape[0])
+        ni = top.ravel()
+        keep = np.ones(len(ni), dtype=bool)
+        if exclude_self:
+            keep = ids[ni] != qids[qj]
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(qids[qj][keep], type=pa.int64()),
+                "neighbor_id": pa.array(ids[ni][keep], type=pa.int64()),
+                "sim": pa.array(sims[ni, qj][keep], type=pa.float64()),
             }
         )
 
