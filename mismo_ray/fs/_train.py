@@ -154,11 +154,12 @@ def _labels_matrix(
 
 
 def true_pairs_from_labels(
-    left: ray.data.Dataset, right: ray.data.Dataset
+    left: ray.data.Dataset, right: ray.data.Dataset, **linker_kwargs
 ) -> Linkage:
     """Pairs sharing label_true (reference _train.py:166-175; null labels are
-    ignored because null keys never match)."""
-    return KeyLinker("label_true")(left, right)
+    ignored because null keys never match). ``linker_kwargs`` forward to
+    KeyLinker (e.g. count_prepass=False when cluster sizes are bounded)."""
+    return KeyLinker("label_true", **linker_kwargs)(left, right)
 
 
 def train_using_labels(
@@ -169,13 +170,14 @@ def train_using_labels(
     max_pairs: int = 1_000_000,
     seed: int = 0,
     columns: Sequence[str] | None = None,
+    true_linker_kwargs: dict | None = None,
 ) -> Weights:
     """m from true (label_true) pairs, u from a random cross-product sample.
     ``columns``: the record columns the comparers read — enables the
     broadcast (no-shuffle) pair assembly for the bounded samples."""
     comparers = list(comparers)
     # ---- m: true pairs (subsample records if the true-pair set is huge)
-    tp = true_pairs_from_labels(left, right)
+    tp = true_pairs_from_labels(left, right, **(true_linker_kwargs or {}))
     tp = Linkage(
         left=tp.left, right=tp.right,
         links=tp.links_ds.materialize(), links_schema=tp.links.schema,

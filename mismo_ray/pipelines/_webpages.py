@@ -412,6 +412,10 @@ def run_er_pipeline(
             weights = train_using_labels(
                 comparers, pages, pages, max_pairs=max_train_pairs, seed=seed,
                 columns=PAIR_COLUMNS,
+                # planted clusters are <= 6 records by synthesis, so the
+                # true-pair key groups are bounded: skip the count pre-pass
+                true_linker_kwargs={"count_prepass": False, "salt_rows": None,
+                                    "max_pairs": None},
             )
 
     scored = weights.compare_and_score(pairs, comparers)
