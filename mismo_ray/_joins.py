@@ -35,6 +35,15 @@ _HOW_TO_ARROW = {
 
 
 def default_num_partitions() -> int:
+    """Shuffle partition count: 2x CPUs, overridable via
+    MISMO_RAY_NUM_PARTITIONS. Pin the override when comparing runs at
+    different parallelism levels (cluster-size scaling benchmarks) so both
+    execute the identical plan and only parallelism varies."""
+    import os
+
+    env = os.environ.get("MISMO_RAY_NUM_PARTITIONS")
+    if env:
+        return max(2, int(env))
     try:
         n = int(ray.cluster_resources().get("CPU", 8))
     except Exception:

@@ -591,19 +591,25 @@ def scaling_pipeline(
     clustering are excluded so the measured time is the distributed
     map + shuffle work that actually scales with cluster size.
     """
+    import os
     import time
 
     t0 = time.time()
-    import ray as _ray
-
-    n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    # FIXED data layout regardless of CPU count: the cluster-size scaling
+    # criterion compares the SAME job at two parallelism levels, so block
+    # count and shuffle partition count must not scale with num_cpus (a
+    # CPU-derived layout hands the low-parallelism run bigger, more efficient
+    # blocks and biases the efficiency ratio low). 96 blocks / 64 shuffle
+    # partitions keep every wave busy at both 8 and 32 CPUs.
+    n_blocks = int(os.environ.get("GRAFT_SCALE_BLOCKS", "96"))
+    os.environ.setdefault("MISMO_RAY_NUM_PARTITIONS", "64")
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
     # the test corpus is ONE small parquet file -> one read block; split it so
     # the heavy synth/extract/featurize maps parallelize (a real corpus has
     # thousands of files and never needs this)
-    docs = docs.repartition(n_cpus * 3)
+    docs = docs.repartition(n_blocks)
     pages = add_sketches(
         featurize(add_extracted_text(synth_pages(docs, multiplier=multiplier)))
     )
