@@ -654,6 +654,115 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ev, gap_s=1800)
 
 
+def q_asof_join(sf_dir: str):
+    """Keyed as-of join (mismo_ray.asof.asof_join): even-microsecond events
+    match the latest odd-microsecond event of the same user at or before
+    them (oracle: DuckDB ASOF LEFT JOIN)."""
+    from ray.data.aggregate import Max
+
+    from mismo_ray.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        tus = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "tus": tus,
+                "value": t["value"],
+            }
+        )
+
+    e = ev.map_batches(to_us, batch_format="pyarrow")
+
+    def parity(p: int):
+        def fn(t: pa.Table) -> pa.Table:
+            tus = np.asarray(t["tus"], dtype=np.int64)
+            return t.filter(pa.array(tus % 2 == p))
+
+        return fn
+
+    left = e.map_batches(parity(0), batch_format="pyarrow").select_columns(
+        ["user_id", "tus"]
+    )
+    right = (
+        e.map_batches(parity(1), batch_format="pyarrow")
+        .groupby(["user_id", "tus"])
+        .aggregate(Max("value", alias_name="rv"))
+    )
+    out = asof_join(left, right, on="tus", by="user_id", direction="backward")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rv = np.asarray(
+            t["rv_r"].to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        rv_e6 = [
+            None if np.isnan(x) else int(np.floor(x * 1e6 + 0.5)) for x in rv
+        ]
+        # the pandas merge inside asof_join coerces int columns that saw NaN
+        # to float64 — restore exact int64 types for the hash compare
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "tus": t["tus"].combine_chunks().cast(pa.int64()),
+                "tus_r": t["tus_r"].combine_chunks().cast(pa.int64()),
+                "rv_e6": pa.array(rv_e6, type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_range_join(sf_dir: str):
+    """Banded interval join (mismo_ray.asof.interval_join): part retail
+    prices against deterministic supplier price bands (oracle: BETWEEN join)."""
+    from mismo_ray.asof import interval_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey"])
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"].combine_chunks().cast(pa.int64()),
+                "v": t["p_retailprice"].combine_chunks().cast(pa.float64()),
+            }
+        )
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["s_suppkey"], dtype=np.int64)
+        lo = (900 + (k * 37) % 1100).astype(np.float64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k),
+                "lo": pa.array(lo),
+                "hi": pa.array(lo + 13.0),
+            }
+        )
+
+    out = interval_join(
+        part.map_batches(mk_left, batch_format="pyarrow"),
+        supp.map_batches(mk_right, batch_format="pyarrow"),
+        left_value="v",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=50.0,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"], dtype=np.float64)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "s_suppkey": t["s_suppkey_r"],
+                "price_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # -------------------------------------------------- rows-only (non-SQL) ops
 def q_minhash_lsh_dedupe(sf_dir: str):
     from mismo_ray.dedupe import minhash_lsh_pairs
@@ -735,6 +844,8 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "keep_unambiguous": q_keep_unambiguous,
     "postal_parse": q_postal_parse,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "diff_updates": q_diff_updates,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     "minhash_lsh_link": q_minhash_lsh_link,
@@ -926,6 +1037,21 @@ ORACLE_SQL = {
         "city, st_out AS state, zipc AS postal_code, "
         "'act|' || lower(nm) || ' ' || canon || '|' || house || '|' || lower(city) AS fp0, "
         "CAST(4 AS BIGINT) AS n_fp FROM comp"
+    ),
+    "asof_join": (
+        "WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS tus, value FROM events), "
+        "l AS (SELECT user_id, tus FROM e WHERE tus % 2 = 0), "
+        "r AS (SELECT user_id, tus, max(value) AS rv FROM e WHERE tus % 2 = 1 GROUP BY 1, 2) "
+        "SELECT l.user_id, l.tus, r.tus AS tus_r, "
+        "CAST(ROUND(r.rv * 1000000) AS BIGINT) AS rv_e6 "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus"
+    ),
+    "range_join": (
+        "WITH r AS (SELECT s_suppkey, CAST(900 + (s_suppkey * 37) % 1100 AS DOUBLE) AS lo "
+        " FROM supplier) "
+        "SELECT p.p_partkey, r.s_suppkey, "
+        "CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_c "
+        "FROM part p JOIN r ON p.p_retailprice BETWEEN r.lo AND r.lo + 13"
     ),
     "keep_unambiguous": (
         f"WITH pairs AS ({_PAIR_SQL}) "
