@@ -113,3 +113,45 @@ def test_embedding_neardup_methods_agree(ray_session):
     )
     assert exact == _brute_pairs(ids, m, 0.95)
     assert lsh <= exact
+
+
+def test_ivf_topk_recall(ray_session):
+    from mismo_ray.ann import brute_force_topk, ivf_topk
+
+    ids, m = _corpus(600, dim=8, seed=13, dup_frac=0.3)
+    ds = _ds(ids, m)
+    queries = m[:40]
+    qids = ids[:40]
+    exact = brute_force_topk(
+        ds, queries, k=5, id_column="vec_id", query_ids=qids
+    ).take_all()
+    approx = ivf_topk(
+        ds, queries, k=5, n_centroids=16, nprobe=6, id_column="vec_id",
+        query_ids=qids,
+    ).take_all()
+    def tops(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+    te, ta = tops(exact), tops(approx)
+    # includes self (exclude_self False in ivf path): compare overlap on the
+    # exact sets minus self
+    hits = total = 0
+    for q, e in te.items():
+        a = ta.get(q, set())
+        hits += len(e & a)
+        total += len(e)
+    recall = hits / total
+    assert recall >= 0.7, recall
+    # probing every list == exact (incl. self which brute excludes)
+    full = ivf_topk(
+        ds, queries, k=5, n_centroids=16, nprobe=16, id_column="vec_id",
+        query_ids=qids,
+    ).take_all()
+    tf = tops(full)
+    for q in tf:
+        tf[q].discard(q)
+    for q, e in te.items():
+        # exact-from-IVF contains the brute-force set up to k-boundary ties
+        assert len(e - (tf[q] | {q})) <= 1
