@@ -130,6 +130,115 @@ def featurize_images(
     )
 
 
+def resize_nearest(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array — pure numpy (the resize
+    KERNEL needs no codec; only decode/encode do)."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+class ImageResizer:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode.
+
+    The resize itself is a real numpy kernel; ``decoder(bytes)->ndarray`` and
+    ``encoder(ndarray)->bytes`` are the pluggable codec hooks (stubbed when
+    absent). Output column ``resized_payload`` (binary), null on decode
+    failure with on_error="null".
+    """
+
+    def __init__(
+        self,
+        *,
+        height: int,
+        width: int,
+        decoder: Callable[[bytes], np.ndarray] | None = None,
+        encoder: Callable[[np.ndarray], bytes] | None = None,
+        payload_column: str = "payload",
+        on_error: str = "null",
+    ):
+        self.height = height
+        self.width = width
+        self.decode = decoder or _missing_decoder("image")
+        self.encode = encoder or (lambda a: a.tobytes())
+        self.payload_column = payload_column
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch[self.payload_column].to_pylist():
+            if payload is None:
+                out.append(None)
+                continue
+            try:
+                img = self.decode(payload)
+                out.append(self.encode(resize_nearest(img, self.height, self.width)))
+            except NotImplementedError:
+                raise
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                out.append(None)
+        return batch.append_column(
+            "resized_payload", pa.array(out, type=pa.binary())
+        )
+
+
+def fake_audio_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in: bytes -> 1-second float32 'waveform' (1 kHz)
+    derived from a seeded hash."""
+    seed = int(hash64([payload])[0] & np.uint64(0x7FFFFFFF))
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(1000) * 0.1).astype(np.float32)
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: decode audio payloads -> per-clip features (RMS
+    energy, zero-crossing rate, peak, duration in samples). The feature
+    kernel is real numpy; the codec is the pluggable stub."""
+
+    N_FEATURES = 4
+
+    def __init__(
+        self,
+        decoder: Callable[[bytes], np.ndarray] | None = None,
+        *,
+        payload_column: str = "payload",
+        on_error: str = "null",
+    ):
+        self.decode = decoder or _missing_decoder("audio")
+        self.payload_column = payload_column
+        self.on_error = on_error
+
+    def _features(self, wave: np.ndarray) -> list[float]:
+        w = np.asarray(wave, dtype=np.float64)
+        if not len(w):
+            return [0.0, 0.0, 0.0, 0.0]
+        rms = float(np.sqrt((w**2).mean()))
+        zcr = float((np.signbit(w[1:]) != np.signbit(w[:-1])).mean())
+        return [rms, zcr, float(np.abs(w).max()), float(len(w))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch[self.payload_column].to_pylist():
+            if payload is None:
+                out.append(None)
+                continue
+            try:
+                out.append(self._features(self.decode(payload)))
+            except NotImplementedError:
+                raise
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                out.append(None)
+        return batch.append_column(
+            "audio_features",
+            pa.array(out, type=pa.list_(pa.float64(), self.N_FEATURES)),
+        )
+
+
 def sample_frames(
     ds: ray.data.Dataset,
     *,

@@ -313,3 +313,49 @@ def test_datasets_unioned(ray_session):
         (3, "r", "b"),
     }
     assert ds.all_record_ids().count() == 3
+
+
+def test_image_resizer_and_audio_featurizer(ray_session):
+    from mismo_ray.multimodal import (
+        AudioFeaturizer,
+        ImageResizer,
+        fake_audio_decoder,
+        fake_image_decoder,
+        resize_nearest,
+    )
+    import numpy as np
+
+    # the numpy kernel itself
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = resize_nearest(img, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert (small[0, 0] == img[0, 0]).all()
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": [0, 1],
+                "payload": pa.array([b"img-a", None], type=pa.binary()),
+            }
+        )
+    )
+    rows = ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(height=4, width=4, decoder=fake_image_decoder),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    by_id = {r["record_id"]: r for r in rows}
+    assert len(by_id[0]["resized_payload"]) == 4 * 4 * 3  # uint8 bytes
+    assert by_id[1]["resized_payload"] is None
+
+    rows = ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs=dict(decoder=fake_audio_decoder),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    by_id = {r["record_id"]: r for r in rows}
+    rms, zcr, peak, n = by_id[0]["audio_features"]
+    assert 0 < rms < 1 and 0 < zcr < 1 and n == 1000.0
+    assert by_id[1]["audio_features"] is None
