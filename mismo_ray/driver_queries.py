@@ -647,6 +647,26 @@ def q_events_tumbling(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str):
+    from mismo_ray.streaming import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = sliding_window_agg(ev, window_s=3600, hop_s=900)
+
+    def finish(t: pa.Table) -> pa.Table:
+        vs = np.asarray(t["value_sum"], dtype=np.float64)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "window_start": t["window_start"],
+                "n_events": t["n_events"],
+                "value_sum_e6": _e6(vs),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     from mismo_ray.streaming import sessionize
 
@@ -841,6 +861,7 @@ QUERIES = {
     "groupby_agg": q_groupby_agg,
     "tf_lookup": q_tf_lookup,
     "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "keep_unambiguous": q_keep_unambiguous,
     "postal_parse": q_postal_parse,
@@ -1009,6 +1030,14 @@ ORACLE_SQL = {
         "count(*) AS n_events, "
         "CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS value_sum_e6 "
         "FROM events GROUP BY 1, 2"
+    ),
+    "events_sliding": (
+        "SELECT user_id, window_start, count(*) AS n_events, "
+        "CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS value_sum_e6 FROM ("
+        " SELECT CAST(user_id AS BIGINT) AS user_id, "
+        " CAST((epoch_us(ts) // 1000000 // 900) * 900 - h.k * 900 AS BIGINT) AS window_start, "
+        " value FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) h"
+        ") GROUP BY 1, 2"
     ),
     "events_sessionize": (
         "WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events), "

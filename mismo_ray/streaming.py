@@ -54,6 +54,56 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    events: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    window_s: int = 3600,
+    hop_s: int = 900,
+) -> ray.data.Dataset:
+    """Per (key, sliding/hopping window): event count + value sum.
+
+    Each event belongs to ``window_s / hop_s`` hops — assignment is a
+    stateless per-batch REPLICATION map (vectorized np.repeat), then the
+    same single pre-aggregated groupby shuffle as the tumbling window.
+    Windows are aligned to hop boundaries: starts = hop * floor(t/hop) - k*hop
+    for k in 0..(window/hop - 1), keeping only windows that contain t.
+    """
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    n_hops = window_s // hop_s
+
+    def assign(t: pa.Table) -> pa.Table:
+        tcol = t[ts]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        epoch_s = np.asarray(tcol.cast(pa.int64())) // 1_000_000
+        base = (epoch_s // hop_s) * hop_s
+        n = len(t)
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_hops)
+        starts = np.repeat(base, n_hops) - np.tile(
+            np.arange(n_hops, dtype=np.int64) * hop_s, n
+        )
+        keep = starts + window_s > np.repeat(epoch_s, n_hops)
+        rep = t.take(pa.array(idx[keep]))
+        vals = np.asarray(rep[value], dtype=np.float64)
+        return pa.table(
+            {
+                key: rep[key],
+                "window_start": pa.array(starts[keep]),
+                "n": pa.array(np.ones(len(rep), dtype=np.int64)),
+                "value_sum": pa.array(vals),
+            }
+        )
+
+    partials = events.map_batches(assign, batch_format="pyarrow")
+    return partials.groupby([key, "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("value_sum", alias_name="value_sum")
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     *,

@@ -79,3 +79,44 @@ def test_checkpoint_atomic_overwrite(ray_session, tmp_path):
     out = state.checkpoint(ray.data.from_arrow(pa.table({"x": [7, 8]})), p)
     assert out.count() == 2
     assert state.read_manifest(p)["n_rows"] == 2
+
+
+# ----------------------------------------------------------------- sources
+def test_read_records_parquet_csv_json(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mismo_ray.sources import read_records
+
+    tbl = pa.table(
+        {
+            "key": ["a", "b", "c"],
+            "n": pa.array([1, 2, 3], type=pa.int32()),
+            "extra": [1.0, 2.0, 3.0],
+        }
+    )
+    pq.write_table(tbl, tmp_path / "t.parquet")
+    with open(tmp_path / "t.csv", "w") as f:
+        f.write("key,n,extra\na,1,1.0\nb,2,2.0\nc,3,3.0\n")
+    with open(tmp_path / "t.jsonl", "w") as f:
+        f.write('{"key":"a","n":1}\n{"key":"b","n":2}\n{"key":"c","n":3}\n')
+
+    for name in ("t.parquet", "t.csv", "t.jsonl"):
+        ds = read_records(
+            str(tmp_path / name),
+            columns=["key", "n"],
+            casts={"n": pa.int64()},
+            record_id=["key"],
+        )
+        rows = sorted(ds.take_all(), key=lambda r: r["key"])
+        assert [r["key"] for r in rows] == ["a", "b", "c"]
+        assert ds.schema().base_schema.field("n").type == pa.int64()
+        assert "extra" not in ds.schema().base_schema.names
+        # hash-derived ids: deterministic and distinct
+        ids = {r["record_id"] for r in rows}
+        assert len(ids) == 3
+    # numeric id column path
+    ds = read_records(
+        str(tmp_path / "t.parquet"), columns=["key", "n"], record_id="n"
+    )
+    assert {r["record_id"] for r in ds.take_all()} == {1, 2, 3}
