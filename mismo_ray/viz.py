@@ -195,6 +195,81 @@ def upset_chart(counts: pa.Table) -> dict:
     }
 
 
+def odds_histogram(
+    scored: ray.data.Dataset,
+    *,
+    column: str = "odds",
+    bins: int = 40,
+    log2: bool = True,
+) -> dict:
+    """Distribution of match scores (reference compare/_plot.py:23-96
+    content: where does the odds mass sit, for threshold picking).
+
+    The histogram is computed DISTRIBUTED — per-batch partial bincounts over
+    fixed bin edges, summed by a tiny groupby — only the ``bins`` counts
+    reach the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    # pass 1: global min/max (cheap aggregate)
+    lo = scored.min(column)
+    hi = scored.max(column)
+    if log2:
+        lo, hi = np.log2(max(lo, 1e-300)), np.log2(max(hi, 1e-300))
+    if hi <= lo:
+        hi = lo + 1.0
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[column], dtype=np.float64)
+        if log2:
+            x = np.log2(np.maximum(x, 1e-300))
+        idx = np.clip(np.digitize(x, edges) - 1, 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = np.zeros(bins, dtype=np.int64)
+    for r in agg:
+        counts[r["bin"]] = r["n"]
+    label = f"log2({column})" if log2 else column
+    values = [
+        {
+            "bin_start": float(edges[i]),
+            "bin_end": float(edges[i + 1]),
+            "n": int(counts[i]),
+        }
+        for i in range(bins)
+    ]
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": f"Distribution of {label}",
+        "data": {"values": values},
+        "mark": "bar",
+        "encoding": {
+            "x": {"field": "bin_start", "type": "quantitative", "title": label,
+                  "bin": {"binned": True}},
+            "x2": {"field": "bin_end"},
+            "y": {
+                "field": "n",
+                "type": "quantitative",
+                "scale": {"type": "symlog"},
+                "title": "Number of Pairs",
+            },
+        },
+    }
+
+
 def weights_chart(weights) -> dict:
     """Log-odds bar chart per comparer level (reference fs/_plot.py:22-123
     content: one row per (comparer, level) with m, u and log2 odds)."""

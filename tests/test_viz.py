@@ -81,3 +81,18 @@ def test_weights_chart():
     vals = spec["data"]["values"]
     assert [v["level"] for v in vals] == ["exact", "close"]
     assert abs(vals[0]["log2_odds"] - 6.4919) < 1e-3  # log2(90)
+
+
+def test_odds_histogram(ray_session):
+    import numpy as np
+
+    from mismo_ray.viz import odds_histogram
+
+    odds = np.concatenate([np.full(900, 0.5), np.full(100, 512.0)])
+    ds = ray.data.from_arrow(pa.table({"odds": odds})).repartition(4)
+    spec = odds_histogram(ds, bins=10)
+    json.dumps(spec)
+    vals = spec["data"]["values"]
+    assert sum(v["n"] for v in vals) == 1000
+    # log2 range is [-1, 9]; mass in the first and last bins
+    assert vals[0]["n"] == 900 and vals[-1]["n"] == 100
