@@ -565,6 +565,44 @@ def q_keep_unambiguous(sf_dir: str):
     )
 
 
+def q_keep_min_agreement(sf_dir: str):
+    """Window link filter: keep pairs produced by BOTH blocking rules
+    (keep_min_agreement n=2 over the concatenated rule outputs)."""
+    from mismo_ray.linkage import keep_min_agreement
+    from mismo_ray.linker import KeyLinker
+
+    parts = _part_records(sf_dir)
+    a = KeyLinker(["p_brand", "p_size"], salt_rows=4096)(parts, parts).links_ds
+    b = KeyLinker(["p_type", "p_size"], salt_rows=4096)(parts, parts).links_ds
+    return keep_min_agreement(a.union(b), n=2)
+
+
+def q_upset_counts(sf_dir: str):
+    """Distributed UpSet intersection counts over two linkers' pair sets
+    (viz.upset_counts core); oracle recomputes the exact-subset masks with
+    outer-join SQL."""
+    from mismo_ray.linker import KeyLinker
+    from mismo_ray.viz import upset_counts
+
+    parts = _part_records(sf_dir)
+    a = KeyLinker(["p_brand", "p_size"], salt_rows=4096)(parts, parts).links_ds
+    b = KeyLinker(["p_type", "p_size"], salt_rows=4096)(parts, parts).links_ds
+    counts = upset_counts({"brand": a, "ptype": b})
+
+    def label(v: list[str]) -> str:
+        return "+".join(v)
+
+    return pa.table(
+        {
+            "intersection": pa.array(
+                [label(v) for v in counts["intersection"].to_pylist()],
+                type=pa.string(),
+            ),
+            "n_pairs": counts["n_pairs"],
+        }
+    )
+
+
 def q_diff_updates(sf_dir: str):
     """Diff/Updates: before=part, after=deterministic modification
     (reference mismo/types/_diff.py)."""
@@ -864,6 +902,8 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "keep_unambiguous": q_keep_unambiguous,
+    "keep_min_agreement": q_keep_min_agreement,
+    "upset_counts": q_upset_counts,
     "postal_parse": q_postal_parse,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1051,6 +1091,33 @@ ORACLE_SQL = {
         "CAST(min(tus) // 1000000 AS BIGINT) AS session_start_s, "
         "CAST(max(tus) // 1000000 AS BIGINT) AS session_end_s, "
         "count(*) AS n_events FROM sess GROUP BY user_id, session_id"
+    ),
+    "keep_min_agreement": (
+        "WITH pa_ AS (SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r "
+        " FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size "
+        "  AND a.p_partkey < b.p_partkey), "
+        "pb AS (SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r "
+        " FROM part a JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size "
+        "  AND a.p_partkey < b.p_partkey), "
+        "allp AS (SELECT * FROM pa_ UNION ALL SELECT * FROM pb) "
+        "SELECT record_id_l, record_id_r FROM ("
+        " SELECT *, count(*) OVER (PARTITION BY record_id_l, record_id_r) AS c"
+        " FROM allp) WHERE c >= 2"
+    ),
+    "upset_counts": (
+        "WITH pa_ AS (SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r "
+        " FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size "
+        "  AND a.p_partkey < b.p_partkey), "
+        "pb AS (SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r "
+        " FROM part a JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size "
+        "  AND a.p_partkey < b.p_partkey), "
+        "m AS (SELECT (a.record_id_l IS NOT NULL) AS in_a, "
+        " (b.record_id_l IS NOT NULL) AS in_b "
+        " FROM pa_ a FULL OUTER JOIN pb b "
+        " ON a.record_id_l = b.record_id_l AND a.record_id_r = b.record_id_r) "
+        "SELECT CASE WHEN in_a AND in_b THEN 'brand+ptype' "
+        " WHEN in_a THEN 'brand' ELSE 'ptype' END AS intersection, "
+        "count(*) AS n_pairs FROM m GROUP BY 1"
     ),
     "postal_parse": (
         "WITH comp AS (SELECT c_custkey AS k, "
