@@ -565,6 +565,29 @@ def q_keep_unambiguous(sf_dir: str):
     )
 
 
+def q_with_linked_values(sf_dir: str):
+    """LinkedTable enrichment: every left part + the p_name values of its
+    linked records (distributed bucket-collect; compared order-insensitively
+    via a sorted joined string)."""
+    from mismo_ray.types import with_linked_values
+
+    linkage, _, _ = _part_linkage(sf_dir)
+    wlv = with_linked_values(linkage, ["p_name"], side="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = [
+            "|".join(sorted(v)) for v in t["p_name_linked"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "record_id": t["record_id"],
+                "linked_names": pa.array(names, type=pa.string()),
+            }
+        )
+
+    return wlv.map_batches(finish, batch_format="pyarrow")
+
+
 def q_keep_min_agreement(sf_dir: str):
     """Window link filter: keep pairs produced by BOTH blocking rules
     (keep_min_agreement n=2 over the concatenated rule outputs)."""
@@ -902,6 +925,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "keep_unambiguous": q_keep_unambiguous,
+    "with_linked_values": q_with_linked_values,
     "keep_min_agreement": q_keep_min_agreement,
     "upset_counts": q_upset_counts,
     "postal_parse": q_postal_parse,
@@ -1091,6 +1115,14 @@ ORACLE_SQL = {
         "CAST(min(tus) // 1000000 AS BIGINT) AS session_start_s, "
         "CAST(max(tus) // 1000000 AS BIGINT) AS session_end_s, "
         "count(*) AS n_events FROM sess GROUP BY user_id, session_id"
+    ),
+    "with_linked_values": (
+        f"WITH pairs AS ({_PAIR_SQL}), "
+        "lv AS (SELECT p.record_id_l AS record_id, "
+        " array_to_string(list_sort(list(b.p_name)), '|') AS linked_names "
+        " FROM pairs p JOIN part b ON b.p_partkey = p.record_id_r GROUP BY 1) "
+        "SELECT a.p_partkey AS record_id, coalesce(lv.linked_names, '') AS linked_names "
+        "FROM part a LEFT JOIN lv ON lv.record_id = a.p_partkey"
     ),
     "keep_min_agreement": (
         "WITH pa_ AS (SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r "
