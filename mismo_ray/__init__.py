@@ -31,6 +31,7 @@ from mismo_ray.linker import (
     sample_all_links,
 )
 from mismo_ray.types import Diff, Linkage, LinksTable, with_linked_values
+from mismo_ray.util_ops import explain
 
 __version__ = "0.1.0"
 
@@ -52,6 +53,7 @@ __all__ = [
     "UnnestLinker",
     "__version__",
     "compare",
+    "explain",
     "infer_task",
     "resolve_keys",
     "sample_all_links",

@@ -85,3 +85,16 @@ def n_naive_comparisons(left, right=None) -> int:
         return n * (n - 1) // 2
     m = right if isinstance(right, int) else right.count()
     return n * m
+
+
+def explain(ds, *, analyze: bool = False) -> str:
+    """Plan introspection (reference mismo/_explain.py:9-23 semantics: the
+    EXPLAIN / EXPLAIN ANALYZE of the engine in use).
+
+    analyze=False: the lazy logical operator tree (no execution).
+    analyze=True: EXECUTES the plan (materialize) and returns Ray Data's
+    per-operator stats — task counts, wall/CPU/UDF time, output sizes.
+    """
+    if analyze:
+        return ds.materialize().stats()
+    return str(ds)

@@ -168,3 +168,16 @@ def test_array_helpers():
     assert s1 == s2
     assert sorted(s1) == [1, 2, 3, 4]
     assert sorted(s3) == [1, 2, 3, 4]
+
+
+def test_explain(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray import explain
+
+    ds = ray.data.from_arrow(pa.table({"a": [1, 2, 2]})).groupby("a").count()
+    plan = explain(ds)
+    assert "Aggregate" in plan  # lazy logical tree, no execution
+    stats = explain(ds, analyze=True)
+    assert "Operator" in stats  # executed per-operator stats
