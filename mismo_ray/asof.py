@@ -114,12 +114,21 @@ def asof_join(
         for c in rvals:
             out_types[f"{c}{right_suffix}"] = rschema.field(c).type
         out_types[f"{on}{right_suffix}"] = rschema.field(on).type
-        return pa.table(
-            {
-                c: pa.array(merged[c], type=out_types[c], from_pandas=True)
-                for c in out_names
-            }
-        )
+
+        def col(series, typ) -> pa.Array:
+            if series.dtype == object:
+                # all-null / mixed object columns (e.g. an EMPTY right side)
+                # — numpy conversion can't handle them; go via python
+                vals = [
+                    None
+                    if v is None or (isinstance(v, float) and np.isnan(v))
+                    else v
+                    for v in series
+                ]
+                return pa.array(vals, type=typ)
+            return pa.array(series, type=typ, from_pandas=True)
+
+        return pa.table({c: col(merged[c], out_types[c]) for c in out_names})
 
     return (
         tagged.groupby("__bkt__")

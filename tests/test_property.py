@@ -281,3 +281,53 @@ def test_key_linker_link_right_side_skew_salting():
     }
     assert got == expected
     assert linker.last_counters.get("salted_keys", 0) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=25
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=25
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_bruteforce(lrows, rrows, direction):
+    """asof_join vs a per-row brute force (unique right (k, t) pairs)."""
+    from mismo_ray.asof import asof_join
+
+    rrows = list({(k, t) for k, t in rrows})  # unique right keys
+    lds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k for k, _ in lrows], type=pa.int64()),
+                "t": pa.array([t for _, t in lrows], type=pa.int64()),
+                "i": pa.array(list(range(len(lrows))), type=pa.int64()),
+            }
+        )
+    )
+    rds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k for k, _ in rrows], type=pa.int64()),
+                "t": pa.array([t for _, t in rrows], type=pa.int64()),
+                "v": pa.array([k * 1000 + t for k, t in rrows], type=pa.int64()),
+            }
+        )
+    )
+    def brute(k, t):
+        if direction == "backward":
+            cand = [(rt, rv) for rk, rt in rrows if rk == k and rt <= t
+                    for rv in [rk * 1000 + rt]]
+            return max(cand)[1] if cand else None
+        cand = [(rt, rv) for rk, rt in rrows if rk == k and rt >= t
+                for rv in [rk * 1000 + rt]]
+        return min(cand)[1] if cand else None
+
+    out = asof_join(lds, rds, on="t", by="k", direction=direction).take_all()
+    assert len(out) == len(lrows)
+    for r in out:
+        k, t = lrows[r["i"]]
+        assert r["v_r"] == brute(k, t), (k, t, direction)
