@@ -116,11 +116,25 @@ class KeyLinker:
     # ------------------------------------------------------------ diagnostics
     def _key_counts(self, ds: ray.data.Dataset, side: str) -> ray.data.Dataset:
         """Per-key record counts, null-keyed rows dropped, descending
-        (reference _key_linker.py:408-415)."""
+        (reference _key_linker.py:408-415).
+
+        Map-side combine first: each batch pre-aggregates its keys with the
+        C-speed arrow ``group_by`` kernel, so the groupby shuffle moves
+        per-batch distinct keys instead of raw rows (the partial/combiner
+        rule for aggregations at scale)."""
+        from ray.data.aggregate import Sum
+
         keyed = project_keyed(ds, self.keys, side, None)
+        kcols = [f"__key_{k.name}" for k in self.keys]
+
+        def partial(t: pa.Table) -> pa.Table:
+            agg = t.select(kcols).group_by(kcols).aggregate([([], "count_all")])
+            return agg.rename_columns([*kcols, "__pn"])
+
         counts = (
-            keyed.groupby([f"__key_{k.name}" for k in self.keys])
-            .aggregate(Count(alias_name="n"))
+            keyed.map_batches(partial, batch_format="pyarrow")
+            .groupby(kcols)
+            .aggregate(Sum("__pn", alias_name="n"))
         )
 
         def rename(t: pa.Table) -> pa.Table:
