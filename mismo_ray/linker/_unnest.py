@@ -21,22 +21,53 @@ from mismo_ray.types import Linkage
 
 
 def _explode(ds: ray.data.Dataset, key: KeySpec, side: str) -> ray.data.Dataset:
+    """(record_id, token) rows — fully vectorized: arrow ``flatten`` +
+    ``np.repeat`` for the unnest; per-row duplicate tokens dropped with one
+    lexsort over (row, token-hash) and a consecutive-dup mask (so duplicate
+    tokens in one record don't self-inflate pair counts)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from mismo_ray._util import hash64
+
     def fn(t: pa.Table) -> pa.Table:
         arr = key(t, side)
-        ids = t["record_id"].to_pylist()
-        out_ids, out_tokens = [], []
-        for rid, row in zip(ids, arr.to_pylist()):
-            if row is None:
-                continue
-            for tok in set(row):
-                if tok is None:
-                    continue
-                out_ids.append(rid)
-                out_tokens.append(tok)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        empty = pa.table(
+            {
+                "record_id": t["record_id"].combine_chunks().slice(0, 0),
+                "token": pa.array([], type=arr.type.value_type),
+            }
+        )
+        if n == 0:
+            return empty
+        lengths = np.asarray(
+            pc.fill_null(pc.list_value_length(arr), 0), dtype=np.int64
+        )
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        flat = arr.flatten()  # null rows contribute nothing (lengths 0)
+        if len(flat) == 0:
+            return empty
+        valid = ~np.asarray(flat.is_null())
+        # per-row distinct: sort (row, token hash), keep first of each run.
+        # a 64-bit hash collision WITHIN one row would drop a distinct token
+        # (p ~ k^2/2^64 per row — negligible, and blocking-recall-only).
+        h = hash64(flat)
+        order = np.lexsort((h, row_idx))
+        dup = np.zeros(len(order), dtype=bool)
+        if len(order) > 1:
+            dup[1:] = (row_idx[order[1:]] == row_idx[order[:-1]]) & (
+                h[order[1:]] == h[order[:-1]]
+            )
+        keep = order[~dup & valid[order]]
+        take_tok = pa.array(keep, type=pa.int64())
+        take_row = pa.array(row_idx[keep], type=pa.int64())
         return pa.table(
             {
-                "record_id": pa.array(out_ids, type=t.schema.field("record_id").type),
-                "token": pa.array(out_tokens, type=arr.type.value_type),
+                "record_id": t["record_id"].take(take_row),
+                "token": flat.take(take_tok),
             }
         )
 
