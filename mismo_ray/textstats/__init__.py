@@ -23,10 +23,74 @@ STOPWORDS_EN = frozenset(
 )
 _LANG_MARKERS = {
     "en": STOPWORDS_EN,
-    "de": frozenset("der die das und oder von zu im ist sind war für auf mit als bei aus ein eine".split()),
-    "es": frozenset("el la los las y o de a en es son era para con como por un una".split()),
-    "fr": frozenset("le la les et ou de à en est sont était pour avec comme par un une".split()),
+    "de": frozenset(
+        "der die das und oder von zu im ist sind war für auf mit als bei aus"
+        " ein eine nicht auch dass sich wird werden nach dem den des über"
+        " noch wie aber wenn nur durch kann haben sein ihre".split()
+    ),
+    "es": frozenset(
+        "el la los las y o de a en es son era para con como por un una que"
+        " no se su del al lo más pero sus le ha este cuando muy sin sobre"
+        " también hasta hay donde quien desde todo".split()
+    ),
+    "fr": frozenset(
+        "le la les et ou de à en est sont était pour avec comme par un une"
+        " que qui ne pas se plus dans ce il elle au aux du des sur son sa"
+        " ses mais nous vous leur cette être fait".split()
+    ),
+    "it": frozenset(
+        "il lo la i gli le e o di a in è sono era per con come da un una"
+        " che non si suo del al più ma sue gli questo quando molto senza".split()
+    ),
+    "pt": frozenset(
+        "o a os as e ou de em é são era para com como por um uma que não"
+        " se seu do ao mais mas suas este quando muito sem também até".split()
+    ),
+    "nl": frozenset(
+        "de het een en of van te in is zijn was voor met als bij uit dat"
+        " niet ook wordt naar dan nog maar door kan hebben hun deze".split()
+    ),
 }
+
+# script-range detection: non-Latin scripts identify the language family
+# directly (codepoint ranges are public Unicode knowledge)
+_SCRIPT_RANGES = [
+    ("zh", 0x4E00, 0x9FFF),   # CJK unified ideographs
+    ("ja", 0x3040, 0x30FF),   # hiragana + katakana (checked BEFORE zh)
+    ("ko", 0xAC00, 0xD7AF),   # hangul syllables
+    ("ru", 0x0400, 0x04FF),   # cyrillic
+    ("ar", 0x0600, 0x06FF),   # arabic
+    ("el", 0x0370, 0x03FF),   # greek
+    ("he", 0x0590, 0x05FF),   # hebrew
+    ("th", 0x0E00, 0x0E7F),   # thai
+    ("hi", 0x0900, 0x097F),   # devanagari
+]
+
+
+def _detect_script(text: str, *, sample: int = 400, min_frac: float = 0.2):
+    """(lang, fraction) when >= min_frac of sampled letters fall in one
+    non-Latin script range; None otherwise. Japanese kana beats CJK-han
+    (ja text mixes both; kana only appears in Japanese)."""
+    counts = {lang: 0 for lang, _, _ in _SCRIPT_RANGES}
+    n_letters = 0
+    for ch in text[:sample]:
+        cp = ord(ch)
+        if cp < 0x80:
+            if ch.isalpha():
+                n_letters += 1
+            continue
+        n_letters += 1
+        for lang, lo, hi in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                counts[lang] += 1
+                break
+    if not n_letters:
+        return None
+    if counts["ja"] / n_letters >= 0.05:  # any kana -> Japanese
+        return "ja", counts["ja"] / n_letters
+    best = max(counts, key=counts.get)
+    frac = counts[best] / n_letters
+    return (best, frac) if frac >= min_frac else None
 
 
 def norm_text(s: str | None) -> str | None:
@@ -95,6 +159,10 @@ class LangId:
     def classify(self, text: str | None) -> tuple[str, float]:
         if not text:
             return "und", 0.0
+        # non-Latin scripts decide directly (codepoint-range evidence)
+        hit = _detect_script(text)
+        if hit is not None:
+            return hit
         toks = [t.lower() for t in text.split()]
         if not toks:
             return "und", 0.0

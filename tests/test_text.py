@@ -190,3 +190,30 @@ def test_textstats_units():
     assert lang.classify("the cat and the dog are in the house")[0] == "en"
     assert lang.classify("der Hund und die Katze sind im Haus")[0] == "de"
     assert lang.classify("")[0] == "und"
+
+
+def test_lang_id_real_snippets(ray_session):
+    """LangId on genuine-language snippets: script detection for non-Latin,
+    stopword profiles for Latin-script languages."""
+    from mismo_ray.textstats import LangId
+
+    clf = LangId()
+    cases = {
+        "the quick brown fox jumps over the lazy dog and runs away": "en",
+        "der schnelle braune fuchs springt über den faulen hund und läuft": "de",
+        "el rápido zorro marrón salta sobre el perro perezoso y corre": "es",
+        "le renard brun rapide saute par dessus le chien paresseux et court": "fr",
+        "não há uma solução para os problemas que são muito difíceis também": "pt",
+        "het is niet goed dat deze mensen hun huis nog niet hebben verkocht": "nl",
+        "敏捷的棕色狐狸跳过了懒狗然后跑开了": "zh",
+        "素早い茶色のキツネは怠け者の犬を飛び越えます": "ja",
+        "빠른 갈색 여우가 게으른 개를 뛰어넘는다": "ko",
+        "быстрая коричневая лиса прыгает через ленивую собаку": "ru",
+        "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί": "el",
+    }
+    for text, expected in cases.items():
+        lang, score = clf.classify(text)
+        assert lang == expected, (text[:30], lang, expected)
+        assert score > 0
+    assert clf.classify(None) == ("und", 0.0)
+    assert clf.classify("zzz qqq xxx")[0] == "und"
