@@ -852,6 +852,32 @@ def q_minhash_lsh_dedupe(sf_dir: str):
     return minhash_lsh_pairs(docs, "text", verify_jaccard=0.8).links_ds
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Character-3-gram jaccard near-dup pairs (dedupe.ngram_jaccard_pairs,
+    no hot-gram drop so the SQL gram-join oracle is exact; text truncated to
+    the first 120 chars on BOTH sides to keep the all-pairs-per-hot-gram
+    oracle join tractable at battery time)."""
+    from mismo_ray.dedupe import ngram_jaccard_pairs
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def trunc(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % 2 == 0))  # half the corpus
+        idx = t.schema.get_field_index("text")
+        return t.set_column(
+            idx, "text", pc.utf8_slice_codeunits(t["text"].combine_chunks(), 0, 80)
+        )
+
+    return ngram_jaccard_pairs(
+        docs.map_batches(trunc, batch_format="pyarrow"),
+        "text",
+        n=3,
+        min_jaccard=0.8,
+        max_pairs=None,
+    ).links_ds
+
+
 def q_minhash_lsh_link(sf_dir: str):
     """Link task: cross-corpus near-dup between the even- and odd-doc_id
     halves of the documents table (rows-only check; hash-function op)."""
@@ -934,6 +960,7 @@ QUERIES = {
     "diff_updates": q_diff_updates,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     "minhash_lsh_link": q_minhash_lsh_link,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "flagship_er": q_flagship,
@@ -1204,6 +1231,20 @@ ORACLE_SQL = {
         "UNION ALL "
         "SELECT 'update', b.record_id, b.p_name, a.p_name "
         "FROM before_t b JOIN after_t a USING (record_id) WHERE b.p_name <> a.p_name"
+    ),
+    "ngram_jaccard": (
+        "WITH d AS (SELECT doc_id, substr(text, 1, 80) AS text FROM documents "
+        " WHERE text IS NOT NULL AND doc_id % 2 = 0 "
+        " AND length(substr(text, 1, 80)) >= 3), "
+        "g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram "
+        " FROM d, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)), "
+        "inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c "
+        " FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        " GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1) "
+        "SELECT l AS record_id_l, r AS record_id_r "
+        "FROM inter JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r "
+        "WHERE c * 5 >= (sa.n + sb.n - c) * 4"
     ),
     # minhash_lsh_dedupe / simhash_pairs / lang_id / flagship_er:
     # hash-function / model-driven ops, not SQL-expressible -> rows-only check.

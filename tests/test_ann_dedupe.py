@@ -155,3 +155,33 @@ def test_ivf_topk_recall(ray_session):
     for q, e in te.items():
         # exact-from-IVF contains the brute-force set up to k-boundary ties
         assert len(e - (tf[q] | {q})) <= 1
+
+
+def test_lsh_topk_recall(ray_session):
+    from mismo_ray.ann import lsh_topk
+
+    # planted near-duplicates: rows[n-ndup:] are perturbed copies of earlier
+    # rows (cos ~ 0.99) — at 2 hyperplane bits such a pair shares the bucket
+    # with prob ~ (1 - theta/pi)^2 ~ 0.94, so the source must appear in the
+    # probe's top-3 for the vast majority of duplicate queries
+    n, frac = 500, 0.3
+    rng = np.random.default_rng(21)
+    m = rng.standard_normal((n, 8))
+    ndup = int(n * frac)
+    src_idx = rng.integers(0, n - ndup, size=ndup)
+    m[n - ndup :] = m[src_idx] + 0.05 * rng.standard_normal((ndup, 8))
+    ids = np.arange(n, dtype=np.int64)
+    ds = _ds(ids, m)
+    queries, qids = m[n - ndup :], ids[n - ndup :]
+    approx = lsh_topk(
+        ds, queries, k=3, bits=2, id_column="vec_id", query_ids=qids
+    ).take_all()
+    tops: dict = {}
+    for r in approx:
+        tops.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1
+        for qi, si in zip(range(n - ndup, n), src_idx)
+        if si in tops.get(qi, set())
+    )
+    assert hits / ndup >= 0.8, hits / ndup
