@@ -45,6 +45,10 @@ from mismo_ray._util import hash64
 
 logger = logging.getLogger(__name__)
 
+# update maps up to this many rows are broadcast (map-only relabel);
+# larger maps fall back to the left-outer hash join (the extreme-scale path)
+_UPDATE_MAP_BCAST = 2_000_000
+
 
 # --------------------------------------------------------------- factorizer
 def bucketed_lookup_join(
@@ -381,41 +385,75 @@ def _cc_distributed(
     edge_schema = pa.schema(
         [pa.field("record_id_l", pa.int64()), pa.field("record_id_r", pa.int64())]
     )
+    n_nodes = labels.count()
+    # label tables up to this many rows are broadcast per round (two
+    # ``pc.index_in`` lookups in ONE map over the edges — no join shuffles).
+    # Keep this SMALL: index_in rebuilds a value-set hash table per task, so
+    # broadcasting a large label table costs more than the two hash joins
+    # (measured: 1.3M labels broadcast = 92 s vs 70 s joined on the 1M-edge
+    # benchmark); bigger graphs take the joins (also the 10^12-row path).
+    bcast_nodes = 200_000
 
     i = 0
     while True:
         i += 1
-        # component_l / component_r per edge (2 hash joins)
-        j1 = hash_join(
-            edges,
-            labels.map_batches(
-                lambda t: t.rename_columns(["record_id_l", "component_l"]),
-                batch_format="pyarrow",
-            ),
-            on="record_id_l",
-            left_schema=edge_schema,
-            right_schema=pa.schema(
-                [pa.field("record_id_l", pa.int64()), pa.field("component_l", pa.int64())]
-            ),
-        )
-        j2 = hash_join(
-            j1,
-            labels.map_batches(
-                lambda t: t.rename_columns(["record_id_r", "component_r"]),
-                batch_format="pyarrow",
-            ),
-            on="record_id_r",
-            left_schema=pa.schema(
-                [
-                    pa.field("record_id_l", pa.int64()),
-                    pa.field("record_id_r", pa.int64()),
-                    pa.field("component_l", pa.int64()),
-                ]
-            ),
-            right_schema=pa.schema(
-                [pa.field("record_id_r", pa.int64()), pa.field("component_r", pa.int64())]
-            ),
-        )
+        if n_nodes <= bcast_nodes:
+            ka_list, va_list = [], []
+            for bt in labels.iter_batches(batch_format="pyarrow"):
+                ka_list.append(bt["record_id"].combine_chunks().cast(pa.int64()))
+                va_list.append(bt["component"].combine_chunks().cast(pa.int64()))
+            ka = pa.concat_arrays(ka_list) if ka_list else pa.array([], type=pa.int64())
+            va = pa.concat_arrays(va_list) if va_list else pa.array([], type=pa.int64())
+            lref = ray.put((ka, va))
+
+            def attach_both(t: pa.Table) -> pa.Table:
+                ka, va = ray.get(lref)
+                l_ids = t["record_id_l"].combine_chunks().cast(pa.int64())
+                r_ids = t["record_id_r"].combine_chunks().cast(pa.int64())
+                cl = pc.take(va, pc.index_in(l_ids, value_set=ka))
+                cr = pc.take(va, pc.index_in(r_ids, value_set=ka))
+                return pa.table(
+                    {
+                        "record_id_l": l_ids,
+                        "record_id_r": r_ids,
+                        "component_l": cl,
+                        "component_r": cr,
+                    }
+                )
+
+            j2 = edges.map_batches(attach_both, batch_format="pyarrow")
+        else:
+            # component_l / component_r per edge (2 hash joins)
+            j1 = hash_join(
+                edges,
+                labels.map_batches(
+                    lambda t: t.rename_columns(["record_id_l", "component_l"]),
+                    batch_format="pyarrow",
+                ),
+                on="record_id_l",
+                left_schema=edge_schema,
+                right_schema=pa.schema(
+                    [pa.field("record_id_l", pa.int64()), pa.field("component_l", pa.int64())]
+                ),
+            )
+            j2 = hash_join(
+                j1,
+                labels.map_batches(
+                    lambda t: t.rename_columns(["record_id_r", "component_r"]),
+                    batch_format="pyarrow",
+                ),
+                on="record_id_r",
+                left_schema=pa.schema(
+                    [
+                        pa.field("record_id_l", pa.int64()),
+                        pa.field("record_id_r", pa.int64()),
+                        pa.field("component_l", pa.int64()),
+                    ]
+                ),
+                right_schema=pa.schema(
+                    [pa.field("record_id_r", pa.int64()), pa.field("component_r", pa.int64())]
+                ),
+            )
 
         def equiv(t: pa.Table) -> pa.Table:
             cl = t["component_l"].combine_chunks().cast(pa.int64())
@@ -431,23 +469,57 @@ def _cc_distributed(
             j2.map_batches(equiv, batch_format="pyarrow")
             .groupby("component_old")
             .aggregate(Min("component", alias_name="component"))
+            .materialize()
         )
+        n_updates_map = update_map.count()
 
-        relabeled = hash_join(
-            labels.map_batches(
-                lambda t: t.rename_columns(["record_id", "component_old"]),
-                batch_format="pyarrow",
-            ),
-            update_map,
-            on="component_old",
-            how="left_outer",
-            left_schema=pa.schema(
-                [pa.field("record_id", pa.int64()), pa.field("component_old", pa.int64())]
-            ),
-            right_schema=pa.schema(
-                [pa.field("component_old", pa.int64()), pa.field("component", pa.int64())]
-            ),
-        )
+        # apply the update map to the labels: the map holds one row per
+        # component that appeared on an edge this round — usually FAR smaller
+        # than the label table, so a broadcast dict apply (map-only, no
+        # shuffle) beats the left-outer hash join; corpus-sized maps (early
+        # rounds at extreme scale) keep the join path.
+        if n_updates_map <= _UPDATE_MAP_BCAST:
+            m: dict = {}
+            for bt in update_map.iter_batches(batch_format="pyarrow"):
+                m.update(
+                    zip(
+                        bt["component_old"].to_pylist(),
+                        bt["component"].to_pylist(),
+                    )
+                )
+            keys_arr = pa.array(list(m.keys()), type=pa.int64())
+            vals_arr = pa.array(list(m.values()), type=pa.int64())
+            mref = ray.put((keys_arr, vals_arr))
+
+            def bcast_relabel(t: pa.Table) -> pa.Table:
+                ka, va = ray.get(mref)
+                old = t["component"].combine_chunks().cast(pa.int64())
+                idx = pc.index_in(old, value_set=ka)
+                return pa.table(
+                    {
+                        "record_id": t["record_id"],
+                        "component_old": old,
+                        "component": pc.take(va, idx),  # miss -> null
+                    }
+                )
+
+            relabeled = labels.map_batches(bcast_relabel, batch_format="pyarrow")
+        else:
+            relabeled = hash_join(
+                labels.map_batches(
+                    lambda t: t.rename_columns(["record_id", "component_old"]),
+                    batch_format="pyarrow",
+                ),
+                update_map,
+                on="component_old",
+                how="left_outer",
+                left_schema=pa.schema(
+                    [pa.field("record_id", pa.int64()), pa.field("component_old", pa.int64())]
+                ),
+                right_schema=pa.schema(
+                    [pa.field("component_old", pa.int64()), pa.field("component", pa.int64())]
+                ),
+            )
 
         def finish(t: pa.Table) -> pa.Table:
             comp = pc.min_element_wise(
