@@ -10,8 +10,12 @@
 - ``AmbiguousHaystackFilterer``: drop haystack records whose key appears more
   than once (_filterer.py:88-127).
 
-Ray mapping: frequency tables are groupby-counts collected + broadcast via
-``ray.put`` (vocabulary-sized); application is one ``map_batches``.
+Ray mapping: frequency tables are groupby-counts; vocabularies up to
+``broadcast_threshold`` are collected + broadcast via ``ray.put`` (one
+map_batches to apply), larger ones stay Datasets and are applied with
+bucketed lookup joins — corpus-sized vocabularies never touch the driver.
+The ambiguity filterer is a distributed bucketed window filter (no dup-set
+collect).
 """
 
 from __future__ import annotations
@@ -39,22 +43,31 @@ def column_stats(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
 
 class TermFrequencyModel:
     """Per-column value->frequency lookups fit on a corpus; applied as the
-    product of frequencies across columns (unseen value -> 1/N)."""
+    product of frequencies across columns (unseen value -> 1/N).
 
-    def __init__(self, columns: Sequence[str]):
+    Vocabularies up to ``broadcast_threshold`` distinct values apply via a
+    broadcast dict (one map, no shuffle); larger vocabularies stay Datasets
+    and apply via bucketed lookup joins (one keyed shuffle per column)."""
+
+    def __init__(self, columns: Sequence[str], *, broadcast_threshold: int = 2_000_000):
         self.columns = list(columns)
-        self._freqs: dict[str, dict] = {}
+        self.broadcast_threshold = broadcast_threshold
+        self._freqs: dict[str, dict | None] = {}
+        self._count_ds: dict[str, ray.data.Dataset] = {}
         self._n_total = 0
 
     def fit(self, ds: ray.data.Dataset) -> "TermFrequencyModel":
         self._n_total = ds.count()
         for c in self.columns:
-            pdf = (
-                ds.groupby(c).aggregate(Count(alias_name="n")).to_pandas()
-            )
-            self._freqs[c] = {
-                v: int(n) / self._n_total for v, n in zip(pdf[c], pdf["n"])
-            }
+            counts = ds.groupby(c).aggregate(Count(alias_name="n")).materialize()
+            self._count_ds[c] = counts
+            if counts.count() <= self.broadcast_threshold:
+                pdf = counts.to_pandas()
+                self._freqs[c] = {
+                    v: int(n) / self._n_total for v, n in zip(pdf[c], pdf["n"])
+                }
+            else:
+                self._freqs[c] = None  # corpus-sized vocab: join path
         return self
 
     def add_term_frequencies(
@@ -70,18 +83,51 @@ class TermFrequencyModel:
             raise RuntimeError("call fit() first")
         colmap = columns or {c: c for c in self.columns}
         default = 1.0 / max(self._n_total, 1)
-        ref = ray.put(self._freqs)
+        n_total = max(self._n_total, 1)
+
+        bcast_cols = {f: d for f, d in colmap.items() if self._freqs[f] is not None}
+        join_cols = {f: d for f, d in colmap.items() if self._freqs[f] is None}
+
+        out = ds
+        tmp_cols = []
+        if join_cols:
+            from mismo_ray.cluster._connected_components import (
+                bucketed_lookup_join,
+            )
+
+            for fit_col, ds_col in join_cols.items():
+                tmp = f"__tfn_{fit_col}"
+                tmp_cols.append(tmp)
+                out = bucketed_lookup_join(
+                    out,
+                    ds_col,
+                    self._count_ds[fit_col],
+                    key_name=fit_col,
+                    val_name="n",
+                    out_type=pa.int64(),
+                    result_name=tmp,
+                    on_missing=lambda missing: pa.array(
+                        [0] * len(missing), type=pa.int64()
+                    ),
+                )
+
+        ref = ray.put({f: self._freqs[f] for f in bcast_cols})
 
         def fn(t: pa.Table) -> pa.Table:
             freqs = ray.get(ref)
-            out = np.ones(len(t), dtype=np.float64)
-            for fit_col, ds_col in colmap.items():
+            prod = np.ones(len(t), dtype=np.float64)
+            for fit_col, ds_col in bcast_cols.items():
                 lookup = freqs[fit_col]
                 vals = t[ds_col].to_pylist()
-                out *= np.array([lookup.get(v, default) for v in vals])
-            return t.append_column(name_as, pa.array(out))
+                prod *= np.array([lookup.get(v, default) for v in vals])
+            for tmp in tmp_cols:
+                n = np.asarray(t[tmp], dtype=np.float64)
+                prod *= np.where(n > 0, n / n_total, default)
+            if tmp_cols:
+                t = t.drop_columns(tmp_cols)
+            return t.append_column(name_as, pa.array(prod))
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+        return out.map_batches(fn, batch_format="pyarrow")
 
 
 class RareLookupFilterer:
@@ -114,23 +160,28 @@ class AmbiguousHaystackFilterer:
         self.columns = list(columns)
 
     def unambiguous_haystack(self, haystack: ray.data.Dataset) -> ray.data.Dataset:
-        counts = (
-            haystack.groupby(self.columns)
-            .aggregate(Count(alias_name="__n__"))
-            .to_pandas()
-        )
-        dupes = frozenset(
-            tuple(r) for r in counts[counts["__n__"] > 1][self.columns].itertuples(
-                index=False, name=None
-            )
-        )
-        ref = ray.put(dupes)
+        """Distributed bucketed window filter (hash(key) % ~2xCPUs shuffle,
+        vectorized duplicated-mask per bucket) — the ambiguous-key set is
+        never collected to the driver."""
+        from mismo_ray._joins import default_num_partitions
+        from mismo_ray._util import combine_hash_columns
+
         cols = self.columns
+        B = default_num_partitions()
 
-        def keep(t: pa.Table) -> pa.Table:
-            d = ray.get(ref)
-            vals = list(zip(*(t[c].to_pylist() for c in cols)))
-            mask = np.fromiter((v not in d for v in vals), dtype=bool, count=len(vals))
-            return t.filter(pa.array(mask))
+        def bucketize(t: pa.Table) -> pa.Table:
+            h = (combine_hash_columns(t, cols) % np.uint64(B)).astype(np.int64)
+            return t.append_column("__abkt__", pa.array(h))
 
-        return haystack.map_batches(keep, batch_format="pyarrow")
+        def per_bucket(g: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({c: g[c].to_numpy(zero_copy_only=False) for c in cols})
+            keep = ~df.duplicated(keep=False).to_numpy()
+            return g.filter(pa.array(keep)).drop_columns(["__abkt__"])
+
+        return (
+            haystack.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__abkt__")
+            .map_groups(per_bucket, batch_format="pyarrow")
+        )

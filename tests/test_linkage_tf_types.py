@@ -359,3 +359,42 @@ def test_image_resizer_and_audio_featurizer(ray_session):
     rms, zcr, peak, n = by_id[0]["audio_features"]
     assert 0 < rms < 1 and 0 < zcr < 1 and n == 1000.0
     assert by_id[1]["audio_features"] is None
+
+
+def test_term_frequency_model_join_path(ray_session):
+    """Force the corpus-sized-vocabulary path: frequencies applied via
+    bucketed lookup joins (broadcast_threshold=0, no driver dict) must give
+    the same numbers as the broadcast path."""
+    from mismo_ray.tf import TermFrequencyModel
+
+    tbl = pa.table(
+        {
+            "record_id": list(range(8)),
+            "given": ["ANNE", "ANNE", "BOB", "CARL", "ANNE", "BOB", "DANA", "EMMA"],
+            "surname": ["SMITH"] * 4 + ["JONES"] * 4,
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    bcast = TermFrequencyModel(["given", "surname"]).fit(ds)
+    joined = TermFrequencyModel(
+        ["given", "surname"], broadcast_threshold=0
+    ).fit(ds)
+    fb = {r["record_id"]: r["frequency"] for r in bcast.add_term_frequencies(ds).take_all()}
+    fj = {r["record_id"]: r["frequency"] for r in joined.add_term_frequencies(ds).take_all()}
+    assert fb == fj
+    assert fb[0] == pytest.approx((3 / 8) * (4 / 8))  # ANNE * SMITH
+
+
+def test_ambiguous_haystack_filterer_distributed(ray_session):
+    from mismo_ray.tf import AmbiguousHaystackFilterer
+
+    hay = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": [0, 1, 2, 3, 4],
+                "k": ["a", "a", "b", "c", "c"],
+            }
+        )
+    )
+    out = AmbiguousHaystackFilterer(["k"]).unambiguous_haystack(hay)
+    assert {r["record_id"] for r in out.take_all()} == {2}
