@@ -116,14 +116,28 @@ def add_tfidf(
     *,
     result_name: str = "{name}_tfidf",
     normalize: bool = True,
+    max_broadcast_vocab: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Add a map<term, float64> TF-IDF column.
 
     The idf lookup is computed distributed, collected (it is vocabulary-sized),
     and broadcast to workers with ``ray.put`` — a broadcast join, not a shuffle.
+    Vocabularies beyond ``max_broadcast_vocab`` raise instead of silently
+    exhausting the driver: at that scale, compute ``term_idf(ds, column)``
+    (stays a Dataset), explode the documents to (record_id, term) rows,
+    attach idf with ``cluster.bucketed_lookup_join`` and re-group per record
+    — the per-document map column then never needs a global broadcast.
     """
     name = result_name.format(name=column)
-    idf_tbl = term_idf(ds, column).to_pandas()
+    idf_ds = term_idf(ds, column).materialize()
+    n_vocab = idf_ds.count()
+    if n_vocab > max_broadcast_vocab:
+        raise ValueError(
+            f"vocabulary has {n_vocab} distinct terms (> max_broadcast_vocab="
+            f"{max_broadcast_vocab}); use the explode + bucketed_lookup_join "
+            "recipe in this docstring instead of the broadcast path"
+        )
+    idf_tbl = idf_ds.to_pandas()
     idf_map = dict(zip(idf_tbl["term"], idf_tbl["idf"]))
     idf_ref = ray.put(idf_map)
 
