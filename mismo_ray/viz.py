@@ -195,6 +195,87 @@ def upset_chart(counts: pa.Table) -> dict:
     }
 
 
+def distribution_chart(
+    ds: ray.data.Dataset, column: str, *, limit: int = 1000
+) -> dict:
+    """Bar chart of a column's value counts, most frequent first (reference
+    eda/_plot.py:14-99 `distribution_chart`). The counts are computed with a
+    distributed groupby; only the top ``limit`` bars are collected."""
+    from ray.data.aggregate import Count
+
+    rows = (
+        ds.groupby(column)
+        .aggregate(Count(alias_name="n"))
+        .sort("n", descending=True)
+        .limit(limit)
+        .take_all()
+    )
+    total = int(sum(r["n"] for r in rows))
+    values = [
+        {
+            "value": "(null)" if r[column] is None else str(r[column]),
+            "n": int(r["n"]),
+        }
+        for r in rows
+    ]
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": [f"Distribution of {column}", f"(top {len(values)} values, {total:_} rows shown)"],
+        "data": {"values": values},
+        "mark": "bar",
+        "encoding": {
+            "x": {"field": "value", "type": "nominal", "sort": "-y", "title": column},
+            "y": {
+                "field": "n",
+                "type": "quantitative",
+                "scale": {"type": "symlog"},
+                "title": "Count",
+            },
+            "tooltip": [
+                {"field": "value", "type": "nominal"},
+                {"field": "n", "type": "quantitative"},
+            ],
+        },
+    }
+
+
+def key_counts_chart(key_counts, *, key_columns: list[str] | None = None) -> dict:
+    """Histogram of per-key record counts (reference _counts_table.py
+    `CountsTable.chart` content: how skewed are the blocking keys?)."""
+    rows = _rows(key_counts)
+    values = []
+    for r in rows:
+        keys = (
+            {c: r[c] for c in key_columns}
+            if key_columns
+            else {c: v for c, v in r.items() if c != "n"}
+        )
+        values.append(
+            {"key": ", ".join(str(v) for v in keys.values()), "n": int(r["n"])}
+        )
+    values.sort(key=lambda v: -v["n"])
+    total = int(sum(v["n"] for v in values))
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": ["Records per blocking key", f"({len(values):_} keys, {total:_} records)"],
+        "data": {"values": values},
+        "mark": "bar",
+        "encoding": {
+            "x": {"field": "key", "type": "nominal", "sort": "-y", "title": "Key"},
+            "y": {
+                "field": "n",
+                "type": "quantitative",
+                "scale": {"type": "symlog"},
+                "title": "Number of Records",
+            },
+            "tooltip": [
+                {"field": "key", "type": "nominal"},
+                {"field": "n", "type": "quantitative"},
+            ],
+        },
+    }
+
+
 def odds_histogram(
     scored: ray.data.Dataset,
     *,

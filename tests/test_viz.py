@@ -96,3 +96,24 @@ def test_odds_histogram(ray_session):
     assert sum(v["n"] for v in vals) == 1000
     # log2 range is [-1, 9]; mass in the first and last bins
     assert vals[0]["n"] == 900 and vals[-1]["n"] == 100
+
+
+def test_distribution_and_key_counts_charts(ray_session):
+    from mismo_ray.viz import distribution_chart, key_counts_chart
+
+    ds = ray.data.from_arrow(
+        pa.table({"color": ["red"] * 5 + ["blue"] * 2 + [None]})
+    )
+    spec = distribution_chart(ds, "color")
+    json.dumps(spec)
+    vals = spec["data"]["values"]
+    assert vals[0] == {"value": "red", "n": 5}
+    assert {"value": "(null)", "n": 1} in vals
+
+    kc = [
+        {"p_brand": "B1", "p_size": 3, "n": 100},
+        {"p_brand": "B2", "p_size": 5, "n": 7},
+    ]
+    spec = key_counts_chart(kc)
+    json.dumps(spec)
+    assert spec["data"]["values"][0] == {"key": "B1, 3", "n": 100}
