@@ -331,3 +331,94 @@ def test_asof_join_matches_bruteforce(lrows, rrows, direction):
     for r in out:
         k, t = lrows[r["i"]]
         assert r["v_r"] == brute(k, t), (k, t, direction)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    lvals=st.lists(st.integers(0, 100), max_size=30),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 60)), max_size=20
+    ),
+    width=st.sampled_from([7, 25, 200]),
+)
+def test_interval_join_property(lvals, intervals, width):
+    """interval_join vs brute force across bucket widths (incl. a width
+    larger than the whole domain)."""
+    from mismo_ray.asof import interval_join
+
+    lds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array(range(len(lvals)), type=pa.int64()),
+                "v": pa.array([float(v) for v in lvals], type=pa.float64()),
+            }
+        )
+    )
+    rds = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(range(len(intervals)), type=pa.int64()),
+                "lo": pa.array([float(a) for a, _ in intervals], type=pa.float64()),
+                "hi": pa.array(
+                    [float(a + w) for a, w in intervals], type=pa.float64()
+                ),
+            }
+        )
+    )
+    expected = {
+        (i, j)
+        for i, v in enumerate(lvals)
+        for j, (a, w) in enumerate(intervals)
+        if a <= v <= a + w
+    }
+    got = rows_set(
+        interval_join(
+            lds, rds, left_value="v", right_lo="lo", right_hi="hi",
+            bucket_width=float(width),
+        ),
+        ["lid", "rid_r"],
+    )
+    assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    sets=st.lists(
+        st.lists(st.tuples(st.integers(0, 6), st.integers(7, 13)), max_size=12),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_upset_counts_property(sets):
+    """upset_counts vs brute-force exact-subset attribution."""
+    from collections import Counter
+
+    from mismo_ray.viz import upset_counts
+
+    names = [f"s{i}" for i in range(len(sets))]
+    links = {}
+    for name, pairs in zip(names, sets):
+        pairs = list(set(pairs))
+        links[name] = ray.data.from_arrow(
+            pa.table(
+                {
+                    "record_id_l": pa.array([a for a, _ in pairs], type=pa.int64()),
+                    "record_id_r": pa.array([b for _, b in pairs], type=pa.int64()),
+                }
+            )
+        )
+    counts = upset_counts(links)
+    got = {
+        tuple(i): n
+        for i, n in zip(
+            counts["intersection"].to_pylist(), counts["n_pairs"].to_pylist()
+        )
+    }
+    brute = Counter()
+    all_pairs = set().union(*(set(s) for s in sets)) if sets else set()
+    for p in all_pairs:
+        key = tuple(n for n, s in zip(names, sets) if p in set(s))
+        brute[key] += 1
+    assert got == dict(brute)
