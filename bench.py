@@ -82,6 +82,10 @@ def run_bench() -> dict:
         dq.q_ann_topk(sf_dir).count()
     with timed("token_stats"):
         dq.q_token_stats(sf_dir).count()
+    with timed("asof_join"):
+        dq.q_asof_join(sf_dir).count()
+    with timed("postal_parse"):
+        dq.q_postal_parse(sf_dir).count()
 
     # ---- reference-comparable pair-count benchmark
     # (mismo's KeyLinker("street") pair-count on 300k rows, BASELINE.md:

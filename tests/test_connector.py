@@ -88,3 +88,21 @@ def test_connector_stage_gives_nulls_after_retries(ray_session):
     ).take_all()
     assert len(out) == 10
     assert all(r["is_match"] is None and r["latitude"] is None for r in out)
+
+
+def test_connector_stage_strict_raises(ray_session):
+    import pytest
+    from mismo_ray.state.connector import OverloadError
+
+    ds = ray.data.from_arrow(pa.table({"street": ["1 A ST"] * 4}))
+    stage = AsyncConnectorStage(
+        lambda: FakeGeocodeClient(fail_first=10**9),
+        input_columns=["street"],
+        output_schema=GEOCODE_SCHEMA,
+        chunk_size=2,
+        n_concurrent=2,
+        max_retries=1,
+        strict=True,
+    )
+    with pytest.raises(Exception):  # OverloadError surfaces as a Ray task error
+        ds.map_batches(stage, batch_format="pyarrow", concurrency=1).take_all()
