@@ -11,7 +11,7 @@ from mismo_ray.cluster._eval import (
     rand_score,
     v_measure_score,
 )
-from mismo_ray.cluster._metrics import degree
+from mismo_ray.cluster._metrics import degree, subgraph
 
 __all__ = [
     "Factorizer",
@@ -19,6 +19,7 @@ __all__ = [
     "completeness_score",
     "connected_components",
     "degree",
+    "subgraph",
     "fowlkes_mallows_score",
     "homogeneity_score",
     "mutual_info_score",

@@ -252,3 +252,20 @@ def test_pairwise_metrics_from_links(ray_session):
     assert m["true_pairs"] == 4
     assert m["precision"] == pytest.approx(2 / 3)
     assert m["recall"] == pytest.approx(0.5)
+
+
+def test_subgraph(ray_session):
+    from mismo_ray.cluster import subgraph
+
+    # two components: 0-1-2-3-4 chain and 10-11
+    links = edges_ds([(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)])
+    out = subgraph(links, [0], hops=2)
+    assert out["node_ids"] == {0, 1, 2}  # 2 hops from 0
+    got = rows_set(out["links"], ["record_id_l", "record_id_r"])
+    assert got == {(0, 1), (1, 2)}
+    # enough hops reaches the whole component but never the other one
+    out = subgraph(links, [0], hops=10)
+    assert out["node_ids"] == {0, 1, 2, 3, 4}
+    assert rows_set(out["links"], ["record_id_l", "record_id_r"]) == {
+        (0, 1), (1, 2), (2, 3), (3, 4)
+    }
