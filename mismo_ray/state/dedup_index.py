@@ -1,0 +1,142 @@
+"""Streaming dedup against a SHARED MUTABLE INDEX — the one shape the
+Dataset API genuinely cannot express (task brief: "drop to raw Ray
+tasks/actors only where the Dataset API can't, e.g. a shared mutable index").
+
+``exact_dedupe`` answers "which rows are duplicates within THIS dataset" with
+one groupby shuffle. An INCREMENTAL pipeline ("drop anything seen in any
+earlier run, without re-shuffling all of history") needs state that outlives
+a single Dataset execution: a sharded fingerprint index held in Ray actors.
+
+- ``_IndexShard``: a plain Ray actor holding one hash-partitioned set of
+  64-bit content fingerprints; ``check_and_add`` is atomic per shard
+  (actor calls serialize), so first-seen-wins is race-free.
+- ``StreamingDedupIndex``: N shards + a ``filter_new(ds, column)`` stage —
+  per batch: vectorized fingerprints, partition by shard, one actor call per
+  touched shard, keep rows whose fingerprint is new. Batches are deduped
+  internally first, so a batch is self-consistent; ACROSS batches the winner
+  is arrival order (inherent to incremental dedup).
+
+Scale notes: memory is ~8 B x distinct docs spread over n_shards actors
+(place shards across nodes in a real cluster); calls ship only uint64 arrays.
+``snapshot``/``restore`` give parquet-backed persistence between runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from mismo_ray._util import hash64
+
+
+@ray.remote
+class _IndexShard:
+    def __init__(self) -> None:
+        self._seen: set[int] = set()
+
+    def check_and_add(self, fps: list[int]) -> list[bool]:
+        """For each fingerprint, True when it was NOT seen before (and mark
+        it seen). Atomic: actor method calls are serialized per actor."""
+        out = []
+        seen = self._seen
+        for f in fps:
+            if f in seen:
+                out.append(False)
+            else:
+                seen.add(f)
+                out.append(True)
+        return out
+
+    def size(self) -> int:
+        return len(self._seen)
+
+    def dump(self) -> list[int]:
+        return list(self._seen)
+
+    def load(self, fps: list[int]) -> None:
+        self._seen.update(fps)
+
+
+class StreamingDedupIndex:
+    """Sharded cross-run exact-dedup index.
+
+    >>> idx = StreamingDedupIndex(n_shards=8)
+    >>> first = idx.filter_new(ds_monday, "text")    # all new
+    >>> second = idx.filter_new(ds_tuesday, "text")  # Monday's docs dropped
+    """
+
+    def __init__(self, *, n_shards: int = 16, seed: int = 0):
+        self.n_shards = n_shards
+        self.seed = seed
+        self._shards = [_IndexShard.remote() for _ in range(n_shards)]
+
+    def _fingerprints(self, t: pa.Table, column: str) -> np.ndarray:
+        return hash64(t[column], seed=self.seed)
+
+    def filter_new(
+        self, ds: ray.data.Dataset, column: str
+    ) -> ray.data.Dataset:
+        """Rows whose ``column`` content was never seen by this index (rows
+        with equal content within one batch keep only the first)."""
+        shards = self._shards
+        n_shards = self.n_shards
+        seed = self.seed
+
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            fps = hash64(t[column], seed=seed)
+            # batch-internal first-seen
+            _, first_pos = np.unique(fps, return_index=True)
+            keep_local = np.zeros(len(t), dtype=bool)
+            keep_local[first_pos] = True
+            # null content never dedupes
+            nulls = np.asarray(t[column].combine_chunks().is_null())
+            keep_local |= nulls
+            sh = (fps % np.uint64(n_shards)).astype(np.int64)
+            keep = keep_local.copy()
+            futures, positions = [], []
+            for s in np.unique(sh):
+                pos = np.flatnonzero(keep_local & ~nulls & (sh == s))
+                if len(pos):
+                    futures.append(
+                        shards[int(s)].check_and_add.remote(
+                            # signed view: plain python ints that fit C long
+                            [int(f) for f in fps[pos].astype(np.int64)]
+                        )
+                    )
+                    positions.append(pos)
+            for pos, new_mask in zip(positions, ray.get(futures)):
+                keep[pos] = np.asarray(new_mask, dtype=bool)
+            keep |= nulls
+            return t.filter(pa.array(keep))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def n_seen(self) -> int:
+        return int(sum(ray.get([s.size.remote() for s in self._shards])))
+
+    def snapshot(self, path: str) -> None:
+        """Persist the index to parquet (one file, fingerprints only)."""
+        fps: list[int] = []
+        for chunk in ray.get([s.dump.remote() for s in self._shards]):
+            fps.extend(chunk)
+        pq.write_table(pa.table({"fp": pa.array(fps, type=pa.int64())}), path)
+
+    def restore(self, path: str) -> "StreamingDedupIndex":
+        fps_signed = np.asarray(pq.read_table(path)["fp"], dtype=np.int64)
+        sh = (fps_signed.astype(np.uint64) % np.uint64(self.n_shards)).astype(
+            np.int64
+        )
+        ray.get(
+            [
+                self._shards[s].load.remote(
+                    [int(f) for f in fps_signed[sh == s]]
+                )
+                for s in range(self.n_shards)
+            ]
+        )
+        return self

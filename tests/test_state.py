@@ -120,3 +120,45 @@ def test_read_records_parquet_csv_json(ray_session, tmp_path):
         str(tmp_path / "t.parquet"), columns=["key", "n"], record_id="n"
     )
     assert {r["record_id"] for r in ds.take_all()} == {1, 2, 3}
+
+
+# -------------------------------------------------- streaming dedup index
+def test_streaming_dedup_index(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from mismo_ray.state.dedup_index import StreamingDedupIndex
+
+    idx = StreamingDedupIndex(n_shards=4)
+    monday = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": [0, 1, 2, 3],
+                "text": ["aaa", "bbb", "aaa", None],  # internal dup + null
+            }
+        )
+    )
+    kept1 = monday.take_all()  # no-op consume guard
+    out1 = idx.filter_new(monday, "text").take_all()
+    texts1 = sorted(r["text"] for r in out1 if r["text"] is not None)
+    assert texts1 == ["aaa", "bbb"]  # internal dup dropped
+    assert any(r["text"] is None for r in out1)  # nulls pass through
+    assert idx.n_seen() == 2
+
+    tuesday = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": [10, 11, 12],
+                "text": ["bbb", "ccc", "ddd"],  # bbb seen on monday
+            }
+        )
+    )
+    out2 = idx.filter_new(tuesday, "text").take_all()
+    assert sorted(r["text"] for r in out2) == ["ccc", "ddd"]
+    assert idx.n_seen() == 4
+
+    # snapshot -> new index -> restore -> history still filters
+    snap = str(tmp_path / "index.parquet")
+    idx.snapshot(snap)
+    idx2 = StreamingDedupIndex(n_shards=8).restore(snap)
+    out3 = idx2.filter_new(tuesday, "text").take_all()
+    assert out3 == []  # everything already seen
