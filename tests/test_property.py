@@ -422,3 +422,95 @@ def test_upset_counts_property(sets):
         key = tuple(n for n, s in zip(names, sets) if p in set(s))
         brute[key] += 1
     assert got == dict(brute)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    mapping=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(0, 1000),
+        max_size=15,
+    ),
+    lookups=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3), max_size=25
+    ),
+)
+def test_bucketed_lookup_join_property(mapping, lookups):
+    """bucketed_lookup_join (the Factorizer/CC/TF core) vs a plain dict."""
+    from mismo_ray.cluster._connected_components import bucketed_lookup_join
+
+    mds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(mapping.keys()), type=pa.string()),
+                "v": pa.array(list(mapping.values()), type=pa.int64()),
+            }
+        )
+    )
+    dds = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(lookups, type=pa.string()),
+                "i": pa.array(range(len(lookups)), type=pa.int64()),
+            }
+        )
+    )
+    out = bucketed_lookup_join(
+        dds,
+        "key",
+        mds,
+        key_name="k",
+        val_name="v",
+        out_type=pa.int64(),
+        result_name="val",
+        on_missing=lambda missing: pa.array([-1] * len(missing), type=pa.int64()),
+    ).take_all()
+    assert len(out) == len(lookups)
+    for r in out:
+        assert r["val"] == mapping.get(lookups[r["i"]], -1)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), max_size=40
+    ),
+    gap_s=st.sampled_from([1, 60, 3600]),
+)
+def test_sessionize_matches_bruteforce(events, gap_s):
+    import pandas as pd
+
+    from mismo_ray.streaming import sessionize
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([u for u, _ in events], type=pa.int64()),
+                "ts": pa.array(
+                    [t * 1_000_000 for _, t in events], type=pa.timestamp("us")
+                ),
+            }
+        )
+    )
+    # brute force per user
+    expected = set()
+    by_user: dict = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts = sorted(ts)
+        sessions = [[ts[0]]]
+        for a, b in zip(ts, ts[1:]):
+            if b - a > gap_s:
+                sessions.append([b])
+            else:
+                sessions[-1].append(b)
+        for sid, sess in enumerate(sessions):
+            expected.add((u, sid, sess[0], sess[-1], len(sess)))
+    got = rows_set(
+        sessionize(ds, gap_s=gap_s),
+        ["user_id", "session_id", "session_start_s", "session_end_s", "n_events"],
+    )
+    assert got == expected
