@@ -1,3 +1,22 @@
-from mismo_ray.lib import address, email, geo, name, phone
+from mismo_ray.lib import address, company, dimensions, email, geo, name, phone, postal
+from mismo_ray.lib.dimensions import (
+    AddressesDimension,
+    EmailsDimension,
+    NameDimension,
+    PhonesDimension,
+)
 
-__all__ = ["address", "email", "geo", "name", "phone"]
+__all__ = [
+    "AddressesDimension",
+    "EmailsDimension",
+    "NameDimension",
+    "PhonesDimension",
+    "address",
+    "company",
+    "dimensions",
+    "email",
+    "geo",
+    "name",
+    "phone",
+    "postal",
+]
