@@ -34,7 +34,7 @@ from mismo_ray.compare import LevelComparer
 from mismo_ray.fs import Weights, train_using_em, train_using_labels
 from mismo_ray.keys import KeySpec
 from mismo_ray.linker import KeyLinker
-from mismo_ray.text import jaro_winkler_similarity
+from mismo_ray.text import jaro_winkler_similarity_array
 from mismo_ray.types import Linkage
 
 _HTML_TEMPLATE = (
@@ -282,14 +282,12 @@ def webpage_comparers() -> list[LevelComparer]:
         ).to_numpy(zero_copy_only=False)
 
     def path_jw_high(t: pa.Table) -> np.ndarray:
+        # the level is (same_page & jw): gate the JW kernel on the cheap
+        # equality mask so it only runs on same-page candidates
         same = same_page(t)
-        jw = np.array(
-            [
-                (jaro_winkler_similarity(a, b) or 0.0) >= 0.95
-                for a, b in zip(t["path_l"].to_pylist(), t["path_r"].to_pylist())
-            ]
-        )
-        return same & jw
+        jw = jaro_winkler_similarity_array(t["path_l"], t["path_r"], mask=same)
+        jw = jw.to_numpy(zero_copy_only=False)
+        return same & (np.nan_to_num(jw.astype(np.float64)) >= 0.95)
 
     def same_lang(t: pa.Table) -> np.ndarray:
         return pc.equal(t["lang_l"], t["lang_r"]).to_numpy(zero_copy_only=False)
@@ -541,14 +539,11 @@ def sketch_comparers() -> list[LevelComparer]:
         ).to_numpy(zero_copy_only=False)
 
     def path_jw(t: pa.Table) -> np.ndarray:
+        # gated on same_page: JW runs only where the cheap mask already holds
         same = same_page(t)
-        jw = np.array(
-            [
-                (jaro_winkler_similarity(a, b) or 0.0) >= 0.95
-                for a, b in zip(t["path_l"].to_pylist(), t["path_r"].to_pylist())
-            ]
-        )
-        return same & jw
+        jw = jaro_winkler_similarity_array(t["path_l"], t["path_r"], mask=same)
+        jw = jw.to_numpy(zero_copy_only=False)
+        return same & (np.nan_to_num(jw.astype(np.float64)) >= 0.95)
 
     def same_domain(t: pa.Table) -> np.ndarray:
         return pc.equal(t["domain_l"], t["domain_r"]).to_numpy(zero_copy_only=False)

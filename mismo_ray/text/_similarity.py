@@ -229,12 +229,150 @@ def _pairwise_pyfunc_array(fn, a, b, out_type=pa.float64()) -> pa.Array:
     return pa.array([fn(x, y) for x, y in zip(al, bl)], type=out_type)
 
 
-def jaro_similarity_array(a, b) -> pa.Array:
-    return _pairwise_pyfunc_array(jaro_similarity, a, b)
+def _jaro_gather(A, B, la, lb) -> np.ndarray:
+    """Jaro similarity vectorized across the pair axis.
+
+    A/B are (m, maxlen) uint32 codepoint matrices (zero-padded); the greedy
+    character-matching pass runs one python iteration per left-string
+    position, each a vector op over all m pairs.
+    """
+    m, ma = A.shape
+    mb = B.shape[1]
+    d = np.maximum(np.maximum(la, lb) // 2 - 1, 0).astype(np.int32)[:, None]
+    jgrid = np.arange(mb, dtype=np.int32)
+    b_used = np.zeros((m, mb), dtype=bool)
+    a_matched = np.zeros((m, ma), dtype=bool)
+    alive = (la > 0) & (lb > 0)
+    # sentinel trick: padding and already-used positions are marked with a
+    # codepoint that can never equal a real char, folding the availability
+    # check into the equality test (one pass instead of three). Narrow the
+    # dtype when codepoints allow — halves memory bandwidth in the hot loop.
+    mx = int(max(A.max(initial=0), B.max(initial=0)))
+    if mx < 0xFFFF:
+        dt, SENT = np.uint16, np.uint16(0xFFFF)
+        A, B = A.astype(np.uint16), B.astype(np.uint16)
+    else:
+        dt, SENT = np.uint32, np.uint32(0xFFFFFFFF)
+    Bw = np.where(jgrid < lb[:, None], B, SENT).astype(dt)
+    rows = np.arange(m)
+    cand = np.empty((m, mb), dtype=bool)
+    win = np.empty((m, mb), dtype=bool)
+    for i in range(ma):
+        act = alive & (i < la)
+        if not act.any():
+            break
+        np.equal(Bw, A[:, i][:, None], out=cand)
+        np.less_equal(np.abs(jgrid - i), d, out=win)
+        np.logical_and(cand, win, out=cand)
+        j = cand.argmax(axis=1)  # first unmatched j in window (greedy)
+        has = cand[rows, j] & act
+        j = j[has]
+        a_matched[has, i] = True
+        b_used[has, j] = True
+        Bw[has, j] = SENT
+    matches = a_matched.sum(axis=1)
+    # transpositions: compare matched chars in a-order vs b-order via a
+    # rank-scatter (unmatched positions land on a scratch column; ranks >=
+    # matches are masked out of the comparison below)
+    def _compact(M, C, width):
+        rank = np.cumsum(M, axis=1, dtype=np.int32) - 1
+        out = np.zeros((m, width + 1), dtype=C.dtype)
+        np.put_along_axis(out, np.where(M, rank, width), C, axis=1)
+        return out
+    SA = _compact(a_matched, A, ma)
+    SB = _compact(b_used, B, mb)
+    w = min(ma, mb)
+    rgrid = np.arange(w)
+    diff = (SA[:, :w] != SB[:, :w]) & (rgrid < matches[:, None])
+    t = diff.sum(axis=1) // 2
+    mt = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sj = (mt / la + mt / lb + (mt - t) / mt) / 3.0
+    sj = np.where((matches == 0) | (la == 0) | (lb == 0), 0.0, sj)
+    return sj
 
 
-def jaro_winkler_similarity_array(a, b) -> pa.Array:
-    return _pairwise_pyfunc_array(jaro_winkler_similarity, a, b)
+def _codepoint_matrix(strs, lens):
+    M = np.zeros((len(strs), int(lens.max(initial=0))), dtype=np.uint32)
+    for k, s in enumerate(strs):
+        if s:
+            M[k, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return M
+
+
+def _jaro_batched(a, b, prefix_weight: float | None, mask=None) -> pa.Array:
+    """Shared driver for jaro / jaro-winkler batch kernels.
+
+    ``prefix_weight=None`` -> plain jaro. ``mask``: optional bool ndarray;
+    pairs where mask is False are skipped (returned as null) — used to gate
+    the expensive kernel on a cheap predicate (e.g. same-page) for free.
+    """
+    al, bl = _to_pylist(a), _to_pylist(b)
+    n = len(al)
+    valid = np.array(
+        [x is not None and y is not None for x, y in zip(al, bl)], dtype=bool
+    )
+    if mask is not None:
+        valid &= np.asarray(mask, dtype=bool)
+    idx = np.nonzero(valid)[0]
+    out = np.full(n, np.nan)
+    if len(idx):
+        sa = [al[i] for i in idx]
+        sb = [bl[i] for i in idx]
+        la = np.array([len(s) for s in sa], dtype=np.int32)
+        lb = np.array([len(s) for s in sb], dtype=np.int32)
+        if max(la.max(initial=0), lb.max(initial=0)) > 512:
+            # very long strings: per-pair scalar beats the padded matrix
+            fn = (
+                jaro_similarity
+                if prefix_weight is None
+                else lambda x, y: jaro_winkler_similarity(x, y, prefix_weight)
+            )
+            out[idx] = [fn(x, y) for x, y in zip(sa, sb)]
+        else:
+            # fast path: identical strings (common for near-dup pairs) are
+            # jaro==1 by construction; run the greedy matcher on the rest only
+            same = np.fromiter(
+                (x == y for x, y in zip(sa, sb)), dtype=bool, count=len(sa)
+            )
+            sj = np.where(same & (la > 0), 1.0, 0.0)
+            rest = np.nonzero(~same)[0]
+            if len(rest):
+                ra = [sa[i] for i in rest]
+                rb = [sb[i] for i in rest]
+                rla, rlb = la[rest], lb[rest]
+                A = _codepoint_matrix(ra, rla)
+                B = _codepoint_matrix(rb, rlb)
+                sjr = _jaro_gather(A, B, rla, rlb)
+                if prefix_weight is not None:
+                    # winkler prefix boost (identical strings are sj==1 so
+                    # the boost is a no-op there — rest rows only)
+                    w = min(4, A.shape[1], B.shape[1])
+                    if w:
+                        k = np.arange(w)
+                        eq = (
+                            (A[:, :w] == B[:, :w])
+                            & (k < rla[:, None])
+                            & (k < rlb[:, None])
+                        )
+                        prefix = np.cumprod(eq, axis=1).sum(axis=1)
+                        sjr = sjr + prefix * prefix_weight * (1.0 - sjr)
+                sj[rest] = sjr
+            out[idx] = sj
+    return pa.array(
+        [None if not valid[i] else float(out[i]) for i in range(n)],
+        type=pa.float64(),
+    )
+
+
+def jaro_similarity_array(a, b, *, mask=None) -> pa.Array:
+    return _jaro_batched(a, b, None, mask=mask)
+
+
+def jaro_winkler_similarity_array(
+    a, b, *, prefix_weight: float = 0.1, mask=None
+) -> pa.Array:
+    return _jaro_batched(a, b, prefix_weight, mask=mask)
 
 
 def damerau_levenshtein_array(a, b) -> pa.Array:

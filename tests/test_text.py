@@ -150,6 +150,48 @@ def test_jaro_matches_duckdb():
         assert got == pytest.approx(exp, abs=1e-12), (a, b, got, exp)
 
 
+def test_jaro_winkler_array_parity_random():
+    # vectorized-across-pairs kernel must match the scalar reference exactly
+    import random
+    import string
+
+    rng = random.Random(42)
+    a_col, b_col = [], []
+    for _ in range(800):
+        n1, n2 = rng.randint(0, 14), rng.randint(0, 14)
+        alpha = "abcd " if rng.random() < 0.5 else string.ascii_lowercase + "é"
+        a = "".join(rng.choice(alpha) for _ in range(n1))
+        b = a if rng.random() < 0.2 else "".join(
+            rng.choice(alpha) for _ in range(n2)
+        )
+        if rng.random() < 0.08:
+            a = None
+        if rng.random() < 0.08:
+            b = None
+        a_col.append(a)
+        b_col.append(b)
+    got_j = text.jaro_similarity_array(a_col, b_col).to_pylist()
+    got_w = text.jaro_winkler_similarity_array(a_col, b_col).to_pylist()
+    for a, b, gj, gw in zip(a_col, b_col, got_j, got_w):
+        ej = text.jaro_similarity(a, b)
+        ew = text.jaro_winkler_similarity(a, b)
+        assert (gj is None) == (ej is None), (a, b)
+        assert (gw is None) == (ew is None), (a, b)
+        if ej is not None:
+            assert gj == pytest.approx(ej, abs=1e-12), (a, b)
+            assert gw == pytest.approx(ew, abs=1e-12), (a, b)
+
+
+def test_jaro_winkler_array_mask():
+    # masked-out pairs come back null without running the kernel
+    got = text.jaro_winkler_similarity_array(
+        ["foo", "bar", "baz"], ["food", "bar", "qux"], mask=[True, False, True]
+    ).to_pylist()
+    assert got[0] == pytest.approx(0.9416666666666667)
+    assert got[1] is None
+    assert got[2] == pytest.approx(text.jaro_winkler_similarity("baz", "qux"))
+
+
 def test_levenshtein_array_vectorized():
     a = ["abc", "kitten", None, "", "supercalifragilistic"] * 10
     b = ["abd", "sitting", "x", "abc", "supercalifragilistik"] * 10
