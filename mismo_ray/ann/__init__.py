@@ -518,25 +518,32 @@ def lsh_topk(
             )
         vm = _normalize_rows(_matrix(g, vector_column))
         ids = np.asarray(g[id_column], dtype=np.int64)
+        sub_qids = qids[qidx]
         sub_q = _normalize_rows(qm[qidx])
-        sims = vm @ sub_q.T
-        out = {"query_id": [], "neighbor_id": [], "rank": [], "sim": []}
-        for j, qi in enumerate(qidx):
-            col = sims[:, j]
-            mask = ids != qids[qi]
-            order = np.lexsort((ids[mask], -col[mask]))[:k]
-            sel_ids = ids[mask][order]
-            sel_sims = col[mask][order]
-            out["query_id"].extend([qids[qi]] * len(order))
-            out["neighbor_id"].extend(sel_ids)
-            out["rank"].extend(range(1, len(order) + 1))
-            out["sim"].extend(sel_sims)
+        sims = vm @ sub_q.T  # (n, q)
+        # self-matches to -inf, then one argpartition over the whole matrix
+        # + one grouped lexsort — no python per query (mirrors brute_force)
+        sims[ids[:, None] == sub_qids[None, :]] = -np.inf
+        n, q = sims.shape
+        kk = min(k + 1, n)  # +1 headroom: a selected self slot is dropped
+        if kk < n:
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        else:
+            top = np.tile(np.arange(n)[:, None], (1, q))
+        qcol = np.repeat(np.arange(q), kk)
+        ni = top.T.ravel()  # grouped per query
+        ssel = sims[ni, qcol]
+        isel = ids[ni]
+        order = np.lexsort((isel, -ssel, qcol))
+        ssel, isel, qcol = ssel[order], isel[order], qcol[order]
+        rank = np.arange(len(ssel), dtype=np.int64) % kk + 1
+        keep = (ssel > -np.inf) & (rank <= k)
         return pa.table(
             {
-                "query_id": pa.array(out["query_id"], type=pa.int64()),
-                "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
-                "rank": pa.array(out["rank"], type=pa.int64()),
-                "sim": pa.array(out["sim"], type=pa.float64()),
+                "query_id": pa.array(sub_qids[qcol[keep]], type=pa.int64()),
+                "neighbor_id": pa.array(isel[keep], type=pa.int64()),
+                "rank": pa.array(rank[keep], type=pa.int64()),
+                "sim": pa.array(ssel[keep], type=pa.float64()),
             }
         )
 

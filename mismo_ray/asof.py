@@ -29,6 +29,25 @@ from mismo_ray._joins import default_num_partitions
 from mismo_ray._util import hash64
 
 
+def _check_suffix_collisions(
+    left_names, suffixed_right_cols, right_suffix: str
+) -> None:
+    """A left column named like a suffixed right output (e.g. left ``v_r``
+    with right value column ``v`` and suffix ``_r``) would collide in the
+    merged frame and corrupt or crash the in-bucket merge — reject up front."""
+    lset = set(left_names)
+    clash = sorted(
+        f"{c}{right_suffix}" for c in suffixed_right_cols
+        if f"{c}{right_suffix}" in lset
+    )
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with suffixed right output columns "
+            f"(right_suffix={right_suffix!r}); rename them or pass a different "
+            "right_suffix"
+        )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -52,6 +71,7 @@ def asof_join(
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     rvals = [c for c in rschema.names if c not in (by, on)]
+    _check_suffix_collisions(lschema.names, rvals + [on], right_suffix)
     out_names = list(lschema.names) + [f"{c}{right_suffix}" for c in rvals] + [
         f"{on}{right_suffix}"
     ]
@@ -162,6 +182,7 @@ def interval_join(
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     rcols = list(rschema.names)
+    _check_suffix_collisions(lschema.names, rcols, right_suffix)
     out_names = list(lschema.names) + [f"{c}{right_suffix}" for c in rcols]
 
     def tag_left(t: pa.Table) -> pa.Table:

@@ -626,6 +626,12 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
+        if records is not None:
+            # factorize over link endpoints UNION record ids: every record —
+            # singletons included — gets a dense code, so singleton labels
+            # can be own-code (collision-free) instead of a 62-bit hash
+            # (birthday-colliding at ~1e9 singletons)
+            both = both.union(records.select_columns(["record_id"]))
         f = Factorizer(both, broadcast_threshold=factorize_broadcast_threshold)
         edges = f.encode_column(
             edges.map_batches(
@@ -656,6 +662,11 @@ def connected_components(
     labels = _cc_distributed(
         edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir
     )
+    if not int_ids and records is not None:
+        # attach in CODE space: the factorizer covered record ids too, so a
+        # singleton's own code is its fresh label — unique by construction
+        # and disjoint from linked min-code component labels
+        return _attach_labels_coded(records, labels, f, label_as, id_type)
     if not int_ids:
         labels = f.decode_column(
             labels,
@@ -676,6 +687,46 @@ def connected_components(
         labels_map = dict(zip(pdf["record_id"].map(_hashable), pdf["component"]))
         return _attach_labels_broadcast(records, labels_map, label_as)
     return _attach_labels_join(records, labels, label_as)
+
+
+def _attach_labels_coded(
+    records: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    f: "Factorizer",
+    label_as: str,
+    id_type: pa.DataType,
+) -> ray.data.Dataset:
+    """Attach component labels to non-int-id records via factorized codes.
+
+    ``labels`` is still in code space (record_id = code). Each record's id is
+    encoded with the SAME factorizer (which covered records at build time),
+    then labels are looked up by code; a record missing from the labels —
+    a singleton — takes its own code as the label. Own-codes are unique and
+    belong to unlinked records, so they cannot collide with any linked
+    component's min-code label (unlike the previous 62-bit id-hash scheme,
+    which had non-negligible birthday collisions at ~1e9 singletons)."""
+    base = records.schema().base_schema
+
+    def dup(t: pa.Table) -> pa.Table:
+        return t.append_column("__cc_code__", t["record_id"].combine_chunks())
+
+    rec2 = f.encode_column(
+        records.map_batches(dup, batch_format="pyarrow"),
+        "__cc_code__",
+        ds_schema=base.append(pa.field("__cc_code__", id_type)),
+    )
+    out = bucketed_lookup_join(
+        rec2,
+        "__cc_code__",
+        labels,
+        key_name="record_id",
+        val_name="component",
+        out_type=pa.int64(),
+        result_name=label_as,
+        ds_schema=base.append(pa.field("__cc_code__", pa.int64())),
+        on_missing=lambda missing: missing.cast(pa.int64()),
+    )
+    return out.drop_columns(["__cc_code__"])
 
 
 def _attach_labels_join(

@@ -19,7 +19,7 @@ primitives into the dedup shapes a 100 TB corpus pipeline needs:
 
 from __future__ import annotations
 
-import hashlib
+import math
 from collections.abc import Callable
 
 import numpy as np
@@ -41,26 +41,29 @@ def exact_dedupe(
     normalize: Callable[[str], str] | None = None,
 ) -> ray.data.Dataset:
     """Hash-partitioned exact dedup: one row per distinct content hash with
-    (content_hash, keep_id = min id, n_dups). Vectorized hash inside
-    map_batches, then a single groupby shuffle over the hash."""
+    (content_hash_1, content_hash_2, keep_id = min id, n_dups).
+
+    The content hash is two independently-seeded 64-bit siphash values
+    (128 bits total — collision-free in practice at corpus scale), computed
+    vectorized at C speed inside map_batches; then a single groupby shuffle
+    over the two int64 hash columns (int keys keep the sort-shuffle cheap)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
         vals = t[column].to_pylist()
         if normalize is not None:
             vals = [None if v is None else normalize(v) for v in vals]
-        hashes = [
-            None if v is None else hashlib.md5(str(v).encode("utf-8")).hexdigest()
-            for v in vals
-        ]
+        h1 = hash64(vals, seed=0xE0).astype(np.int64)
+        h2 = hash64(vals, seed=0xE1).astype(np.int64)
         return pa.table(
             {
-                "content_hash": pa.array(hashes, type=pa.string()),
+                "content_hash_1": pa.array(h1),
+                "content_hash_2": pa.array(h2),
                 id_column: t[id_column],
             }
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("content_hash").aggregate(
+    return hashed.groupby(["content_hash_1", "content_hash_2"]).aggregate(
         Min(id_column, alias_name="keep_id"), Count(alias_name="n_dups")
     )
 
@@ -264,7 +267,7 @@ def minhash_lsh_pairs(
     shingle_w: int = 5,
     verify_jaccard: float | None = None,
     verify_mode: str = "hybrid",
-    verify_margin: float = 0.15,
+    verify_margin: float | None = None,
     max_pairs: int | None = None,
     seed: int = 7,
 ) -> Linkage:
@@ -283,9 +286,18 @@ def minhash_lsh_pairs(
     - verify_mode="hybrid" (default): pairs whose signature-estimated jaccard
       is outside [bar-margin, bar+margin] are decided from the sketch alone;
       only the borderline band joins the raw texts back for an exact check.
+      The estimator's sigma is sqrt(J(1-J)/num_hashes) <= 0.5/sqrt(num_hashes);
+      the default margin (``verify_margin=None``) is 1.2/sqrt(num_hashes) =
+      2.4 sigma_max, so a pair decided from the sketch alone is misclassified
+      with probability <= ~1.6% at the margin edge (and exponentially less
+      further out). Hybrid output is therefore NOT bit-identical to "exact"
+      on adversarial distributions concentrated near the margin edges —
+      widen verify_margin (more exact checks) to tighten the guarantee.
     - "exact": every pair exact-checked (memoized hash-shingle sets).
     - "est": sketch-only (cheapest; est error ~ 1/sqrt(num_hashes)).
     """
+    if verify_margin is None:
+        verify_margin = 1.2 / math.sqrt(num_hashes)
 
     def add_sig(batch: pa.Table) -> pa.Table:
         # charhash signature family: string-free rolling hashes (the

@@ -113,7 +113,11 @@ def q_exact_dedupe(sf_dir: str):
     from mismo_ray.dedupe import exact_dedupe
 
     docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
-    return exact_dedupe(docs, "text")
+    # the oracle groups by text itself; the engine groups by a 128-bit content
+    # hash — identical partitions, so (keep_id, n_dups) must match exactly
+    return exact_dedupe(docs, "text").drop_columns(
+        ["content_hash_1", "content_hash_2"]
+    )
 
 
 def q_fingerprint(sf_dir: str):
@@ -855,7 +859,7 @@ def q_minhash_lsh_dedupe(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     """Character-3-gram jaccard near-dup pairs (dedupe.ngram_jaccard_pairs,
     no hot-gram drop so the SQL gram-join oracle is exact; text truncated to
-    the first 120 chars on BOTH sides to keep the all-pairs-per-hot-gram
+    the first 80 chars on BOTH sides to keep the all-pairs-per-hot-gram
     oracle join tractable at battery time)."""
     from mismo_ray.dedupe import ngram_jaccard_pairs
 
@@ -990,8 +994,8 @@ ORACLE_SQL = {
         "FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_partkey < b.p_partkey"
     ),
     "exact_dedupe": (
-        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
-        "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        "SELECT min(doc_id) AS keep_id, "
+        "count(*) AS n_dups FROM documents GROUP BY text"
     ),
     "fingerprint": (
         "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint "

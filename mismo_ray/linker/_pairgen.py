@@ -131,10 +131,14 @@ def _expand_salt(
     bounded by ~salt_rows^2 under skew on EITHER side.
     """
 
-    def grp_id(block: np.ndarray | int, i, j) -> np.ndarray | int:
+    def grp_ids(block: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+        """Vectorized sub-group id: mix (block, i, j) into one int64."""
         with np.errstate(over="ignore"):
-            x = np.uint64(block) ^ (np.uint64(i) * np.uint64(1000003) + np.uint64(j + 1))
-        return int(splitmix64(np.array([x], dtype=np.uint64))[0].astype(np.int64))
+            x = block.astype(np.uint64) ^ (
+                i.astype(np.uint64) * np.uint64(1000003)
+                + (j.astype(np.uint64) + np.uint64(1))
+            )
+        return splitmix64(x).astype(np.int64)
 
     def fn(batch: pa.Table) -> pa.Table:
         drop: frozenset = ray.get(drop_ref) if drop_ref is not None else frozenset()
@@ -165,51 +169,73 @@ def _expand_salt(
                 plain.append_column("__grp__", pa.array(pblock))
                 .append_column("__role__", pa.array(proles))
             )
-        # salted rows: python loop over the (few) rows of hot blocks
+        # salted rows: fully vectorized replication (np.repeat + a replica
+        # position index) — this is the skew path, so a hot key with millions
+        # of rows x s replicas must not run a python loop
         if is_salted.any():
             hot = batch.filter(pa.array(is_salted))
             hblock = block[is_salted]
             rid = np.asarray(hot["record_id"])
             subh = hash64(rid, seed=0xBEEF)  # raw sub-block hash; mod per side
-            hside = side[is_salted] if link else None
-            idx_out, grp_out, role_out = [], [], []
-            for r in range(len(hblock)):
-                b = hblock[r]
-                if link:
-                    nl, nr = salt[b]
-                    sl = max(1, math.ceil(nl / salt_rows))
-                    sr = max(1, math.ceil(nr / salt_rows))
-                    if hside[r] == 0:  # left row in sub-block i x all right j
-                        i = int(subh[r] % np.uint64(sl))
-                        for j in range(sr):
-                            idx_out.append(r)
-                            grp_out.append(grp_id(b, i, j))
-                            role_out.append(_ROLE_L)
-                    else:  # right row in sub-block j x all left i
-                        j = int(subh[r] % np.uint64(sr))
-                        for i in range(sl):
-                            idx_out.append(r)
-                            grp_out.append(grp_id(b, i, j))
-                            role_out.append(_ROLE_R)
-                else:
-                    s = max(1, math.ceil(salt[b] / salt_rows))
-                    bsub = int(subh[r] % np.uint64(s))
-                    idx_out.append(r)
-                    grp_out.append(grp_id(b, bsub, bsub))
-                    role_out.append(_ROLE_BOTH)
-                    for j in range(bsub + 1, s):
-                        idx_out.append(r)
-                        grp_out.append(grp_id(b, bsub, j))
-                        role_out.append(_ROLE_L)
-                    for i in range(0, bsub):
-                        idx_out.append(r)
-                        grp_out.append(grp_id(b, i, bsub))
-                        role_out.append(_ROLE_R)
-            if idx_out:
-                rep = hot.take(pa.array(idx_out, type=pa.int64()))
+            # per-row salt params via unique-block factorization (few hot blocks)
+            ub, inv = np.unique(hblock, return_inverse=True)
+            if link:
+                usl = np.array(
+                    [max(1, math.ceil(salt[b][0] / salt_rows)) for b in ub],
+                    dtype=np.int64,
+                )
+                usr = np.array(
+                    [max(1, math.ceil(salt[b][1] / salt_rows)) for b in ub],
+                    dtype=np.int64,
+                )
+                sl, sr = usl[inv], usr[inv]
+                is_l = side[is_salted] == 0
+                # a left row sits in one left sub-block and meets every right
+                # sub-block (sr replicas); symmetric for right rows
+                own = np.where(
+                    is_l,
+                    (subh % sl.astype(np.uint64)).astype(np.int64),
+                    (subh % sr.astype(np.uint64)).astype(np.int64),
+                )
+                c = np.where(is_l, sr, sl)
+                idx = np.repeat(np.arange(len(hblock), dtype=np.int64), c)
+                p = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(c) - c, c
+                )
+                isl_rep = np.repeat(is_l, c)
+                own_rep = np.repeat(own, c)
+                i_arr = np.where(isl_rep, own_rep, p)
+                j_arr = np.where(isl_rep, p, own_rep)
+                roles = np.where(isl_rep, _ROLE_L, _ROLE_R).astype(np.int8)
+            else:
+                us = np.array(
+                    [max(1, math.ceil(salt[b] / salt_rows)) for b in ub],
+                    dtype=np.int64,
+                )
+                s = us[inv]
+                bsub = (subh % s.astype(np.uint64)).astype(np.int64)
+                c = s
+                idx = np.repeat(np.arange(len(hblock), dtype=np.int64), c)
+                p = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(c) - c, c
+                )
+                # replica p covers sub-pair (bsub,bsub) BOTH at p==bsub,
+                # (bsub,p) L for p>bsub, (p,bsub) R for p<bsub — same set of
+                # (i,j) groups the reference triangle enumeration produces
+                bs_rep = np.repeat(bsub, c)
+                i_arr = np.where(p < bs_rep, p, bs_rep)
+                j_arr = np.where(p > bs_rep, p, bs_rep)
+                roles = np.where(
+                    p == bs_rep,
+                    _ROLE_BOTH,
+                    np.where(p > bs_rep, _ROLE_L, _ROLE_R),
+                ).astype(np.int8)
+            if len(idx):
+                grp = grp_ids(np.repeat(hblock, c), i_arr, j_arr)
+                rep = hot.take(pa.array(idx, type=pa.int64()))
                 tables.append(
-                    rep.append_column("__grp__", pa.array(grp_out, type=pa.int64()))
-                    .append_column("__role__", pa.array(role_out, type=pa.int8()))
+                    rep.append_column("__grp__", pa.array(grp))
+                    .append_column("__role__", pa.array(roles))
                 )
         if not tables:
             schema = (

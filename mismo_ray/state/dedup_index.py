@@ -7,18 +7,31 @@ one groupby shuffle. An INCREMENTAL pipeline ("drop anything seen in any
 earlier run, without re-shuffling all of history") needs state that outlives
 a single Dataset execution: a sharded fingerprint index held in Ray actors.
 
-- ``_IndexShard``: a plain Ray actor holding one hash-partitioned set of
-  64-bit content fingerprints; ``check_and_add`` is atomic per shard
-  (actor calls serialize), so first-seen-wins is race-free.
+- ``_IndexShard``: a plain Ray actor holding one hash-partitioned map of
+  64-bit content fingerprint -> claim token; ``check_and_add`` is atomic per
+  shard (actor calls serialize), so first-seen-wins is race-free.
 - ``StreamingDedupIndex``: N shards + a ``filter_new(ds, column)`` stage —
   per batch: vectorized fingerprints, partition by shard, one actor call per
   touched shard, keep rows whose fingerprint is new. Batches are deduped
   internally first, so a batch is self-consistent; ACROSS batches the winner
   is arrival order (inherent to incremental dedup).
 
-Scale notes: memory is ~8 B x distinct docs spread over n_shards actors
-(place shards across nodes in a real cluster); calls ship only uint64 arrays.
-``snapshot``/``restore`` give parquet-backed persistence between runs.
+Replay safety: the map task mutates shared actor state, and Ray may re-run a
+task (retry after failure, lineage reconstruction) or the caller may consume
+the result twice. Two defenses:
+
+1. ``filter_new`` MATERIALIZES its result before returning, so consuming the
+   returned dataset repeatedly never re-executes the mutating map task.
+2. every shard call carries a deterministic CLAIM TOKEN (a hash of the exact
+   fingerprint subset presented); the shard stores fp -> token, and a replay
+   of the same batch presents the same token, so its own claims still answer
+   "new" — task retries are idempotent instead of silently dropping rows.
+
+Scale notes: memory is one dict entry (~60 B) x distinct docs spread over
+n_shards actors (place shards across nodes in a real cluster); calls ship
+only int64 arrays. ``snapshot``/``restore`` give parquet-backed persistence
+between runs (tokens are not persisted: a claim's replay window ends with
+the run that made it).
 """
 
 from __future__ import annotations
@@ -31,23 +44,28 @@ import ray.data
 
 from mismo_ray._util import hash64
 
+_RESTORED = 0  # token sentinel for fingerprints loaded from a snapshot
+
 
 @ray.remote
 class _IndexShard:
     def __init__(self) -> None:
-        self._seen: set[int] = set()
+        self._seen: dict[int, int] = {}
 
-    def check_and_add(self, fps: list[int]) -> list[bool]:
-        """For each fingerprint, True when it was NOT seen before (and mark
-        it seen). Atomic: actor method calls are serialized per actor."""
+    def check_and_add(self, fps: list[int], token: int) -> list[bool]:
+        """For each fingerprint, True when it is NOT already claimed (and
+        claim it with ``token``). A fingerprint this same token already
+        claimed answers True again, making batch replays idempotent.
+        Atomic: actor method calls are serialized per actor."""
         out = []
         seen = self._seen
         for f in fps:
-            if f in seen:
-                out.append(False)
-            else:
-                seen.add(f)
+            owner = seen.get(f)
+            if owner is None:
+                seen[f] = token
                 out.append(True)
+            else:
+                out.append(owner == token)
         return out
 
     def size(self) -> int:
@@ -57,7 +75,8 @@ class _IndexShard:
         return list(self._seen)
 
     def load(self, fps: list[int]) -> None:
-        self._seen.update(fps)
+        for f in fps:
+            self._seen.setdefault(f, _RESTORED)
 
 
 class StreamingDedupIndex:
@@ -80,7 +99,14 @@ class StreamingDedupIndex:
         self, ds: ray.data.Dataset, column: str
     ) -> ray.data.Dataset:
         """Rows whose ``column`` content was never seen by this index (rows
-        with equal content within one batch keep only the first)."""
+        with equal content within one batch keep only the first).
+
+        The result is MATERIALIZED before returning: the map task mutates
+        the shared index, so it must run exactly once per input batch —
+        iterating a lazy result twice would replay the mutation and drop
+        every genuinely-new row the second time. (Task retries within the
+        single materializing run are idempotent via per-batch claim tokens.)
+        """
         shards = self._shards
         n_shards = self.n_shards
         seed = self.seed
@@ -102,11 +128,19 @@ class StreamingDedupIndex:
             for s in np.unique(sh):
                 pos = np.flatnonzero(keep_local & ~nulls & (sh == s))
                 if len(pos):
+                    # signed view: plain python ints that fit C long
+                    sub = [int(f) for f in fps[pos].astype(np.int64)]
+                    # deterministic claim token: a replayed batch presents
+                    # the identical fp subset, hence the identical token
+                    token = int(
+                        np.bitwise_xor.reduce(
+                            hash64(sub, seed=0x70C3)
+                        ).astype(np.int64)
+                    )
+                    if token == _RESTORED:  # avoid the snapshot sentinel
+                        token = 1
                     futures.append(
-                        shards[int(s)].check_and_add.remote(
-                            # signed view: plain python ints that fit C long
-                            [int(f) for f in fps[pos].astype(np.int64)]
-                        )
+                        shards[int(s)].check_and_add.remote(sub, token)
                     )
                     positions.append(pos)
             for pos, new_mask in zip(positions, ray.get(futures)):
@@ -114,7 +148,7 @@ class StreamingDedupIndex:
             keep |= nulls
             return t.filter(pa.array(keep))
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+        return ds.map_batches(fn, batch_format="pyarrow").materialize()
 
     def n_seen(self) -> int:
         return int(sum(ray.get([s.size.remote() for s in self._shards])))
