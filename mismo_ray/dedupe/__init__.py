@@ -736,7 +736,8 @@ def embedding_neardup_pairs(
     tau: float = 0.95,
     id_column: str = "record_id",
     vector_column: str = "embedding",
-    method: str = "exact",
+    method: str = "auto",
+    auto_exact_max_rows: int = 100_000,
     **kwargs,
 ) -> Linkage:
     """Near-dup pairs by embedding cosine.
@@ -744,9 +745,15 @@ def embedding_neardup_pairs(
     method="exact": distributed chunk-pair block join, recall 1, O(n^2) work
     spread over bounded-memory tasks. method="lsh": banded hyperplane LSH
     candidates + exact verify — near-linear, recall < 1; the 100 TB path.
+    method="auto" (default): "exact" up to ``auto_exact_max_rows`` rows,
+    "lsh" beyond — so a caller who never reads this docstring cannot launch
+    a quadratic shuffle on a corpus-scale table. Pass method="exact"
+    explicitly for oracle/baseline runs at any size.
     """
     from mismo_ray.ann import cosine_threshold_pairs, lsh_threshold_pairs
 
+    if method == "auto":
+        method = "exact" if ds.count() <= auto_exact_max_rows else "lsh"
     if method == "exact":
         links = cosine_threshold_pairs(
             ds, tau=tau, id_column=id_column, vector_column=vector_column, **kwargs
@@ -756,5 +763,5 @@ def embedding_neardup_pairs(
             ds, tau=tau, id_column=id_column, vector_column=vector_column, **kwargs
         )
     else:
-        raise ValueError("method must be 'exact' or 'lsh'")
+        raise ValueError("method must be 'auto', 'exact' or 'lsh'")
     return Linkage(left=ds, right=ds, links=links)

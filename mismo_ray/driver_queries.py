@@ -440,8 +440,11 @@ def q_embedding_neardup(sf_dir: str):
     from mismo_ray.dedupe import embedding_neardup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # explicit exact: the oracle needs recall 1 (auto would also pick exact
+    # at battery sizes, but the intent belongs in the code)
     return embedding_neardup_pairs(
-        emb, tau=0.40, id_column="vec_id", vector_column="embedding"
+        emb, tau=0.40, id_column="vec_id", vector_column="embedding",
+        method="exact",
     ).links_ds
 
 

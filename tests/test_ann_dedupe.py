@@ -185,3 +185,52 @@ def test_lsh_topk_recall(ray_session):
         if si in tops.get(qi, set())
     )
     assert hits / ndup >= 0.8, hits / ndup
+
+
+def test_embedding_neardup_auto_switches(ray_session):
+    # auto picks exact under the threshold (matches exact's output) and lsh
+    # above it (subset); this is the scale-footgun guard
+    from mismo_ray.dedupe import embedding_neardup_pairs
+
+    ids, m = _corpus(120, dup_frac=0.25, seed=9)
+    ds = _ds(ids, m)
+    auto = rows_set(
+        embedding_neardup_pairs(ds, tau=0.95, id_column="vec_id").links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert auto == _brute_pairs(ids, m, 0.95)
+    as_lsh = rows_set(
+        embedding_neardup_pairs(
+            ds, tau=0.95, id_column="vec_id", auto_exact_max_rows=50,
+            bits_per_band=4, n_bands=16,
+        ).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert as_lsh <= auto
+
+
+def test_lsh_recall_sf001_tau040(ray_session):
+    # verdict-mandated recall floor: LSH pairs vs exact pairs on the real
+    # sf0.01 embeddings table, tau=0.40, recall >= 0.95 (band params sized
+    # for the low threshold: P(collide) = (1 - acos(s)/pi)^bits per band)
+    import os
+
+    from mismo_ray.ann import cosine_threshold_pairs, lsh_threshold_pairs
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    exact = rows_set(
+        cosine_threshold_pairs(emb, tau=0.40, id_column="vec_id"),
+        ["record_id_l", "record_id_r"],
+    )
+    lsh = rows_set(
+        lsh_threshold_pairs(
+            emb, tau=0.40, id_column="vec_id", bits_per_band=4, n_bands=32
+        ),
+        ["record_id_l", "record_id_r"],
+    )
+    assert lsh <= exact
+    recall = len(lsh & exact) / max(1, len(exact))
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(exact)} exact pairs)"
