@@ -920,6 +920,26 @@ def q_lang_id(sf_dir: str):
     return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_playdata_patents(sf_dir: str):
+    """Golden PATSTAT patents table + its ground-truth link count (bundled
+    public benchmark parquet — sf-independent, rows-only: the oracle's views
+    cover only the synthetic sf tables)."""
+    from mismo_ray import playdata
+
+    return playdata.load_patents().left
+
+
+def q_rldata_dedupe(sf_dir: str):
+    """End-to-end dedupe of RLdata500 with simple linkage rules (blocking on
+    2-of-3 birth-date parts + carried-name JW verify); rows-only — P/R >= 0.9
+    is asserted in tests/test_playdata.py against label_true."""
+    from mismo_ray import playdata
+    from mismo_ray.pipelines import rldata_match_pairs
+
+    lk = playdata.load_rldata500()
+    return rldata_match_pairs(lk.left).links_ds
+
+
 def q_flagship(sf_dir: str):
     from mismo_ray.pipelines import flagship
 
@@ -962,6 +982,8 @@ QUERIES = {
     "keep_min_agreement": q_keep_min_agreement,
     "upset_counts": q_upset_counts,
     "postal_parse": q_postal_parse,
+    "playdata_patents": q_playdata_patents,
+    "rldata_dedupe": q_rldata_dedupe,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "diff_updates": q_diff_updates,

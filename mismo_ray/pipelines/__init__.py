@@ -1,3 +1,4 @@
+from mismo_ray.pipelines._rldata import rldata_match_pairs
 from mismo_ray.pipelines._webpages import (
     add_extracted_text,
     extract_text_bytes,
@@ -11,6 +12,7 @@ from mismo_ray.pipelines._webpages import (
 )
 
 __all__ = [
+    "rldata_match_pairs",
     "add_extracted_text",
     "extract_text_bytes",
     "featurize",
