@@ -920,6 +920,48 @@ def q_lang_id(sf_dir: str):
     return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_incremental_dedupe(sf_dir: str):
+    """Two-run incremental exact dedupe through the sharded actor index
+    (state.dedup_index): run 1 ingests even-id docs and snapshots; run 2
+    (fresh index restored from the snapshot) ingests odd-id docs PLUS
+    deterministic re-crawls of every doc_id%10==0 doc (same text, new id)
+    and must drop exactly those re-crawls. SQL-oracled: with the corpus's
+    distinct texts the surviving set is order-independent, so an anti-join
+    against day-1 texts expresses the expected output exactly."""
+    import os
+    import tempfile
+
+    from mismo_ray.state.dedup_index import incremental_filter_new
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    def recrawls(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % 10 == 0))
+        ids2 = np.asarray(t["doc_id"], dtype=np.int64) + 1_000_000
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids2)
+        ).set_column(
+            t.schema.get_field_index("record_id"), "record_id", pa.array(ids2)
+        )
+
+    day1 = docs.map_batches(half(0), batch_format="pyarrow")
+    day2 = docs.map_batches(half(1), batch_format="pyarrow").union(
+        docs.map_batches(recrawls, batch_format="pyarrow")
+    )
+    snap = os.path.join(tempfile.mkdtemp(prefix="mismo_ray_incdedupe_"), "idx.parquet")
+    incremental_filter_new(day1, "text", snapshot_out=snap)
+    kept2 = incremental_filter_new(day2, "text", snapshot_in=snap)
+    return kept2.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_playdata_patents(sf_dir: str):
     """Golden PATSTAT patents table + its ground-truth link count (bundled
     public benchmark parquet — sf-independent, rows-only: the oracle's views
@@ -982,6 +1024,7 @@ QUERIES = {
     "keep_min_agreement": q_keep_min_agreement,
     "upset_counts": q_upset_counts,
     "postal_parse": q_postal_parse,
+    "incremental_dedupe": q_incremental_dedupe,
     "playdata_patents": q_playdata_patents,
     "rldata_dedupe": q_rldata_dedupe,
     "asof_join": q_asof_join,
@@ -1021,6 +1064,16 @@ ORACLE_SQL = {
     "exact_dedupe": (
         "SELECT min(doc_id) AS keep_id, "
         "count(*) AS n_dups FROM documents GROUP BY text"
+    ),
+    "incremental_dedupe": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        " SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+        " UNION ALL"
+        " SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+        "  WHERE doc_id % 10 = 0"
+        ") d2 WHERE text NOT IN"
+        " (SELECT text FROM documents WHERE doc_id % 2 = 0)"
+        " ORDER BY doc_id"
     ),
     "fingerprint": (
         "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint "

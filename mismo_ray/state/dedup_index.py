@@ -22,10 +22,11 @@ the result twice. Two defenses:
 
 1. ``filter_new`` MATERIALIZES its result before returning, so consuming the
    returned dataset repeatedly never re-executes the mutating map task.
-2. every shard call carries a deterministic CLAIM TOKEN (a hash of the exact
-   fingerprint subset presented); the shard stores fp -> token, and a replay
-   of the same batch presents the same token, so its own claims still answer
-   "new" — task retries are idempotent instead of silently dropping rows.
+2. every shard call carries a deterministic CLAIM TOKEN identifying the
+   batch (position-mixed hash of the batch's fingerprint sequence + id
+   column); the shard stores fp -> token, and a replay of the same batch
+   presents the same token, so its own claims still answer "new" — task
+   retries are idempotent instead of silently dropping rows.
 
 Scale notes: memory is one dict entry (~60 B) x distinct docs spread over
 n_shards actors (place shards across nodes in a real cluster); calls ship
@@ -123,6 +124,23 @@ class StreamingDedupIndex:
             nulls = np.asarray(t[column].combine_chunks().is_null())
             keep_local |= nulls
             sh = (fps % np.uint64(n_shards)).astype(np.int64)
+            # deterministic claim token identifying THIS batch: position-
+            # mixed content hash of the full fp sequence, plus the id column
+            # when present. A replayed batch presents the identical table ->
+            # identical token; a different batch that happens to share a
+            # fingerprint does not. (Two byte-identical batches — duplicate
+            # record ids — are indistinguishable from a replay by design.)
+            from mismo_ray._util import splitmix64
+
+            with np.errstate(over="ignore"):
+                tok = np.bitwise_xor.reduce(
+                    splitmix64(fps ^ splitmix64(np.arange(len(t), dtype=np.uint64)))
+                )
+                if "record_id" in t.column_names:
+                    tok ^= np.bitwise_xor.reduce(hash64(t["record_id"], seed=0x1D))
+            token = int(tok.astype(np.int64))
+            if token == _RESTORED:  # avoid the snapshot sentinel
+                token = 1
             keep = keep_local.copy()
             futures, positions = [], []
             for s in np.unique(sh):
@@ -130,15 +148,6 @@ class StreamingDedupIndex:
                 if len(pos):
                     # signed view: plain python ints that fit C long
                     sub = [int(f) for f in fps[pos].astype(np.int64)]
-                    # deterministic claim token: a replayed batch presents
-                    # the identical fp subset, hence the identical token
-                    token = int(
-                        np.bitwise_xor.reduce(
-                            hash64(sub, seed=0x70C3)
-                        ).astype(np.int64)
-                    )
-                    if token == _RESTORED:  # avoid the snapshot sentinel
-                        token = 1
                     futures.append(
                         shards[int(s)].check_and_add.remote(sub, token)
                     )
@@ -174,3 +183,31 @@ class StreamingDedupIndex:
             ]
         )
         return self
+
+
+def incremental_filter_new(
+    day: ray.data.Dataset,
+    column: str,
+    *,
+    snapshot_in: str | None = None,
+    snapshot_out: str | None = None,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """One ingest step of an incremental (cross-run) exact-dedupe loop.
+
+    Restores the fingerprint index from ``snapshot_in`` (if it exists),
+    drops every row of ``day`` whose content any earlier run — or an earlier
+    batch of this run — already saw, and persists the updated index to
+    ``snapshot_out``. The day-N job only ever touches day-N's data plus an
+    8-byte-per-distinct-doc index: no re-shuffle of history.
+    """
+    import os
+
+    idx = StreamingDedupIndex(n_shards=n_shards, seed=seed)
+    if snapshot_in and os.path.exists(snapshot_in):
+        idx.restore(snapshot_in)
+    out = idx.filter_new(day, column)
+    if snapshot_out:
+        idx.snapshot(snapshot_out)
+    return out

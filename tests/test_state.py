@@ -162,3 +162,47 @@ def test_streaming_dedup_index(ray_session, tmp_path):
     idx2 = StreamingDedupIndex(n_shards=8).restore(snap)
     out3 = idx2.filter_new(tuesday, "text").take_all()
     assert out3 == []  # everything already seen
+
+
+def test_incremental_filter_new_e2e(ray_session, tmp_path):
+    """Two-'day' ingest: intra-run keeps one representative per content
+    (same partition of rows as exact_dedupe), cross-run drops everything a
+    restored snapshot already saw."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mismo_ray.dedupe import exact_dedupe
+    from mismo_ray.state.dedup_index import incremental_filter_new
+
+    day1 = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": np.arange(8, dtype=np.int64),
+                "text": ["a", "b", "a", "c", "b", "d", "e", "a"],
+            }
+        )
+    ).repartition(3)
+    snap = str(tmp_path / "idx.parquet")
+    kept1 = incremental_filter_new(day1, "text", snapshot_out=snap)
+    kept_texts = sorted(r["text"] for r in kept1.take_all())
+    # intra-run semantics: one survivor per distinct content, same groups as
+    # exact_dedupe (winner is arrival order, not necessarily min id)
+    groups = exact_dedupe(day1, "text").take_all()
+    assert kept_texts == ["a", "b", "c", "d", "e"]
+    assert len(groups) == len(kept_texts)
+    assert sum(g["n_dups"] for g in groups) == 8
+
+    # consuming the materialized result again must NOT change it (the map
+    # task mutates shared state; filter_new materializes to guard this)
+    assert sorted(r["text"] for r in kept1.take_all()) == kept_texts
+
+    day2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": np.arange(100, 105, dtype=np.int64),
+                "text": ["b", "f", "e", "g", "f"],
+            }
+        )
+    ).repartition(2)
+    kept2 = incremental_filter_new(day2, "text", snapshot_in=snap)
+    assert sorted(r["text"] for r in kept2.take_all()) == ["f", "g"]
