@@ -341,6 +341,179 @@ def _cc_driver(edges: ray.data.Dataset) -> dict:
 
 
 # -------------------------------------------------------------- distributed path
+def _cc_star(
+    edges: ray.data.Dataset,
+    *,
+    max_iter: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the paper the
+    reference's CC docs point at): converges in O(log n) rounds vs plain
+    min-propagation's O(diameter), so it is the mode for long-chain graphs.
+
+    Each half-round is one bucketed groupby shuffle (all rows of a node land
+    in hash(node)%B's bucket; per-node neighborhoods are processed with
+    vectorized sort + minimum.reduceat inside the bucket — no python per
+    node) followed by an edge-distinct. Both operations only re-point nodes
+    at smaller members of their own component, so the component minimum is
+    invariant and the converged stars are rooted at it — the SAME labels
+    min-propagation produces.
+    """
+    import pyarrow.compute as pc
+
+    from mismo_ray._joins import default_num_partitions
+    from mismo_ray._util import splitmix64
+
+    B = default_num_partitions()
+    _EMPTY = pa.table(
+        {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["record_id_l"].combine_chunks().cast(pa.int64())
+        b = t["record_id_r"].combine_chunks().cast(pa.int64())
+        hi = pc.max_element_wise(a, b)
+        lo = pc.min_element_wise(a, b)
+        keep = pc.not_equal(hi, lo)
+        return pa.table({"u": hi.filter(keep), "v": lo.filter(keep)})
+
+    E = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
+
+    def bucketize(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            src = np.asarray(t[col], dtype=np.int64)
+            bkt = (src.astype(np.uint64) % np.uint64(B)).astype(np.int64)
+            return t.append_column("__b__", pa.array(bkt))
+
+        return fn
+
+    def large_star_bucket(g: pa.Table) -> pa.Table:
+        # emit (v, min(N+(u))) for every neighbor v > u of each node u
+        src = np.asarray(g["src"], dtype=np.int64)
+        dst = np.asarray(g["dst"], dtype=np.int64)
+        if len(src) == 0:
+            return _EMPTY
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts = np.diff(np.r_[starts, len(src)])
+        m = np.minimum(np.minimum.reduceat(dst, starts), src[starts])
+        m_rep = np.repeat(m, counts)
+        big = dst > src
+        return pa.table({"u": pa.array(dst[big]), "v": pa.array(m_rep[big])})
+
+    def small_star_bucket(g: pa.Table) -> pa.Table:
+        # edges are directed u > v here; per u: m = min neighbor, emit
+        # (u, m) and (v, m) for the other small neighbors
+        u = np.asarray(g["u"], dtype=np.int64)
+        v = np.asarray(g["v"], dtype=np.int64)
+        if len(u) == 0:
+            return _EMPTY
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, len(u)])
+        m = np.minimum.reduceat(v, starts)
+        m_rep = np.repeat(m, counts)
+        keep = v != m_rep
+        out_u = np.concatenate([v[keep], u[starts]])
+        out_v = np.concatenate([m_rep[keep], m])
+        return pa.table({"u": pa.array(out_u), "v": pa.array(out_v)})
+
+    def checksum(e: ray.data.Dataset) -> tuple[int, int]:
+        # order-insensitive content hash: sum of mixed pair hashes + count
+        def h(t: pa.Table) -> pa.Table:
+            u = np.asarray(t["u"], dtype=np.int64).astype(np.uint64)
+            v = np.asarray(t["v"], dtype=np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                s = splitmix64(u * np.uint64(1000003) ^ v).sum(dtype=np.uint64)
+            return pa.table(
+                {
+                    "s": pa.array([int(s.astype(np.int64))]),
+                    "n": pa.array([len(t)]),
+                }
+            )
+
+        tot_s, tot_n = 0, 0
+        for bt in e.map_batches(h, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            tot_s = (tot_s + sum(bt["s"].to_pylist())) & 0xFFFFFFFFFFFFFFFF
+            tot_n += sum(bt["n"].to_pylist())
+        return tot_s, tot_n
+
+    prev = checksum(E)
+    i = 0
+    while True:
+        i += 1
+        sym = E.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        after_large = (
+            sym.map_batches(bucketize("src"), batch_format="pyarrow")
+            .groupby("__b__")
+            .map_groups(large_star_bucket, batch_format="pyarrow")
+        )
+        E = distinct(after_large, ["u", "v"])
+        after_small = (
+            E.map_batches(bucketize("u"), batch_format="pyarrow")
+            .groupby("__b__")
+            .map_groups(small_star_bucket, batch_format="pyarrow")
+        )
+        E = distinct(after_small, ["u", "v"]).materialize()
+        if checkpoint_dir is not None:
+            E.write_parquet(f"{checkpoint_dir}/star_edges_round_{i}")
+        cur = checksum(E)
+        logger.info("CC star round %d: %d edges", i, cur[1])
+        if cur == prev or (max_iter is not None and i >= max_iter):
+            break
+        prev = cur
+
+    # converged: E is a forest of stars rooted at each component's min node
+    def stars_to_labels(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.table(
+            {
+                "record_id": pa.concat_arrays([u, v]),
+                "component": pa.concat_arrays([v, v]),
+            }
+        )
+
+    # identity rows cover nodes canon dropped (self-loop-only nodes) and
+    # make every endpoint labeled, like min-propagation's initial labels
+    def identity_labels(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [
+                t["record_id_l"].combine_chunks().cast(pa.int64()),
+                t["record_id_r"].combine_chunks().cast(pa.int64()),
+            ]
+        )
+        return pa.table({"record_id": ids, "component": ids})
+
+    labels = E.map_batches(stars_to_labels, batch_format="pyarrow").union(
+        edges.map_batches(identity_labels, batch_format="pyarrow")
+    )
+    # min per node: keeps the star root where one exists (root = component
+    # min <= own id), resolves a max_iter-truncated run's multiple candidates
+    return labels.groupby("record_id").aggregate(
+        Min("component", alias_name="component")
+    )
+
+
 def _cc_distributed(
     edges: ray.data.Dataset,
     *,
@@ -570,6 +743,12 @@ def connected_components(
 
     Returns (record_id, <label_as>) when ``records`` is None, else ``records``
     with a <label_as> column appended (singletons included).
+
+    ``mode``: "auto" (driver union-find for small edge sets, else
+    distributed min-propagation), "driver", "distributed", or "star" —
+    alternating large-star/small-star rounds (O(log n) rounds instead of
+    O(graph diameter); pick it for long-chain graphs, e.g. temporal or
+    near-duplicate chains; identical labels, min member id per component).
     """
     edges = links.select_columns(["record_id_l", "record_id_r"])
     if mode == "auto":
@@ -659,9 +838,8 @@ def connected_components(
             lambda t: t.rename_columns(["record_id_l", "record_id_r"]),
             batch_format="pyarrow",
         )
-    labels = _cc_distributed(
-        edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir
-    )
+    cc_fn = _cc_star if mode == "star" else _cc_distributed
+    labels = cc_fn(edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     if not int_ids and records is not None:
         # attach in CODE space: the factorizer covered record ids too, so a
         # singleton's own code is its fresh label — unique by construction

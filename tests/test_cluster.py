@@ -269,3 +269,53 @@ def test_subgraph(ray_session):
     assert rows_set(out["links"], ["record_id_l", "record_id_r"]) == {
         (0, 1), (1, 2), (2, 3), (3, 4)
     }
+
+
+def test_cc_star_chain_converges_in_log_rounds(ray_session):
+    """Diameter-120 chain: star mode must finish within 12 rounds (O(log n));
+    min-propagation would need ~120. Labels = min member id, same as driver
+    union-find."""
+    import pyarrow as pa
+
+    from mismo_ray.cluster import connected_components
+
+    edges = [(i, i + 1) for i in range(120)] + [(i, i + 1) for i in range(500, 560)]
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id_l": pa.array([a for a, _ in edges], type=pa.int64()),
+                "record_id_r": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+    ).repartition(4)
+    out = connected_components(links=links, mode="star", max_iter=12).take_all()
+    comp = {r["record_id"]: r["component"] for r in out}
+    assert all(comp[i] == 0 for i in range(121))
+    assert all(comp[i] == 500 for i in range(500, 561))
+
+
+def test_cc_star_matches_driver_random_graph(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from mismo_ray.cluster import connected_components
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 600, 1200)
+    b = rng.integers(0, 600, 1200)
+    # include self-loops and duplicate edges
+    a = np.r_[a, [5, 5, 9]]
+    b = np.r_[b, [5, 5, 9]]
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id_l": pa.array(a, type=pa.int64()),
+                "record_id_r": pa.array(b, type=pa.int64()),
+            }
+        )
+    ).repartition(3)
+    star = connected_components(links=links, mode="star").take_all()
+    drv = connected_components(links=links, mode="driver").take_all()
+    assert {r["record_id"]: r["component"] for r in star} == {
+        r["record_id"]: r["component"] for r in drv
+    }
