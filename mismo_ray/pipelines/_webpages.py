@@ -332,6 +332,7 @@ def run_er_pipeline(
     max_train_pairs: int = 200_000,
     sn_window: int = 3,
     checkpoint_dir: str | None = None,
+    resume_partitions: int = 16,
     seed: int = 42,
 ) -> dict:
     """Full blocking -> compare -> score -> threshold -> cluster run.
@@ -374,54 +375,106 @@ def run_er_pipeline(
             "counters": counters,
         }
 
-    # (domain, path_stem) group sizes are bounded by cluster size (<= 6 by
-    # synthesis; stems are cluster-unique even on the hot domain), so the
-    # count pre-pass barrier is skipped and the max_pairs guard runs in-task
-    key_linker = KeyLinker(
-        ["domain", "path_stem"], max_pairs=1_000_000,
-        salt_rows=None, count_prepass=False,
-    )
-    sn_linker = SortedNeighborhoodLinker(sn_key(), window=sn_window)
-    blocker = OrLinker([key_linker, sn_linker])
-    linkage = blocker(pages, pages)
-    counters["blocking"] = dict(blocker.last_counters)
-
-    # pin the candidate pairs once: the following joins/score/cluster stages
-    # would otherwise re-execute the whole blocking DAG per consumption
-    # (object-store materialization; spills if the pair set is huge — use
-    # checkpoint_dir for a parquet checkpoint instead at very large scale)
-    linkage = Linkage(
-        left=pages,
-        right=pages,
-        links=linkage.links_ds.materialize(),
-        links_schema=linkage.links.schema,
+    from mismo_ray.state.resume import (
+        PART_COL,
+        is_complete,
+        resume_map_partitions,
+        write_partitioned,
     )
 
-    pairs = linkage.links.with_both(PAIR_COLUMNS, PAIR_COLUMNS)
     comparers = webpage_comparers()
+    pairs_ckpt = (
+        f"{checkpoint_dir}/pairs" if checkpoint_dir is not None else None
+    )
+    pairs = None
+    if pairs_ckpt is not None and is_complete(pairs_ckpt):
+        # partition-level resume: the feature-carrying candidate pairs and
+        # the fitted weights are already on disk; blocking + training are
+        # skipped entirely, and scoring below recomputes only partitions
+        # without a _DONE marker
+        counters["resumed_pairs_checkpoint"] = True
+        if weights is None:
+            weights = Weights.from_json(f"{checkpoint_dir}/weights.json")
+    else:
+        # (domain, path_stem) group sizes are bounded by cluster size (<= 6
+        # by synthesis; stems are cluster-unique even on the hot domain), so
+        # the count pre-pass barrier is skipped and the max_pairs guard runs
+        # in-task
+        key_linker = KeyLinker(
+            ["domain", "path_stem"], max_pairs=1_000_000,
+            salt_rows=None, count_prepass=False,
+        )
+        sn_linker = SortedNeighborhoodLinker(sn_key(), window=sn_window)
+        blocker = OrLinker([key_linker, sn_linker])
+        linkage = blocker(pages, pages)
+        counters["blocking"] = dict(blocker.last_counters)
 
-    if weights is None:
-        if train == "em":
-            weights = train_using_em(
-                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed,
-                columns=PAIR_COLUMNS,
-            )
-        else:
-            weights = train_using_labels(
-                comparers, pages, pages, max_pairs=max_train_pairs, seed=seed,
-                columns=PAIR_COLUMNS,
-                # planted clusters are <= 6 records by synthesis, so the
-                # true-pair key groups are bounded: skip the count pre-pass
-                true_linker_kwargs={"count_prepass": False, "salt_rows": None,
-                                    "max_pairs": None},
-            )
+        # pin the candidate pairs once: the following joins/score/cluster
+        # stages would otherwise re-execute the whole blocking DAG per
+        # consumption (object-store materialization; spills if the pair set
+        # is huge — the checkpoint_dir path writes parquet instead)
+        linkage = Linkage(
+            left=pages,
+            right=pages,
+            links=linkage.links_ds.materialize(),
+            links_schema=linkage.links.schema,
+        )
 
-    scored = weights.compare_and_score(pairs, comparers)
+        pairs = linkage.links.with_both(PAIR_COLUMNS, PAIR_COLUMNS)
+
+        if weights is None:
+            if train == "em":
+                weights = train_using_em(
+                    comparers, pages, pages, max_pairs=max_train_pairs,
+                    seed=seed, columns=PAIR_COLUMNS,
+                )
+            else:
+                weights = train_using_labels(
+                    comparers, pages, pages, max_pairs=max_train_pairs,
+                    seed=seed, columns=PAIR_COLUMNS,
+                    # planted clusters are <= 6 records by synthesis, so the
+                    # true-pair key groups are bounded: skip the count
+                    # pre-pass
+                    true_linker_kwargs={"count_prepass": False,
+                                        "salt_rows": None, "max_pairs": None},
+                )
+        if pairs_ckpt is not None:
+            # feature-carrying pairs to hash-partitioned parquet + weights to
+            # json: everything scoring needs, resumable per partition
+            write_partitioned(
+                pairs, pairs_ckpt,
+                key_columns=["record_id_l", "record_id_r"],
+                n_parts=resume_partitions,
+            )
+            weights.to_json(f"{checkpoint_dir}/weights.json")
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["odds"], threshold_odds))
 
-    matches = scored.map_batches(keep, batch_format="pyarrow").materialize()
+    if pairs_ckpt is not None:
+
+        def score_partition(ds_p: ray.data.Dataset) -> ray.data.Dataset:
+            def drop_part(t: pa.Table) -> pa.Table:
+                return (
+                    t.drop_columns([PART_COL])
+                    if PART_COL in t.column_names
+                    else t
+                )
+
+            scored_p = weights.compare_and_score(
+                ds_p.map_batches(drop_part, batch_format="pyarrow"), comparers
+            )
+            return scored_p.map_batches(keep, batch_format="pyarrow")
+
+        matches = resume_map_partitions(
+            pairs_ckpt,
+            f"{checkpoint_dir}/scored_parts",
+            score_partition,
+            counters=counters,
+        ).materialize()
+    else:
+        scored = weights.compare_and_score(pairs, comparers)
+        matches = scored.map_batches(keep, batch_format="pyarrow").materialize()
     if ckpt is not None:
         Linkage(left=pages, right=pages, links=matches).to_parquets(
             ckpt, counters=counters

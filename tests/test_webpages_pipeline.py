@@ -108,3 +108,50 @@ def test_end_to_end_f1_unsupervised_em(ray_session, pages):
     result = run_er_pipeline(pages, train="em", threshold_odds=10.0)
     m = pairwise_metrics_from_links(result["links"], pages)
     assert m["f1"] >= 0.99, m
+
+
+def test_partition_level_resume(ray_session, pages, tmp_path):
+    """A run killed mid-scoring resumes recomputing ONLY the unfinished
+    partitions (asserted via the partitions_computed/skipped counters), and
+    produces the identical scored-link set."""
+    import shutil
+
+    ck = str(tmp_path / "ck")
+    result = run_er_pipeline(
+        pages, train="labels", threshold_odds=10.0, checkpoint_dir=ck,
+        resume_partitions=8,
+    )
+    n_links = result["links"].count()
+    assert result["counters"]["partitions_computed"] == 8
+    assert result["counters"]["partitions_skipped"] == 0
+    # consume the link set now — the deletions below would break the lazy read
+    s1 = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in result["links"].select_columns(
+            ["record_id_l", "record_id_r"]
+        ).take_all()
+    }
+
+    # simulate a kill after 5 completed partitions: 2 partitions fully lost,
+    # 1 left as partial output without its _DONE marker
+    shutil.rmtree(f"{ck}/scored_parts/part_0")
+    shutil.rmtree(f"{ck}/scored_parts/part_1")
+    (tmp_path / "ck" / "scored_parts" / "part_2" / "_DONE").unlink()
+    # the stage-level scored_linkage checkpoint postdates the kill — drop it
+    shutil.rmtree(f"{ck}/scored_linkage")
+
+    result2 = run_er_pipeline(
+        pages, train="labels", threshold_odds=10.0, checkpoint_dir=ck,
+        resume_partitions=8,
+    )
+    assert result2["counters"].get("resumed_pairs_checkpoint") is True
+    assert result2["counters"]["partitions_computed"] == 3
+    assert result2["counters"]["partitions_skipped"] == 5
+    assert result2["links"].count() == n_links
+    s2 = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in result2["links"].select_columns(
+            ["record_id_l", "record_id_r"]
+        ).take_all()
+    }
+    assert s1 == s2
