@@ -962,6 +962,18 @@ def q_incremental_dedupe(sf_dir: str):
     return kept2.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_febrl_dedupe(sf_dir: str):
+    """FEBRL1 person dedupe end-to-end (blocking OR -> FS-trained scoring ->
+    threshold); rows-only — pairwise F1 >= 0.99 is asserted in
+    tests/test_playdata.py against label_true."""
+    from mismo_ray import playdata
+    from mismo_ray.pipelines import febrl_match_pairs
+
+    lk = playdata.load_febrl1()
+    pred, _ = febrl_match_pairs(lk.left)
+    return pred.links_ds.select_columns(["record_id_l", "record_id_r"])
+
+
 def q_playdata_patents(sf_dir: str):
     """Golden PATSTAT patents table + its ground-truth link count (bundled
     public benchmark parquet — sf-independent, rows-only: the oracle's views
@@ -1025,6 +1037,7 @@ QUERIES = {
     "upset_counts": q_upset_counts,
     "postal_parse": q_postal_parse,
     "incremental_dedupe": q_incremental_dedupe,
+    "febrl_dedupe": q_febrl_dedupe,
     "playdata_patents": q_playdata_patents,
     "rldata_dedupe": q_rldata_dedupe,
     "asof_join": q_asof_join,

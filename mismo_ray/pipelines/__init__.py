@@ -1,3 +1,4 @@
+from mismo_ray.pipelines._febrl import febrl_comparers, febrl_match_pairs
 from mismo_ray.pipelines._rldata import rldata_match_pairs
 from mismo_ray.pipelines._webpages import (
     add_extracted_text,
@@ -12,6 +13,8 @@ from mismo_ray.pipelines._webpages import (
 )
 
 __all__ = [
+    "febrl_comparers",
+    "febrl_match_pairs",
     "rldata_match_pairs",
     "add_extracted_text",
     "extract_text_bytes",

@@ -188,3 +188,19 @@ def test_rldata10000_dedupe_90pct(ray_session):
     m = pairwise_metrics_from_links(rldata_match_pairs(lk.left).links_ds, lk.left)
     assert m["precision"] >= 0.9, m
     assert m["recall"] >= 0.9, m
+
+
+@pytest.mark.parametrize("loader", ["load_febrl1", "load_febrl3"])
+def test_febrl_dedupe_f1_gate(ray_session, loader):
+    # north_rule gate on REAL golden data: blocking -> FS-trained scoring ->
+    # threshold reaches pairwise F1 >= 0.99 on the FEBRL benchmarks
+    from mismo_ray.cluster import pairwise_metrics_from_links
+    from mismo_ray.pipelines import febrl_match_pairs
+
+    lk = getattr(playdata, loader)()
+    pred, weights = febrl_match_pairs(lk.left)
+    m = pairwise_metrics_from_links(pred.links_ds, lk.left)
+    assert m["f1"] >= 0.99, (loader, m)
+    # the fitted weights must rank exact id agreement above disagreement
+    ssn = weights["ssn"]
+    assert ssn["exact"].odds > 1.0
