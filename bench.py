@@ -86,6 +86,11 @@ def run_bench() -> dict:
         dq.q_asof_join(sf_dir).count()
     with timed("postal_parse"):
         dq.q_postal_parse(sf_dir).count()
+    with timed("febrl_dedupe"):
+        # golden-data e2e (blocking + FS training + scoring on febrl1)
+        dq.q_febrl_dedupe(sf_dir).count()
+    with timed("incremental_dedupe"):
+        dq.q_incremental_dedupe(sf_dir).count()
 
     # ---- reference-comparable pair-count benchmark
     # (mismo's KeyLinker("street") pair-count on 300k rows, BASELINE.md:
