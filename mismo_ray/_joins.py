@@ -15,6 +15,7 @@ Two families, chosen by side size (SURVEY §4 / ray_guide "Joins and lookups"):
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Sequence
 
 import numpy as np
@@ -34,6 +35,25 @@ _HOW_TO_ARROW = {
 }
 
 
+_PARTITION_HINT: list[int] = []
+
+
+@contextlib.contextmanager
+def partition_hint(n: int):
+    """Scope a shuffle-partition override for plan CONSTRUCTION.
+
+    Small known-size inputs (the golden conformance tables, driver-battery
+    slices) drown in per-task overhead at 2x-CPU partitions; pipelines over
+    them wrap their build in ``with partition_hint(8):``. Only affects
+    ``default_num_partitions`` calls made while the context is open on the
+    driver — partition counts already baked into a lazy plan are unchanged."""
+    _PARTITION_HINT.append(max(2, int(n)))
+    try:
+        yield
+    finally:
+        _PARTITION_HINT.pop()
+
+
 def default_num_partitions() -> int:
     """Shuffle partition count: 2x CPUs, overridable via
     MISMO_RAY_NUM_PARTITIONS. Pin the override when comparing runs at
@@ -41,6 +61,8 @@ def default_num_partitions() -> int:
     execute the identical plan and only parallelism varies."""
     import os
 
+    if _PARTITION_HINT:
+        return _PARTITION_HINT[-1]
     env = os.environ.get("MISMO_RAY_NUM_PARTITIONS")
     if env:
         return max(2, int(env))

@@ -155,26 +155,43 @@ def febrl_match_pairs(
     seed: int = 0,
 ) -> tuple[Linkage, Weights]:
     """Predicted duplicate pairs + the fitted weights for a FEBRL table."""
-    blocker = OrLinker([KeyLinker(k) for k in _BLOCK_KEYS])
-    linkage = blocker(records, records)
-    linkage = Linkage(
-        left=records,
-        right=records,
-        links=linkage.links_ds.materialize(),
-        links_schema=linkage.links.schema,
-    )
-    comparers = febrl_comparers()
-    if weights is None:
-        weights = train_using_labels(
-            comparers,
-            records,
-            records,
-            max_pairs=max_train_pairs,
-            seed=seed,
-            columns=PAIR_COLUMNS,
+    from mismo_ray._joins import partition_hint
+
+    # golden tables are small (1k-5k rows); per-key group sizes are bounded
+    # by construction (ids/dates near-unique), so skip the four
+    # count-prepass barriers and salting, and build every shuffle with few
+    # partitions — coordination, not compute, is the cost at this size
+    with partition_hint(8):
+        blocker = OrLinker(
+            [
+                KeyLinker(k, salt_rows=None, count_prepass=False)
+                for k in _BLOCK_KEYS
+            ]
         )
-    pairs = linkage.links.with_both(PAIR_COLUMNS, PAIR_COLUMNS)
-    scored = weights.compare_and_score(pairs, comparers)
+        linkage = blocker(records, records)
+        linkage = Linkage(
+            left=records,
+            right=records,
+            links=linkage.links_ds.materialize(),
+            links_schema=linkage.links.schema,
+        )
+        comparers = febrl_comparers()
+        if weights is None:
+            weights = train_using_labels(
+                comparers,
+                records,
+                records,
+                max_pairs=max_train_pairs,
+                seed=seed,
+                columns=PAIR_COLUMNS,
+                true_linker_kwargs={
+                    "count_prepass": False,
+                    "salt_rows": None,
+                    "max_pairs": None,
+                },
+            )
+        pairs = linkage.links.with_both(PAIR_COLUMNS, PAIR_COLUMNS)
+        scored = weights.compare_and_score(pairs, comparers)
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["odds"], threshold_odds)).select(

@@ -46,14 +46,22 @@ def rldata_match_pairs(
         keep = ((fv + lv) / 2.0 >= jw_bar) & (np.minimum(fv, lv) >= jw_min)
         return t.filter(pa.array(keep)).select(["record_id_l", "record_id_r"])
 
-    parts = [
-        KeyLinker(list(keys), carry=_CARRY, name="_".join(keys))(
-            records, records
-        ).links_ds.map_batches(verify, batch_format="pyarrow")
-        for keys in _KEYSETS
-    ]
-    unioned = parts[0]
-    for other in parts[1:]:
-        unioned = unioned.union(other)
-    links = distinct(unioned, ["record_id_l", "record_id_r"])
+    from mismo_ray._joins import partition_hint
+
+    # RLdata tables are tiny (500-10k rows): few-partition shuffles, no
+    # count pre-pass — coordination would otherwise dominate
+    with partition_hint(8):
+        parts = [
+            KeyLinker(
+                list(keys), carry=_CARRY, name="_".join(keys),
+                salt_rows=None, count_prepass=False,
+            )(records, records).links_ds.map_batches(
+                verify, batch_format="pyarrow"
+            )
+            for keys in _KEYSETS
+        ]
+        unioned = parts[0]
+        for other in parts[1:]:
+            unioned = unioned.union(other)
+        links = distinct(unioned, ["record_id_l", "record_id_r"])
     return Linkage(left=records, right=records, links=links)
