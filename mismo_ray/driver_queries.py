@@ -234,6 +234,29 @@ def q_connected_components(sf_dir: str):
     return labeled.select_columns(["record_id", "component"])
 
 
+def q_connected_components_star(sf_dir: str):
+    """Same graph as connected_components but labeled via the alternating
+    large-star/small-star rounds (mode='star', O(log n) rounds) — the labels
+    must be identical (component = min member id), checked against the same
+    recursive-CTE oracle."""
+    from mismo_ray.cluster import connected_components
+    from mismo_ray.linker import KeyLinker, OrLinker
+
+    parts = _part_records(sf_dir)
+    blocker = OrLinker(
+        [
+            KeyLinker(["p_brand", "p_size"], salt_rows=4096),
+            KeyLinker(["p_type", "p_size"], salt_rows=4096),
+        ]
+    )
+    linkage = blocker(parts, parts)
+    labeled = connected_components(
+        links=linkage.links_ds, records=parts, label_as="component",
+        mode="star",
+    )
+    return labeled.select_columns(["record_id", "component"])
+
+
 def q_connected_components_str(sf_dir: str):
     """CC over STRING record ids through the corpus-scale path: Factorizer
     encode/decode and singleton attach all as bucketed lookup joins (no
@@ -1017,6 +1040,7 @@ QUERIES = {
     "document_counts": q_document_counts,
     "rare_terms": q_rare_terms,
     "connected_components": q_connected_components,
+    "connected_components_star": q_connected_components_star,
     "connected_components_str": q_connected_components_str,
     "sorted_neighborhood": q_sorted_neighborhood,
     "fs_score": q_fs_score,
@@ -1124,6 +1148,19 @@ ORACLE_SQL = {
         "SELECT term FROM df WHERE n <= 100"
     ),
     "connected_components": (
+        "WITH RECURSIVE edges AS ("
+        " SELECT a.p_partkey AS s, b.p_partkey AS d FROM part a JOIN part b"
+        "  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey <> b.p_partkey"
+        " UNION "
+        " SELECT a.p_partkey, b.p_partkey FROM part a JOIN part b"
+        "  ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.p_partkey <> b.p_partkey"
+        "), walk(node, comp) AS ("
+        " SELECT p_partkey, p_partkey FROM part"
+        " UNION "
+        " SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node"
+        ") SELECT node AS record_id, min(comp) AS component FROM walk GROUP BY node"
+    ),
+    "connected_components_star": (
         "WITH RECURSIVE edges AS ("
         " SELECT a.p_partkey AS s, b.p_partkey AS d FROM part a JOIN part b"
         "  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey <> b.p_partkey"
