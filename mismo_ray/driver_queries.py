@@ -148,6 +148,29 @@ def q_token_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_quality_filter(sf_dir: str):
+    """Composite training-data quality gate (the Common-Crawl-style filter
+    chain): token stats -> keep docs with enough tokens, enough vocabulary
+    diversity, and a natural-language stopword ratio. Filters compare only
+    integers (raw counts + the e6-scaled ratio) so the oracle is exact."""
+    from mismo_ray.textstats import add_token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_token_stats(docs, "text")
+
+    def filt(t: pa.Table) -> pa.Table:
+        n_tok = np.asarray(t["n_tokens"], dtype=np.int64)
+        n_uniq = np.asarray(t["n_uniq_tokens"], dtype=np.int64)
+        sw_e6 = np.floor(
+            np.asarray(t["stopword_ratio"], dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        keep = (n_tok >= 10) & (n_uniq * 2 >= n_tok) & (sw_e6 >= 100_000)
+        t = t.filter(pa.array(keep))
+        return t.select(["doc_id", "n_tokens", "n_uniq_tokens"])
+
+    return out.map_batches(filt, batch_format="pyarrow")
+
+
 def q_token_count_bpe(sf_dir: str):
     from mismo_ray.textstats import add_token_count
 
@@ -1035,6 +1058,7 @@ QUERIES = {
     "exact_dedupe": q_exact_dedupe,
     "fingerprint": q_fingerprint,
     "token_stats": q_token_stats,
+    "quality_filter": q_quality_filter,
     "token_count_bpe": q_token_count_bpe,
     "term_idf": q_term_idf,
     "document_counts": q_document_counts,
@@ -1123,6 +1147,13 @@ ORACLE_SQL = {
         "CAST(ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) * 1000000) AS BIGINT) AS avg_token_len_e6, "
         f"CAST(ROUND(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x)))) * 1.0 / len(toks) * 1000000) AS BIGINT) AS stopword_ratio_e6 "
         "FROM t"
+    ),
+    "quality_filter": (
+        f"WITH t AS ({_TOKS_SQL}) "
+        "SELECT doc_id, len(toks) AS n_tokens, "
+        "len(list_distinct(toks)) AS n_uniq_tokens FROM t "
+        "WHERE len(toks) >= 10 AND len(list_distinct(toks)) * 2 >= len(toks) "
+        f"AND CAST(ROUND(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x)))) * 1.0 / len(toks) * 1000000) AS BIGINT) >= 100000"
     ),
     "token_count_bpe": (
         f"WITH t AS ({_TOKS_SQL}) "
