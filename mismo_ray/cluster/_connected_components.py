@@ -467,9 +467,12 @@ def _cc_star(
             .groupby("__b__")
             .map_groups(large_star_bucket, batch_format="pyarrow")
         )
-        E = distinct(after_large, ["u", "v"])
+        # no distinct between the half-rounds: duplicate edges cannot change
+        # any per-node minimum (they at most double small-star's input), and
+        # skipping it saves one full shuffle per round; the post-small-star
+        # distinct restores the canonical edge set
         after_small = (
-            E.map_batches(bucketize("u"), batch_format="pyarrow")
+            after_large.map_batches(bucketize("u"), batch_format="pyarrow")
             .groupby("__b__")
             .map_groups(small_star_bucket, batch_format="pyarrow")
         )
