@@ -59,7 +59,7 @@ def test_key_linker_matches_bruteforce(keys, salt_rows):
     edges=st.lists(
         st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=30
     ),
-    mode=st.sampled_from(["driver", "distributed"]),
+    mode=st.sampled_from(["driver", "distributed", "star"]),
 )
 def test_cc_matches_unionfind(edges, mode):
     # brute-force union-find
