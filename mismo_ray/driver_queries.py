@@ -171,6 +171,28 @@ def q_quality_filter(sf_dir: str):
     return out.map_batches(filt, batch_format="pyarrow")
 
 
+def q_topk_per_group(sf_dir: str):
+    """Top-3 documents per language by token count (deterministic doc_id
+    tie-break) through the bucketed top_k_per_group operator; oracle =
+    ROW_NUMBER window."""
+    from mismo_ray.textstats import add_token_stats
+    from mismo_ray.util_ops import top_k_per_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    stats = add_token_stats(docs, "text")
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "lang", "n_tokens"])
+
+    out = top_k_per_group(
+        stats.map_batches(slim, batch_format="pyarrow"),
+        "lang",
+        [("n_tokens", "desc"), ("doc_id", "asc")],
+        3,
+    )
+    return out
+
+
 def q_token_count_bpe(sf_dir: str):
     from mismo_ray.textstats import add_token_count
 
@@ -1059,6 +1081,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
+    "topk_per_group": q_topk_per_group,
     "token_count_bpe": q_token_count_bpe,
     "term_idf": q_term_idf,
     "document_counts": q_document_counts,
@@ -1154,6 +1177,14 @@ ORACLE_SQL = {
         "len(list_distinct(toks)) AS n_uniq_tokens FROM t "
         "WHERE len(toks) >= 10 AND len(list_distinct(toks)) * 2 >= len(toks) "
         f"AND CAST(ROUND(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x)))) * 1.0 / len(toks) * 1000000) AS BIGINT) >= 100000"
+    ),
+    "topk_per_group": (
+        f"WITH t AS ({_TOKS_SQL}), s AS ("
+        " SELECT doc_id, (SELECT lang FROM documents d WHERE d.doc_id = t.doc_id) AS lang,"
+        " len(toks) AS n_tokens FROM t)"
+        " SELECT doc_id, lang, n_tokens FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rk"
+        " FROM s) WHERE rk <= 3"
     ),
     "token_count_bpe": (
         f"WITH t AS ({_TOKS_SQL}) "

@@ -98,3 +98,68 @@ def explain(ds, *, analyze: bool = False) -> str:
     if analyze:
         return ds.materialize().stats()
     return str(ds)
+
+
+def top_k_per_group(
+    ds: "ray.data.Dataset",
+    group_keys,
+    order_by,
+    k: int,
+) -> "ray.data.Dataset":
+    """Top-k rows per group — the generic per-entity selection operator
+    (best-candidate-per-record, top-docs-per-language, ...).
+
+    ``order_by``: list of (column, "asc"|"desc") applied in order; append a
+    unique column as the last key for deterministic ties. One coarse-bucketed
+    shuffle: groups land whole in hash(group)%B buckets and each bucket runs
+    a vectorized sort + per-group head (no python per row or per group) —
+    the same partitioning contract as the window link filters in linkage.py.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from mismo_ray._joins import default_num_partitions
+    from mismo_ray._util import hash64
+
+    group_keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    order_by = [
+        (c, "asc") if isinstance(c, str) else (c[0], c[1]) for c in order_by
+    ]
+    B = default_num_partitions()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for i, c in enumerate(group_keys):
+            h ^= hash64(t[c], seed=0x7E + i)
+        return t.append_column(
+            "__bkt__", pa.array((h % np.uint64(B)).astype(np.int64))
+        )
+
+    def head_per_group(g) -> "pa.Table":
+        # pandas inside the bucket: C-speed multi-key sort + groupby-head;
+        # arrow types rebuilt on the way out (pandas coerces null-ints)
+        schema = None
+        if isinstance(g, pa.Table):
+            schema = g.schema
+            pdf = g.to_pandas()
+        else:
+            pdf = g
+        pdf = pdf.drop(columns=["__bkt__"])
+        pdf = pdf.sort_values(
+            [c for c, _ in order_by],
+            ascending=[d == "asc" for _, d in order_by],
+            kind="mergesort",
+        )
+        out = pdf.groupby(group_keys, sort=False, dropna=False).head(k)
+        if schema is not None:
+            cols = {}
+            for name in out.columns:
+                cols[name] = pa.array(out[name], type=schema.field(name).type)
+            return pa.table(cols)
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bkt__")
+        .map_groups(head_per_group, batch_format="pyarrow")
+    )

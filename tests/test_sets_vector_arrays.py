@@ -181,3 +181,33 @@ def test_explain(ray_session):
     assert "Aggregate" in plan  # lazy logical tree, no execution
     stats = explain(ds, analyze=True)
     assert "Operator" in stats  # executed per-operator stats
+
+
+def test_top_k_per_group_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.util_ops import top_k_per_group
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "g2": rng.integers(0, 3, n),
+            "score": rng.integers(0, 50, n),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = top_k_per_group(
+        ds, ["g", "g2"], [("score", "desc"), ("id", "asc")], 2
+    ).take_all()
+    exp = (
+        df.sort_values(["score", "id"], ascending=[False, True], kind="mergesort")
+        .groupby(["g", "g2"], sort=False)
+        .head(2)
+    )
+    assert sorted(r["id"] for r in got) == sorted(exp["id"].tolist())
