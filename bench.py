@@ -67,6 +67,17 @@ def run_bench() -> dict:
     with timed("flagship_pair_count"):
         n_pairs = result["links"].count()
 
+    # ---- scaled ER throughput (the 100 TB-representative regime: compute/
+    # shuffle-bound, not coordination-bound; same pipeline as --scaling).
+    # Measured EARLY: dozens of prior Dataset executions age the Ray session
+    # (worker heap growth / object-store fragmentation) and were inflating
+    # this stage ~2x when it ran last — the scaling criterion itself always
+    # runs in fresh processes and is unaffected.
+    from mismo_ray.pipelines._webpages import scaling_pipeline
+
+    with timed("scaled_er"):
+        scaled = scaling_pipeline(sf_dir, multiplier=100)
+
     # ---- representative operator benchmarks
     from mismo_ray import driver_queries as dq
 
@@ -120,13 +131,6 @@ def run_bench() -> dict:
                 for r in pc300.select_columns(["n_pairs"]).take_all()
             )
         )
-
-    # ---- scaled ER throughput (the 100 TB-representative regime: compute/
-    # shuffle-bound, not coordination-bound; same pipeline as --scaling)
-    from mismo_ray.pipelines._webpages import scaling_pipeline
-
-    with timed("scaled_er"):
-        scaled = scaling_pipeline(sf_dir, multiplier=100)
 
     headline = timings["flagship_er"]
     out = {

@@ -48,8 +48,14 @@ from mismo_ray._util import hash64
 _RESTORED = 0  # token sentinel for fingerprints loaded from a snapshot
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _IndexShard:
+    # num_cpus=0: a shard is a dict holder answering short membership calls.
+    # Reserving whole CPUs lets a 16-shard index starve the data-plane tasks
+    # of a node (observed: 4x slowdown of a concurrent pipeline), and even
+    # fractional reservations accumulate across indexes until actors stop
+    # scheduling. Zero-cpu actors schedule freely; the work they do is
+    # bounded by the caller's batch rate.
     def __init__(self) -> None:
         self._seen: dict[int, int] = {}
 
@@ -162,6 +168,14 @@ class StreamingDedupIndex:
     def n_seen(self) -> int:
         return int(sum(ray.get([s.size.remote() for s in self._shards])))
 
+    def shutdown(self) -> None:
+        """Kill the shard actors now (instead of waiting for GC of the last
+        handle). Call when done with the index — filter_new results are
+        materialized, so they never need the actors again."""
+        for s in self._shards:
+            ray.kill(s)
+        self._shards = []
+
     def snapshot(self, path: str) -> None:
         """Persist the index to parquet (one file, fingerprints only)."""
         fps: list[int] = []
@@ -210,4 +224,7 @@ def incremental_filter_new(
     out = idx.filter_new(day, column)
     if snapshot_out:
         idx.snapshot(snapshot_out)
+    # the result is materialized and the index persisted — release the
+    # actors instead of letting them outlive the ingest step
+    idx.shutdown()
     return out
