@@ -163,3 +163,36 @@ def top_k_per_group(
         .groupby("__bkt__")
         .map_groups(head_per_group, batch_format="pyarrow")
     )
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_keys,
+    n_per_group: int,
+    *,
+    id_column: str = "record_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic per-group sample: up to ``n_per_group`` rows per group,
+    chosen by seeded hash order of ``id_column`` (stable across runs and
+    partitionings — no runtime RNG). The training-data use case: balance a
+    corpus across languages/sources before expensive downstream stages.
+
+    One bucketed shuffle via :func:`top_k_per_group` ordered by the hash.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from mismo_ray._util import hash64
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        h = hash64(t[id_column], seed=seed ^ 0x5A17).astype(np.int64)
+        return t.append_column("__sample_rank__", pa.array(h))
+
+    out = top_k_per_group(
+        ds.map_batches(add_rank, batch_format="pyarrow"),
+        group_keys,
+        [("__sample_rank__", "asc")],
+        n_per_group,
+    )
+    return out.drop_columns(["__sample_rank__"])

@@ -211,3 +211,34 @@ def test_top_k_per_group_matches_pandas(ray_session):
         .head(2)
     )
     assert sorted(r["id"] for r in got) == sorted(exp["id"].tolist())
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.util_ops import stratified_sample
+
+    rng = np.random.default_rng(5)
+    n = 400
+    t = pa.table(
+        {
+            "record_id": np.arange(n, dtype=np.int64),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    s1 = stratified_sample(ds, "lang", 5)
+    rows1 = sorted(r["record_id"] for r in s1.take_all())
+    # exactly 5 per group (every group has >5 members here)
+    by_lang = {}
+    for r in s1.take_all():
+        by_lang.setdefault(r["lang"], []).append(r["record_id"])
+    assert all(len(v) == 5 for v in by_lang.values()) and len(by_lang) == 3
+    # deterministic across runs and partitionings
+    s2 = stratified_sample(ds.repartition(9), "lang", 5)
+    assert sorted(r["record_id"] for r in s2.take_all()) == rows1
+    # different seed -> (almost surely) different selection
+    s3 = stratified_sample(ds, "lang", 5, seed=99)
+    assert sorted(r["record_id"] for r in s3.take_all()) != rows1
