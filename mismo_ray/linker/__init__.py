@@ -3,6 +3,7 @@ from mismo_ray.linker._common import Linker, Task, infer_task
 from mismo_ray.linker._join_linker import JoinLinker
 from mismo_ray.linker._key_linker import KeyLinker
 from mismo_ray.linker._lsh import MinhashLshLinker
+from mismo_ray.linker._fused_or import FusedOrLinker
 from mismo_ray.linker._or_linker import OrLinker
 from mismo_ray.linker._sample import sample_all_links, sample_records
 from mismo_ray.linker._sorted_neighborhood import SortedNeighborhoodLinker
@@ -16,6 +17,7 @@ __all__ = [
     "KeyLinker",
     "Linker",
     "MinhashLshLinker",
+    "FusedOrLinker",
     "OrLinker",
     "SortedNeighborhoodLinker",
     "Task",

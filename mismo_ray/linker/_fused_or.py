@@ -1,0 +1,175 @@
+"""FusedOrLinker: OR of several key-blocking rules in ONE pass + ONE shuffle.
+
+``OrLinker([KeyLinker(r) for r in rules])`` runs each rule separately: K
+passes over the records, K count pre-passes and K keyed sort shuffles. At
+corpus scale every extra pass re-reads the table and every extra shuffle is
+an all-to-all exchange. Fused: one map emits, per record, one keyed row PER
+RULE — the block hash folds the rule id in, so rules occupy disjoint block
+spaces and the standard pair-generation machinery (count pre-pass, hot-key
+drop, salting, bucketed enumeration — mismo_ray/linker/_pairgen.py) runs
+ONCE over the union. A second, independently-seeded key hash rides along as
+the exact-match guard the enumerator normally gets from raw key columns
+(collision probability 2^-128 instead of per-value equality — the key TUPLE
+itself can't be a column because rules have heterogeneous key sets).
+
+Semantics match OrLinker over KeyLinkers with the same settings: per-rule
+hot-key drop and n*n max_pairs quirk (each (rule, key) group is its own
+block), unordered dedupe pairs, overlaps removed via one distinct.
+
+Dedupe task only — the link task keeps the plain OrLinker (two-sided salting
+over a fused union is a follow-up; reference usage is dedupe-dominant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from mismo_ray._joins import distinct
+from mismo_ray._util import hash64, splitmix64
+from mismo_ray.keys import KeySpec, resolve_keys
+from mismo_ray.linker._common import infer_task
+from mismo_ray.linker._pairgen import (
+    _block_counts,
+    _collect_filtered,
+    _expand_salt,
+    _make_enumerator,
+)
+from mismo_ray.types import Linkage
+
+_KEYV = "__keyv__"
+
+
+def _rule_hashes(key_arrays, rule_idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """(block, keyv): two independently-seeded combined hashes of the key
+    tuple, each folded with the rule id."""
+    n = len(key_arrays[0])
+    h1 = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+    h2 = np.full(n, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for arr in key_arrays:
+            h1 = splitmix64(h1 ^ hash64(arr))
+            h2 = splitmix64(h2 ^ hash64(arr, seed=0x5EED))
+        block = splitmix64(h1 ^ (np.uint64(0xF00D) + np.uint64(rule_idx)))
+        keyv = splitmix64(h2 ^ (np.uint64(0xCAFE) + np.uint64(rule_idx)))
+    return block, keyv
+
+
+class FusedOrLinker:
+    def __init__(
+        self,
+        rules: Sequence,
+        *,
+        max_pairs: int | None = None,
+        salt_rows: int | None = 2048,
+        carry: Sequence[str] | None = None,
+        count_prepass: bool = True,
+        name: str | None = None,
+    ):
+        self.rules: list[list[KeySpec]] = [resolve_keys(r) for r in rules]
+        self.max_pairs = max_pairs
+        self.salt_rows = salt_rows
+        self.carry = list(carry) if carry else []
+        self.count_prepass = count_prepass
+        self.name = name
+        self.last_counters: dict = {}
+
+    def __call__(
+        self, left: ray.data.Dataset, right: ray.data.Dataset
+    ) -> Linkage:
+        task = infer_task(task=None, left=left, right=right)
+        if task != "dedupe":
+            raise NotImplementedError(
+                "FusedOrLinker supports the dedupe task; use "
+                "OrLinker([KeyLinker(...)]) for link"
+            )
+        rules, carry = self.rules, self.carry
+        max_pairs, salt_rows = self.max_pairs, self.salt_rows
+        count_prepass = self.count_prepass
+        counters: dict = {"task": "dedupe", "n_rules": len(rules)}
+
+        def project(batch: pa.Table) -> pa.Table:
+            outs = []
+            for ridx, keys in enumerate(rules):
+                key_arrays = [k(batch, "left") for k in keys]
+                null_mask = np.zeros(len(batch), dtype=bool)
+                for arr in key_arrays:
+                    null_mask |= np.asarray(arr.is_null())
+                block, keyv = _rule_hashes(key_arrays, ridx)
+                cols = {
+                    "record_id": batch["record_id"],
+                    _KEYV: pa.array(keyv.astype(np.int64)),
+                }
+                for c in carry:
+                    cols[c] = batch[c]
+                cols["__block__"] = pa.array(block.astype(np.int64))
+                out = pa.table(cols)
+                if null_mask.any():
+                    out = out.filter(pa.array(~null_mask))
+                outs.append(out)
+            return pa.concat_tables(outs)
+
+        keyed = left.map_batches(project, batch_format="pyarrow")
+        if (max_pairs is not None or salt_rows is not None) and count_prepass:
+            keyed = keyed.materialize()
+            counts = _block_counts(keyed)
+            mp = max_pairs if max_pairs is not None else (1 << 62)
+            sr = salt_rows if salt_rows is not None else (1 << 62)
+            cpdf = _collect_filtered(counts, lambda n: (n * n > mp) | (n > sr))
+        else:
+            cpdf = pd.DataFrame({"__block__": [], "n": []})
+        hot: set = set()
+        salt: dict = {}
+        if max_pairs is not None and count_prepass:
+            hot_mask = cpdf["n"].to_numpy() ** 2 > max_pairs
+            hot = set(int(b) for b in cpdf["__block__"][hot_mask])
+            counters["hot_keys_dropped"] = len(hot)
+        if salt_rows is not None and count_prepass:
+            spdf = cpdf[cpdf["n"].to_numpy() > salt_rows]
+            salt = {
+                int(b): int(n)
+                for b, n in zip(spdf["__block__"], spdf["n"])
+                if int(b) not in hot
+            }
+        counters["salted_keys"] = len(salt)
+        from mismo_ray._joins import default_num_partitions
+
+        expanded = _expand_salt(
+            keyed,
+            drop_ref=ray.put(frozenset(hot)) if hot else None,
+            salt_ref=ray.put(salt) if salt else None,
+            salt_rows=salt_rows or (1 << 62),
+            link=False,
+            n_buckets=default_num_partitions(),
+        )
+        enum = _make_enumerator(
+            [_KEYV], carry, carry, link=False,
+            inline_max_pairs=None if count_prepass else max_pairs,
+        )
+        links = expanded.groupby("__bkt__").map_groups(
+            enum, batch_format="pyarrow"
+        )
+        # a pair found by several rules appears once per rule — one distinct
+        # (carried values are identical per pair, so dedupe over all columns)
+        out_cols = ["record_id_l", "record_id_r"] + [
+            f"{c}_{s}" for c in carry for s in ("l", "r")
+        ]
+        links = distinct(links, out_cols)
+        self.last_counters = counters
+        lbase = left.schema().base_schema
+        schema_fields = [
+            pa.field("record_id_l", pa.int64()),
+            pa.field("record_id_r", pa.int64()),
+        ]
+        for c in carry:
+            for s in ("l", "r"):
+                schema_fields.append(pa.field(f"{c}_{s}", lbase.field(c).type))
+        return Linkage(
+            left=left, right=right, links=links,
+            links_schema=pa.schema(schema_fields),
+        )

@@ -6,9 +6,9 @@ typos in names, addresses, dates and ids. This pipeline is the full
 blocking -> compare -> Fellegi-Sunter (trained on label_true) -> threshold
 chain over them, Ray-Data-first:
 
-- blocking: OR of four single-field KeyLinkers (soc_sec_id, date_of_birth,
-  postcode, surname) — a duplicate that mangles one field is still caught by
-  the others; each linker is one keyed shuffle.
+- blocking: four single-field rules (soc_sec_id, date_of_birth, postcode,
+  surname) fused into ONE pass + ONE shuffle (FusedOrLinker) — a duplicate
+  that mangles one field is still caught by the others.
 - comparison: vectorized LevelComparers (exact / JW-close tiers for names,
   exact / 1-edit tiers for ids) over pair batches.
 - scoring: FS log-odds with m/u trained from label_true pairs
@@ -24,7 +24,7 @@ import ray.data
 
 from mismo_ray.compare import LevelComparer
 from mismo_ray.fs import Weights, train_using_labels
-from mismo_ray.linker import KeyLinker, OrLinker
+from mismo_ray.linker import FusedOrLinker
 from mismo_ray.text import jaro_winkler_similarity_array, levenshtein_array
 from mismo_ray.types import Linkage
 
@@ -158,15 +158,13 @@ def febrl_match_pairs(
     from mismo_ray._joins import partition_hint
 
     # golden tables are small (1k-5k rows); per-key group sizes are bounded
-    # by construction (ids/dates near-unique), so skip the four
-    # count-prepass barriers and salting, and build every shuffle with few
-    # partitions — coordination, not compute, is the cost at this size
+    # by construction (ids/dates near-unique), so skip the count-prepass
+    # barrier and salting, fuse the four blocking rules into ONE pass + ONE
+    # shuffle (FusedOrLinker), and build every shuffle with few partitions —
+    # coordination, not compute, is the cost at this size
     with partition_hint(8):
-        blocker = OrLinker(
-            [
-                KeyLinker(k, salt_rows=None, count_prepass=False)
-                for k in _BLOCK_KEYS
-            ]
+        blocker = FusedOrLinker(
+            [[k] for k in _BLOCK_KEYS], salt_rows=None, count_prepass=False
         )
         linkage = blocker(records, records)
         linkage = Linkage(

@@ -514,3 +514,38 @@ def test_sessionize_matches_bruteforce(events, gap_s):
         ["user_id", "session_id", "session_start_s", "session_end_s", "n_events"],
     )
     assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    a=st.lists(st.one_of(st.integers(0, 4), st.none()), min_size=2, max_size=30),
+    b=st.lists(st.one_of(st.integers(0, 3), st.none()), min_size=2, max_size=30),
+    salt_rows=st.sampled_from([None, 3]),
+)
+def test_fused_or_linker_matches_or_linker(a, b, salt_rows):
+    # FusedOrLinker (one pass + one shuffle) must produce exactly OrLinker's
+    # pair set for the same rules, including null keys and salting
+    from mismo_ray.linker import FusedOrLinker, KeyLinker, OrLinker
+
+    n = min(len(a), len(b))
+    t = pa.table(
+        {
+            "record_id": pa.array(list(range(n)), type=pa.int64()),
+            "a": pa.array(a[:n], type=pa.int64()),
+            "b": pa.array(b[:n], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2).materialize()
+    rules = [["a"], ["b"], ["a", "b"]]
+    fused = rows_set(
+        FusedOrLinker(rules, salt_rows=salt_rows)(ds, ds).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    plain = rows_set(
+        OrLinker([KeyLinker(r, salt_rows=salt_rows) for r in rules])(
+            ds, ds
+        ).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert fused == plain
