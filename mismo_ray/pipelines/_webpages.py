@@ -472,9 +472,14 @@ def run_er_pipeline(
             score_partition,
             counters=counters,
         ).materialize()
+        counters["pairs_matched"] = matches.count()
     else:
         scored = weights.compare_and_score(pairs, comparers)
         matches = scored.map_batches(keep, batch_format="pyarrow").materialize()
+        # north_rule counters: pairs generated == comparisons scored (every
+        # candidate goes through compare+score in one pass), matches kept
+        counters["pairs_generated"] = linkage.links_ds.count()
+        counters["pairs_matched"] = matches.count()
     if ckpt is not None:
         Linkage(left=pages, right=pages, links=matches).to_parquets(
             ckpt, counters=counters
