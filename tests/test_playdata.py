@@ -190,7 +190,7 @@ def test_rldata10000_dedupe_90pct(ray_session):
     assert m["recall"] >= 0.9, m
 
 
-@pytest.mark.parametrize("loader", ["load_febrl1", "load_febrl3"])
+@pytest.mark.parametrize("loader", ["load_febrl1", "load_febrl2", "load_febrl3"])
 def test_febrl_dedupe_f1_gate(ray_session, loader):
     # north_rule gate on REAL golden data: blocking -> FS-trained scoring ->
     # threshold reaches pairwise F1 >= 0.99 on the FEBRL benchmarks
