@@ -16,8 +16,9 @@ Semantics match OrLinker over KeyLinkers with the same settings: per-rule
 hot-key drop and n*n max_pairs quirk (each (rule, key) group is its own
 block), unordered dedupe pairs, overlaps removed via one distinct.
 
-Dedupe task only — the link task keeps the plain OrLinker (two-sided salting
-over a fused union is a follow-up; reference usage is dedupe-dominant).
+Both tasks: dedupe (triangle enumeration per fused block) and link (two
+tagged fused projections, two-sided count pre-pass and salting — same
+machinery as the single-rule link path).
 """
 
 from __future__ import annotations
@@ -83,11 +84,8 @@ class FusedOrLinker:
         self, left: ray.data.Dataset, right: ray.data.Dataset
     ) -> Linkage:
         task = infer_task(task=None, left=left, right=right)
-        if task != "dedupe":
-            raise NotImplementedError(
-                "FusedOrLinker supports the dedupe task; use "
-                "OrLinker([KeyLinker(...)]) for link"
-            )
+        if task == "link":
+            return self._link(left, right)
         rules, carry = self.rules, self.carry
         max_pairs, salt_rows = self.max_pairs, self.salt_rows
         count_prepass = self.count_prepass
@@ -169,6 +167,141 @@ class FusedOrLinker:
         for c in carry:
             for s in ("l", "r"):
                 schema_fields.append(pa.field(f"{c}_{s}", lbase.field(c).type))
+        return Linkage(
+            left=left, right=right, links=links,
+            links_schema=pa.schema(schema_fields),
+        )
+
+    def _link(
+        self, left: ray.data.Dataset, right: ray.data.Dataset
+    ) -> Linkage:
+        """Fused link task: both sides get one keyed row per rule, tagged,
+        unioned; two-sided count pre-pass + salting run once over the fused
+        blocks (mirrors the single-rule link path in _pairgen.py)."""
+        rules, carry = self.rules, self.carry
+        max_pairs, salt_rows = self.max_pairs, self.salt_rows
+        count_prepass = self.count_prepass
+        counters: dict = {"task": "link", "n_rules": len(rules)}
+        lbase = left.schema().base_schema
+        rbase = right.schema().base_schema
+        ltypes = {f.name: f.type for f in lbase}
+        rtypes = {f.name: f.type for f in rbase}
+
+        def project(side: str, side_val: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                outs = []
+                for ridx, keys in enumerate(rules):
+                    key_arrays = [k(batch, side) for k in keys]
+                    null_mask = np.zeros(len(batch), dtype=bool)
+                    for arr in key_arrays:
+                        null_mask |= np.asarray(arr.is_null())
+                    block, keyv = _rule_hashes(key_arrays, ridx)
+                    n = len(batch)
+                    cols = {
+                        "record_id": batch["record_id"],
+                        _KEYV: pa.array(keyv.astype(np.int64)),
+                    }
+                    for c in carry:
+                        cols[f"{c}__cl"] = (
+                            batch[c] if side_val == 0 else pa.nulls(n, ltypes[c])
+                        )
+                    for c in carry:
+                        cols[f"{c}__cr"] = (
+                            batch[c] if side_val == 1 else pa.nulls(n, rtypes[c])
+                        )
+                    cols["__block__"] = pa.array(block.astype(np.int64))
+                    cols["__side__"] = pa.array(
+                        np.full(n, side_val, dtype=np.int8)
+                    )
+                    out = pa.table(cols)
+                    if null_mask.any():
+                        out = out.filter(pa.array(~null_mask))
+                    outs.append(out)
+                return pa.concat_tables(outs)
+
+            return fn
+
+        keyed_l = left.map_batches(project("left", 0), batch_format="pyarrow")
+        keyed_r = right.map_batches(project("right", 1), batch_format="pyarrow")
+        hot: set = set()
+        salt: dict = {}
+        if (max_pairs is not None or salt_rows is not None) and count_prepass:
+            from mismo_ray._joins import hash_join
+
+            keyed_l = keyed_l.materialize()
+            keyed_r = keyed_r.materialize()
+            cl = _block_counts(keyed_l)
+            cr = _block_counts(keyed_r)
+            counts_schema = pa.schema(
+                [pa.field("__block__", pa.int64()), pa.field("n", pa.int64())]
+            )
+            joined = hash_join(
+                cl, cr, on="__block__", right_suffix="_r",
+                left_schema=counts_schema, right_schema=counts_schema,
+            )
+            mp = max_pairs if max_pairs is not None else (1 << 62)
+            sr_t = salt_rows if salt_rows is not None else (1 << 62)
+
+            def hot_or_salt(t: pa.Table) -> pa.Table:
+                nl = np.asarray(t["n"], dtype=np.int64)
+                nr = np.asarray(t["n_r"], dtype=np.int64)
+                return t.filter(
+                    pa.array((nl * nr > mp) | (nl > sr_t) | (nr > sr_t))
+                )
+
+            jpdf = joined.map_batches(
+                hot_or_salt, batch_format="pyarrow"
+            ).to_pandas()
+            if "__block__" not in jpdf.columns:
+                jpdf = pd.DataFrame({"__block__": [], "n": [], "n_r": []})
+            if max_pairs is not None:
+                hot_mask = (
+                    jpdf["n"].to_numpy(dtype=np.int64)
+                    * jpdf["n_r"].to_numpy(dtype=np.int64)
+                    > max_pairs
+                )
+                hot = set(int(b) for b in jpdf["__block__"][hot_mask])
+            counters["hot_keys_dropped"] = len(hot)
+            if salt_rows is not None:
+                salt = {
+                    int(b): (int(nl), int(nr))
+                    for b, nl, nr in zip(
+                        jpdf["__block__"], jpdf["n"], jpdf["n_r"]
+                    )
+                    if int(b) not in hot
+                    and (int(nl) > salt_rows or int(nr) > salt_rows)
+                }
+            counters["salted_keys"] = len(salt)
+        keyed = keyed_l.union(keyed_r)
+        from mismo_ray._joins import default_num_partitions
+
+        expanded = _expand_salt(
+            keyed,
+            drop_ref=ray.put(frozenset(hot)) if hot else None,
+            salt_ref=ray.put(salt) if salt else None,
+            salt_rows=salt_rows or (1 << 62),
+            link=True,
+            n_buckets=default_num_partitions(),
+        )
+        enum = _make_enumerator(
+            [_KEYV], carry, carry, link=True,
+            inline_max_pairs=None if count_prepass else max_pairs,
+        )
+        links = expanded.groupby("__bkt__").map_groups(
+            enum, batch_format="pyarrow"
+        )
+        out_cols = ["record_id_l", "record_id_r"] + [
+            f"{c}_{s}" for c in carry for s in ("l", "r")
+        ]
+        links = distinct(links, out_cols)
+        self.last_counters = counters
+        schema_fields = [
+            pa.field("record_id_l", pa.int64()),
+            pa.field("record_id_r", pa.int64()),
+        ]
+        for c in carry:
+            schema_fields.append(pa.field(f"{c}_l", ltypes[c]))
+            schema_fields.append(pa.field(f"{c}_r", rtypes[c]))
         return Linkage(
             left=left, right=right, links=links,
             links_schema=pa.schema(schema_fields),

@@ -549,3 +549,46 @@ def test_fused_or_linker_matches_or_linker(a, b, salt_rows):
         ["record_id_l", "record_id_r"],
     )
     assert fused == plain
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(**SETTINGS)
+@given(
+    a=st.lists(st.one_of(st.integers(0, 4), st.none()), min_size=2, max_size=25),
+    b=st.lists(st.one_of(st.integers(0, 3), st.none()), min_size=2, max_size=25),
+    a2=st.lists(st.one_of(st.integers(0, 4), st.none()), min_size=2, max_size=25),
+    b2=st.lists(st.one_of(st.integers(0, 3), st.none()), min_size=2, max_size=25),
+    salt_rows=st.sampled_from([None, 3]),
+    max_pairs=st.sampled_from([None, 6]),
+)
+def test_fused_or_linker_link_matches_or_linker(a, b, a2, b2, salt_rows, max_pairs):
+    # link task (two distinct tables): fused OR of rules == OrLinker of
+    # KeyLinkers, including two-sided salting and per-rule hot-key drop
+    from mismo_ray.linker import FusedOrLinker, KeyLinker, OrLinker
+
+    def mk(av, bv):
+        n = min(len(av), len(bv))
+        t = pa.table(
+            {
+                "record_id": pa.array(list(range(n)), type=pa.int64()),
+                "a": pa.array(av[:n], type=pa.int64()),
+                "b": pa.array(bv[:n], type=pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(t).repartition(2).materialize()
+
+    dl, dr = mk(a, b), mk(a2, b2)
+    rules = [["a"], ["b"], ["a", "b"]]
+    fused = rows_set(
+        FusedOrLinker(rules, salt_rows=salt_rows, max_pairs=max_pairs)(
+            dl, dr
+        ).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    plain = rows_set(
+        OrLinker(
+            [KeyLinker(r, salt_rows=salt_rows, max_pairs=max_pairs) for r in rules]
+        )(dl, dr).links_ds,
+        ["record_id_l", "record_id_r"],
+    )
+    assert fused == plain
