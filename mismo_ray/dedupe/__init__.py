@@ -765,3 +765,6 @@ def embedding_neardup_pairs(
     else:
         raise ValueError("method must be 'auto', 'exact' or 'lsh'")
     return Linkage(left=ds, right=ds, links=links)
+
+
+from mismo_ray.dedupe._substring import substring_dup_stats  # noqa: E402

@@ -988,6 +988,31 @@ def q_lang_id(sf_dir: str):
     return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_substring_dedupe(sf_dir: str):
+    """Span-level exact-substring dedup (dedupe.substring_dup_stats): docs
+    sharing any exact 40-char word-anchored window with >=2 distinct docs,
+    with merged duplicated-span coverage. Integer columns only (dup_frac is
+    dup_chars/doc_len, recomputable); oracle enumerates the same anchored
+    windows by VALUE (the operator groups by a 128-bit content hash —
+    identical results short of a hash collision, same as exact_dedupe)."""
+    from mismo_ray.dedupe import substring_dup_stats
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+    out = substring_dup_stats(docs, "text", window=40, min_docs=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["record_id"],
+                "doc_len": t["doc_len"],
+                "n_dup_windows": t["n_dup_windows"],
+                "dup_chars": t["dup_chars"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_incremental_dedupe(sf_dir: str):
     """Two-run incremental exact dedupe through the sharded actor index
     (state.dedup_index): run 1 ingests even-id docs and snapshots; run 2
@@ -1119,6 +1144,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
+    "substring_dedupe": q_substring_dedupe,
     "flagship_er": q_flagship,
 }
 
@@ -1439,6 +1465,25 @@ ORACLE_SQL = {
         "SELECT l AS record_id_l, r AS record_id_r "
         "FROM inter JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r "
         "WHERE c * 5 >= (sa.n + sb.n - c) * 4"
+    ),
+    "substring_dedupe": (
+        # same anchored windows by VALUE: a window starts at 1-indexed pos i
+        # (2 <= i <= len-39) whose previous char is a space/newline; dup =
+        # window content in >= 2 distinct docs; coverage = merged intervals
+        # via lag() (intervals all have length 40, so covered chars per row
+        # = min(40, pos - prev_pos))
+        "WITH w AS (SELECT doc_id, g.i AS pos, "
+        " substring(text, CAST(g.i AS INT), 40) AS win, length(text) AS len "
+        " FROM documents, LATERAL (SELECT unnest(range(2, length(text) - 38)) AS i) AS g "
+        " WHERE text IS NOT NULL AND substring(text, CAST(g.i - 1 AS INT), 1) IN (' ', chr(10))), "
+        "dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2), "
+        "hits AS (SELECT w.doc_id, w.pos, w.len FROM w JOIN dup USING (win)), "
+        "lagged AS (SELECT doc_id, len, pos, "
+        " lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits) "
+        "SELECT doc_id, CAST(any_value(len) AS BIGINT) AS doc_len, "
+        " CAST(count(*) AS BIGINT) AS n_dup_windows, "
+        " CAST(sum(CASE WHEN prev IS NULL THEN 40 ELSE least(40, pos - prev) END) AS BIGINT) AS dup_chars "
+        "FROM lagged GROUP BY doc_id"
     ),
     # minhash_lsh_dedupe / simhash_pairs / lang_id / flagship_er:
     # hash-function / model-driven ops, not SQL-expressible -> rows-only check.
