@@ -988,6 +988,29 @@ def q_lang_id(sf_dir: str):
     return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (textstats.add_repetition_stats):
+    top-{2,3}-gram mass and duplicated-{2,3}-gram coverage per document.
+    dup_ns=(2,3) here because the synthetic corpus's ~20-word vocabulary
+    makes 5..10-grams (the library defaults) never repeat; integer char
+    counts only so the oracle is exact."""
+    from mismo_ray.textstats import add_repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_repetition_stats(docs, "text", top_ns=(2, 3), dup_ns=(2, 3))
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "word_chars",
+            "top2gram_chars",
+            "top3gram_chars",
+            "dup2gram_chars",
+            "dup3gram_chars",
+        ]
+    )
+
+
 def q_substring_dedupe(sf_dir: str):
     """Span-level exact-substring dedup (dedupe.substring_dup_stats): docs
     sharing any exact 40-char word-anchored window with >=2 distinct docs,
@@ -1145,6 +1168,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "substring_dedupe": q_substring_dedupe,
+    "repetition_stats": q_repetition_stats,
     "flagship_er": q_flagship,
 }
 
@@ -1465,6 +1489,40 @@ ORACLE_SQL = {
         "SELECT l AS record_id_l, r AS record_id_r "
         "FROM inter JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r "
         "WHERE c * 5 >= (sa.n + sb.n - c) * 4"
+    ),
+    "repetition_stats": (
+        # word n-grams by VALUE (space-joined — injective, words contain no
+        # whitespace); top{n} = max over grams of count * gram_chars; dup{n}
+        # = chars of words covered by any gram occurring >= 2 times
+        # (DISTINCT unions the overlapping occurrence spans)
+        f"WITH t AS ({_TOKS_SQL}), "
+        "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+        " CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS word_chars FROM t), "
+        "g2 AS (SELECT doc_id, i, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS g, "
+        " length(toks[CAST(i AS INT)]) + length(toks[CAST(i + 1 AS INT)]) AS gc "
+        " FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) AS r), "
+        "g3 AS (SELECT doc_id, i, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)] AS g, "
+        " length(toks[CAST(i AS INT)]) + length(toks[CAST(i + 1 AS INT)]) + length(toks[CAST(i + 2 AS INT)]) AS gc "
+        " FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) AS r), "
+        "top2 AS (SELECT doc_id, max(c * gc) AS v FROM (SELECT doc_id, g, count(*) AS c, any_value(gc) AS gc FROM g2 GROUP BY doc_id, g) GROUP BY doc_id), "
+        "top3 AS (SELECT doc_id, max(c * gc) AS v FROM (SELECT doc_id, g, count(*) AS c, any_value(gc) AS gc FROM g3 GROUP BY doc_id, g) GROUP BY doc_id), "
+        "d2 AS (SELECT doc_id, g FROM g2 GROUP BY doc_id, g HAVING count(*) >= 2), "
+        "h2 AS (SELECT g2.doc_id, g2.i FROM g2 JOIN d2 USING (doc_id, g)), "
+        "cov2 AS (SELECT DISTINCT doc_id, i + j AS w FROM h2, LATERAL (SELECT unnest(range(0, 2)) AS j) AS rr), "
+        "dup2 AS (SELECT cov2.doc_id, CAST(sum(length(t.toks[CAST(cov2.w AS INT)])) AS BIGINT) AS v "
+        " FROM cov2 JOIN t ON t.doc_id = cov2.doc_id GROUP BY cov2.doc_id), "
+        "d3 AS (SELECT doc_id, g FROM g3 GROUP BY doc_id, g HAVING count(*) >= 2), "
+        "h3 AS (SELECT g3.doc_id, g3.i FROM g3 JOIN d3 USING (doc_id, g)), "
+        "cov3 AS (SELECT DISTINCT doc_id, i + j AS w FROM h3, LATERAL (SELECT unnest(range(0, 3)) AS j) AS rr), "
+        "dup3 AS (SELECT cov3.doc_id, CAST(sum(length(t.toks[CAST(cov3.w AS INT)])) AS BIGINT) AS v "
+        " FROM cov3 JOIN t ON t.doc_id = cov3.doc_id GROUP BY cov3.doc_id) "
+        "SELECT b.doc_id, b.n_words, b.word_chars, "
+        " CAST(coalesce(top2.v, 0) AS BIGINT) AS top2gram_chars, "
+        " CAST(coalesce(top3.v, 0) AS BIGINT) AS top3gram_chars, "
+        " CAST(coalesce(dup2.v, 0) AS BIGINT) AS dup2gram_chars, "
+        " CAST(coalesce(dup3.v, 0) AS BIGINT) AS dup3gram_chars "
+        "FROM base b LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id) "
+        "LEFT JOIN dup2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)"
     ),
     "substring_dedupe": (
         # same anchored windows by VALUE: a window starts at 1-indexed pos i

@@ -241,3 +241,107 @@ def hash_str64(s: str) -> int:
     return int.from_bytes(
         hashlib.md5(s.encode("utf-8")).digest()[:8], "little", signed=True
     )
+
+
+def add_repetition_stats(
+    ds: ray.data.Dataset,
+    column: str,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1; the dup/top n-gram filters every web-scale
+    text pipeline runs between exact dedup and model scoring).
+
+    Line metrics (lines = ``text.split("\\n")``, all lines counted):
+    - ``n_lines`` / ``n_uniq_lines``; ``dup_line_frac`` = fraction of lines
+      that are repeats of an earlier line = 1 - uniq/total;
+    - ``dup_line_char_frac`` = chars in lines whose content occurs more than
+      once (all occurrences) / chars in all lines.
+
+    Word n-gram metrics (words = ``text.split()``; ``word_chars`` = summed
+    word lengths, whitespace excluded):
+    - ``top{n}gram_chars`` (n in ``top_ns``) = occurrences x chars of the
+      most-repeated n-gram (max over n-grams of count * gram_chars), and
+      ``top{n}gram_frac`` = that / word_chars;
+    - ``dup{n}gram_chars`` (n in ``dup_ns``) = chars of words covered by at
+      least one occurrence of any n-gram that occurs >= 2 times (occurrence
+      word-spans are unioned so overlapping repeats are not double-counted),
+      and ``dup{n}gram_frac`` = that / word_chars.
+
+    Stateless vectorizable-per-doc map (Counter passes are O(words) per doc
+    per n); one map_batches, no shuffle.
+    """
+    from collections import Counter
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[column].to_pylist()
+        n = len(texts)
+        out_i: dict[str, np.ndarray] = {
+            name: np.zeros(n, dtype=np.int64)
+            for name in (
+                ["n_lines", "n_uniq_lines", "line_chars", "dup_line_chars",
+                 "n_words", "word_chars"]
+                + [f"top{k}gram_chars" for k in top_ns]
+                + [f"dup{k}gram_chars" for k in dup_ns]
+            )
+        }
+        for i, s in enumerate(texts):
+            if s is None:
+                continue
+            lines = s.split("\n")
+            lc = Counter(lines)
+            out_i["n_lines"][i] = len(lines)
+            out_i["n_uniq_lines"][i] = len(lc)
+            out_i["line_chars"][i] = sum(len(x) for x in lines)
+            out_i["dup_line_chars"][i] = sum(
+                len(x) * c for x, c in lc.items() if c > 1
+            )
+            words = s.split()
+            wlen = np.array([len(w) for w in words], dtype=np.int64)
+            out_i["n_words"][i] = len(words)
+            out_i["word_chars"][i] = int(wlen.sum())
+            for k in top_ns:
+                if len(words) < k:
+                    continue
+                grams = Counter(zip(*(words[j:] for j in range(k))))
+                out_i[f"top{k}gram_chars"][i] = max(
+                    c * sum(len(w) for w in g) for g, c in grams.items()
+                )
+            for k in dup_ns:
+                if len(words) < k:
+                    continue
+                gl = list(zip(*(words[j:] for j in range(k))))
+                gc = Counter(gl)
+                covered = np.zeros(len(words), dtype=bool)
+                for j, g in enumerate(gl):
+                    if gc[g] >= 2:
+                        covered[j : j + k] = True
+                out_i[f"dup{k}gram_chars"][i] = int(wlen[covered].sum())
+        for name, arr in out_i.items():
+            t = t.append_column(name, pa.array(arr))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nl = out_i["n_lines"].astype(np.float64)
+            t = t.append_column(
+                "dup_line_frac",
+                pa.array(np.where(nl > 0, 1.0 - out_i["n_uniq_lines"] / nl, 0.0)),
+            )
+            lch = out_i["line_chars"].astype(np.float64)
+            t = t.append_column(
+                "dup_line_char_frac",
+                pa.array(np.where(lch > 0, out_i["dup_line_chars"] / lch, 0.0)),
+            )
+            wch = out_i["word_chars"].astype(np.float64)
+            for kind, k in [("top", k) for k in top_ns] + [
+                ("dup", k) for k in dup_ns
+            ]:
+                t = t.append_column(
+                    f"{kind}{k}gram_frac",
+                    pa.array(
+                        np.where(wch > 0, out_i[f"{kind}{k}gram_chars"] / wch, 0.0)
+                    ),
+                )
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
