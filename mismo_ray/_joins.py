@@ -167,12 +167,25 @@ def hash_join(
         out_order = jk + list(lout.values())
     final_names = [on[jk.index(c)] if c in jk else c for c in out_order]
 
+    # expected per-side schemas: blocks that round-trip through pandas in
+    # the sort shuffle (empty partitions do) lose arrow types — an all-null
+    # string column comes back as type "null", which acero rejects as a join
+    # payload. Cast both sides back before joining.
+    lt_schema = pa.schema(
+        [pa.field(k, typ) for k, typ in zip(jk, key_types)]
+        + [pa.field(c, ltypes[c]) for c in lout.values()]
+    )
+    rt_schema = pa.schema(
+        [pa.field(k, typ) for k, typ in zip(jk, key_types)]
+        + [pa.field(c, rtypes[c]) for c in rout.values()]
+    )
+
     def join_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         side = t["__side__"]
-        lt = t.filter(pc.equal(side, 0)).select(lcols)
-        rt = t.filter(pc.equal(side, 1)).select(rcols)
+        lt = t.filter(pc.equal(side, 0)).select(lcols).cast(lt_schema)
+        rt = t.filter(pc.equal(side, 1)).select(rcols).cast(rt_schema)
         joined = lt.join(
             rt, keys=jk, right_keys=jk, join_type=arrow_how, use_threads=False
         )

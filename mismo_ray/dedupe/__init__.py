@@ -767,4 +767,8 @@ def embedding_neardup_pairs(
     return Linkage(left=ds, right=ds, links=links)
 
 
-from mismo_ray.dedupe._substring import substring_dup_stats  # noqa: E402
+from mismo_ray.dedupe._substring import (  # noqa: E402
+    strip_dup_spans,
+    substring_dup_spans,
+    substring_dup_stats,
+)

@@ -106,3 +106,59 @@ def test_substring_dup_stats_property(texts, window):
     # anchors adjacent to each other and to doc edges
     docs = dict(enumerate(texts))
     assert _run(docs, window=window) == _brute(docs, window)
+
+
+def test_spans_and_strip(ray_session):
+    from mismo_ray.dedupe import strip_dup_spans, substring_dup_spans
+
+    boiler = "shared boilerplate block that is exactly repeated in both docs yes"
+    docs = {
+        0: "unique head zero " + boiler + " unique tail zero",
+        1: "other start " + boiler + " other finish",
+        2: "totally unrelated text with nothing shared at all here",
+    }
+    t = pa.table(
+        {
+            "record_id": pa.array(list(docs.keys()), type=pa.int64()),
+            "text": pa.array(list(docs.values()), type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2).materialize()
+    spans = substring_dup_spans(ds, "text", window=30).materialize()
+    sp = spans.to_pandas().sort_values(["record_id", "span_start"])
+    # each boilerplate-carrying doc gets exactly one merged span, and the
+    # span's text must lie inside the boilerplate region
+    assert list(sp["record_id"]) == [0, 1]
+    for r in sp.itertuples():
+        seg = docs[int(r.record_id)][int(r.span_start) : int(r.span_end)]
+        assert seg in docs[0] and seg in docs[1]
+        assert boiler[5:-5] in seg  # covers the run (anchor offsets allowed)
+    cleaned = strip_dup_spans(ds, spans, "text").to_pandas()
+    cm = dict(zip(cleaned["record_id"], cleaned["text"]))
+    assert cm[2] == docs[2]  # untouched doc passes through
+    for rid in (0, 1):
+        assert boiler[5:-5] not in cm[rid]
+        assert "unique head zero" in cm[0] and "unique tail zero" in cm[0]
+
+
+def test_strip_preserves_schema_and_rows(ray_session):
+    from mismo_ray.dedupe import strip_dup_spans, substring_dup_spans
+
+    texts = ["aaa bbb ccc ddd eee fff ggg hhh iii jjj"] * 3 + ["solo text here"]
+    t = pa.table(
+        {
+            "record_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * 4, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).materialize()
+    spans = substring_dup_spans(ds, "text", window=10)
+    out = strip_dup_spans(ds, spans, "text", out_column="clean").to_pandas()
+    assert len(out) == 4
+    assert set(out.columns) == {"record_id", "text", "lang", "clean"}
+    # identical docs: everything from the first anchor (pos 4 — pos 0 has
+    # no preceding space so can't anchor) through the last window is
+    # stripped, leaving only the uncovered head/tail fragments
+    assert all(out[out.record_id < 3]["clean"] == "aaa j")
+    assert out[out.record_id == 3]["clean"].iloc[0] == "solo text here"
