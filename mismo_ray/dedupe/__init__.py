@@ -767,6 +767,10 @@ def embedding_neardup_pairs(
     return Linkage(left=ds, right=ds, links=links)
 
 
+from mismo_ray.dedupe._lines import (  # noqa: E402
+    drop_dup_lines,
+    dup_line_stats,
+)
 from mismo_ray.dedupe._substring import (  # noqa: E402
     strip_dup_spans,
     substring_dup_spans,

@@ -1,0 +1,251 @@
+"""Line-level exact dedup — C4/RefinedWeb-style boilerplate-line removal.
+
+Whole-document dedup misses the navigation bars, cookie banners and footer
+lines that repeat across a crawl; ``substring_dup_stats`` finds arbitrary
+duplicated runs but rewrites at character granularity. This module works at
+the natural web-text unit: the line (or any delimiter-separated segment).
+A line whose exact content occurs in >= ``min_docs`` distinct documents is
+flagged (``dup_line_stats``) or removed (``drop_dup_lines``), as in C4's
+repeated-lines filter (Raffel et al., JMLR 2020, §2.2) and RefinedWeb's
+line-wise corrections.
+
+Design (Ray-Data-first, same shape as ``_substring``):
+
+1. One ``map_batches`` splits each doc into lines with the vectorized Arrow
+   ``split_pattern`` kernel and emits one fixed-width row per line: two
+   seeded 64-bit content hashes (128 bits total — collisions negligible),
+   doc id, line index, line length. The line TEXT never leaves the batch.
+2. One groupby over a bucket of the line hash counts distinct docs per
+   hash at C speed and keeps duplicated lines.
+3. ``dup_line_stats``: one groupby over a doc-id bucket aggregates per-doc
+   counts. ``drop_dup_lines``: per-doc dropped-line indices are packed into
+   a compact string and hash-joined back to the documents, where one
+   vectorized split → mask → ``binary_join`` pass rewrites the text.
+
+At 100 TB both shuffles move only ~32 B per line; the full text crosses a
+shuffle once, in the unavoidable rewrite join of ``drop_dup_lines``.
+
+No reference analog: mismo's dedup surface is record-level (SURVEY §2.7);
+this is an LLM-training-data addition alongside MinHash/SimHash/substring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from mismo_ray._util import hash64
+
+_SEED1 = 0xA11CE
+_SEED2 = 0x0B0B5
+
+
+def _line_hits(
+    ds: ray.data.Dataset,
+    column: str,
+    id_column: str,
+    min_docs: int,
+    delimiter: str,
+    min_chars: int,
+    keep_first: bool,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    """(id, __idx__, __chars__, __dbkt__) of every line occurrence whose
+    exact content appears in >= min_docs distinct docs. With keep_first,
+    the occurrence at the smallest (doc id, line index) per distinct line
+    is exempted (the canonical copy survives)."""
+
+    def emit_lines(t: pa.Table) -> pa.Table:
+        texts = t[column].combine_chunks()
+        ids = np.asarray(t[id_column], dtype=np.int64)
+        lines = pc.split_pattern(texts, pattern=delimiter)
+        offsets = np.asarray(lines.offsets, dtype=np.int64)
+        flat = lines.values
+        counts = np.diff(offsets)
+        doc = np.repeat(ids, counts)
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offsets[:-1], counts
+        )
+        chars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        keep = chars >= min_chars
+        flat, doc, idx, chars = flat.filter(pa.array(keep)), doc[keep], idx[keep], chars[keep]
+        h1 = hash64(flat, seed=_SEED1).astype(np.int64)
+        h2 = hash64(flat, seed=_SEED2).astype(np.int64)
+        return pa.table(
+            {
+                "__h1__": pa.array(h1),
+                "__h2__": pa.array(h2),
+                id_column: pa.array(doc),
+                "__idx__": pa.array(idx),
+                "__chars__": pa.array(chars),
+                "__bkt__": pa.array(
+                    (h1.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+                "__dbkt__": pa.array(
+                    (doc.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def keep_duplicated(g: pd.DataFrame) -> pd.DataFrame:
+        key = pd.MultiIndex.from_arrays([g["__h1__"], g["__h2__"]])
+        docs_per = (
+            pd.DataFrame({"d": g[id_column].to_numpy()}, index=key)
+            .groupby(level=[0, 1])["d"]
+            .nunique()
+        )
+        dup = docs_per[docs_per >= min_docs].index
+        out = g[key.isin(dup)]
+        if keep_first and len(out):
+            out = out.sort_values(
+                ["__h1__", "__h2__", id_column, "__idx__"], kind="mergesort"
+            )
+            # first occurrence per distinct line is the canonical survivor
+            out = out[out.duplicated(["__h1__", "__h2__"], keep="first")]
+        return out[[id_column, "__idx__", "__chars__", "__dbkt__"]]
+
+    lines = ds.map_batches(emit_lines, batch_format="pyarrow")
+    return lines.groupby("__bkt__").map_groups(
+        lambda g: keep_duplicated(g.drop(columns=["__bkt__"])),
+        batch_format="pandas",
+    )
+
+
+def dup_line_stats(
+    ds: ray.data.Dataset,
+    column: str = "text",
+    *,
+    id_column: str = "record_id",
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> ray.data.Dataset:
+    """Per-document duplicated-line counts: one row per document owning at
+    least one line (>= ``min_chars`` chars) whose exact content occurs in
+    >= ``min_docs`` distinct documents — (id, n_dup_lines, dup_line_chars).
+    Intra-document repeats alone do not qualify (distinct-doc count)."""
+    from mismo_ray._joins import default_num_partitions
+
+    n_buckets = default_num_partitions()
+    hits = _line_hits(
+        ds, column, id_column, min_docs, delimiter, min_chars, False, n_buckets
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_column, sort=True).agg(
+            n_dup_lines=("__idx__", "size"), dup_line_chars=("__chars__", "sum")
+        )
+        return out.reset_index()
+
+    return hits.groupby("__dbkt__").map_groups(
+        lambda g: agg(g.drop(columns=["__dbkt__"])), batch_format="pandas"
+    )
+
+
+def drop_dup_lines(
+    ds: ray.data.Dataset,
+    column: str = "text",
+    *,
+    id_column: str = "record_id",
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    min_chars: int = 1,
+    keep_first: bool = False,
+    out_column: str | None = None,
+) -> ray.data.Dataset:
+    """Remove every line whose exact content occurs in >= ``min_docs``
+    distinct documents; remaining lines are rejoined with ``delimiter`` in
+    original order. ``keep_first=True`` exempts one canonical occurrence
+    (smallest doc id, then line index) per distinct line, C4-style. Docs
+    with no duplicated lines pass through byte-identical. Writes
+    ``out_column`` (default: replaces ``column``)."""
+    from mismo_ray._joins import default_num_partitions, hash_join
+
+    n_buckets = default_num_partitions()
+    out_column = out_column or column
+    hits = _line_hits(
+        ds, column, id_column, min_docs, delimiter, min_chars, keep_first, n_buckets
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        doc = np.asarray(t[id_column], dtype=np.int64)
+        idx = np.asarray(t["__idx__"], dtype=np.int64)
+        order = np.lexsort((idx, doc))
+        doc, idx = doc[order], idx[order]
+        if not len(doc):
+            return pa.table(
+                {
+                    id_column: pa.array([], type=pa.int64()),
+                    "__drop__": pa.array([], type=pa.string()),
+                }
+            )
+        boundary = np.ones(len(doc), dtype=bool)
+        boundary[1:] = doc[1:] != doc[:-1]
+        bounds = np.concatenate([np.nonzero(boundary)[0], [len(doc)]])
+        packed = [
+            ",".join(map(str, idx[i:j])) for i, j in zip(bounds[:-1], bounds[1:])
+        ]
+        return pa.table(
+            {
+                id_column: pa.array(doc[boundary]),
+                "__drop__": pa.array(packed, type=pa.string()),
+            }
+        )
+
+    packed = (
+        hits.map_batches(
+            lambda t: t.select([id_column, "__idx__", "__dbkt__"]),
+            batch_format="pyarrow",
+        )
+        .groupby("__dbkt__")
+        .map_groups(
+            lambda g: pack(g.drop_columns(["__dbkt__"])), batch_format="pyarrow"
+        )
+    )
+    joined = hash_join(
+        ds,
+        packed,
+        on=id_column,
+        how="left_outer",
+        left_schema=ds.schema().base_schema,
+        right_schema=pa.schema(
+            [pa.field(id_column, pa.int64()), pa.field("__drop__", pa.string())]
+        ),
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        texts = t[column].combine_chunks()
+        drop_col = t["__drop__"].to_pylist()
+        lines = pc.split_pattern(texts, pattern=delimiter)
+        offsets = np.asarray(lines.offsets, dtype=np.int64)
+        flat = lines.values
+        drop = np.zeros(len(flat), dtype=bool)
+        for i, packed_s in enumerate(drop_col):
+            if packed_s:
+                idxs = np.array(packed_s.split(","), dtype=np.int64)
+                drop[offsets[i] + idxs] = True
+        keep = ~drop
+        kept = flat.filter(pa.array(keep))
+        csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        new_offsets = csum[offsets]
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int32()), kept
+        )
+        joined_text = pc.binary_join(rebuilt, delimiter)
+        # null texts pass through as null (split_pattern maps null -> null,
+        # but rebuilt loses validity -> reapply the original null mask)
+        if texts.null_count:
+            joined_text = pc.if_else(texts.is_valid(), joined_text, None)
+        out_arr = pc.if_else(
+            pc.is_valid(t["__drop__"].combine_chunks()), joined_text, texts
+        )
+        t = t.drop_columns(["__drop__"])
+        idx2 = t.schema.get_field_index(out_column)
+        if idx2 == -1:
+            return t.append_column(out_column, out_arr)
+        return t.set_column(idx2, out_column, out_arr)
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")

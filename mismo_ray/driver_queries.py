@@ -1036,6 +1036,99 @@ def q_substring_dedupe(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_substring_spans(sf_dir: str):
+    """Merged duplicated-span intervals (dedupe.substring_dup_spans): one
+    row per maximal run of overlapping duplicated 40-char anchored windows,
+    0-indexed [span_start, span_end). Oracle merges the same by-VALUE window
+    hits with a gaps-and-islands window function."""
+    from mismo_ray.dedupe import substring_dup_spans
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+    out = substring_dup_spans(docs, "text", window=40, min_docs=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["record_id"],
+                "span_start": t["span_start"],
+                "span_end": t["span_end"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_substring_strip(sf_dir: str):
+    """End-to-end boilerplate removal (substring_dup_spans +
+    strip_dup_spans): duplicated spans cut out of the text, surviving
+    fragments stripped and re-joined with a single space; docs without
+    spans pass through byte-identical. Oracle reconstructs the fragments
+    with lag()-windowed substrings."""
+    from mismo_ray.dedupe import strip_dup_spans, substring_dup_spans
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+    spans = substring_dup_spans(docs, "text", window=40, min_docs=2)
+    out = strip_dup_spans(docs, spans, "text", out_column="text_clean")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["record_id"], "text_clean": t["text_clean"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _lined_documents(sf_dir: str):
+    """documents with deterministic line structure: the synthetic corpus is
+    single-line, so every occurrence of the word 'value' becomes a line
+    break (vectorized replace; the SQL oracle applies the identical
+    replace() — both scan left-to-right, non-overlapping)."""
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        lined = pc.replace_substring(
+            t["text"].combine_chunks(), pattern=" value ", replacement="\n"
+        )
+        return pa.table({"record_id": t["record_id"], "text": lined})
+
+    return docs.map_batches(to_lines, batch_format="pyarrow")
+
+
+def q_dup_line_stats(sf_dir: str):
+    """C4-style duplicated-line detection (dedupe.dup_line_stats) over the
+    derived lined corpus: lines whose exact content occurs in >= 2 distinct
+    docs, counted per doc."""
+    from mismo_ray.dedupe import dup_line_stats
+
+    out = dup_line_stats(_lined_documents(sf_dir), "text", min_docs=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["record_id"],
+                "n_dup_lines": t["n_dup_lines"],
+                "dup_line_chars": t["dup_line_chars"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_drop_dup_lines(sf_dir: str):
+    """C4-style duplicated-line removal (dedupe.drop_dup_lines) over the
+    derived lined corpus: every occurrence of a cross-doc duplicated line
+    dropped, remaining lines rejoined in order. Oracle anti-joins the
+    duplicated-line set and string_agg-reconstructs per doc."""
+    from mismo_ray.dedupe import drop_dup_lines
+
+    out = drop_dup_lines(
+        _lined_documents(sf_dir), "text", min_docs=2, out_column="text_clean"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["record_id"], "text_clean": t["text_clean"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_incremental_dedupe(sf_dir: str):
     """Two-run incremental exact dedupe through the sharded actor index
     (state.dedup_index): run 1 ingests even-id docs and snapshots; run 2
@@ -1168,6 +1261,10 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "substring_dedupe": q_substring_dedupe,
+    "substring_spans": q_substring_spans,
+    "substring_strip": q_substring_strip,
+    "dup_line_stats": q_dup_line_stats,
+    "drop_dup_lines": q_drop_dup_lines,
     "repetition_stats": q_repetition_stats,
     "flagship_er": q_flagship,
 }
@@ -1542,6 +1639,96 @@ ORACLE_SQL = {
         " CAST(count(*) AS BIGINT) AS n_dup_windows, "
         " CAST(sum(CASE WHEN prev IS NULL THEN 40 ELSE least(40, pos - prev) END) AS BIGINT) AS dup_chars "
         "FROM lagged GROUP BY doc_id"
+    ),
+    "substring_spans": (
+        # same anchored duplicated-window hits as substring_dedupe, merged
+        # to maximal intervals via gaps-and-islands: a new island starts
+        # when the gap to the previous hit exceeds the window length;
+        # output is 0-indexed [start, end) to match the operator
+        "WITH w AS (SELECT doc_id, g.i AS pos, "
+        " substring(text, CAST(g.i AS INT), 40) AS win "
+        " FROM documents, LATERAL (SELECT unnest(range(2, length(text) - 38)) AS i) AS g "
+        " WHERE text IS NOT NULL AND substring(text, CAST(g.i - 1 AS INT), 1) IN (' ', chr(10))), "
+        "dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2), "
+        "hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)), "
+        "lagged AS (SELECT doc_id, pos, "
+        " lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits), "
+        "isl AS (SELECT doc_id, pos, "
+        " sum(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END) "
+        "   OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagged) "
+        "SELECT doc_id, CAST(min(pos) - 1 AS BIGINT) AS span_start, "
+        " CAST(max(pos) + 39 AS BIGINT) AS span_end "
+        "FROM isl GROUP BY doc_id, island"
+    ),
+    "substring_strip": (
+        # fragment reconstruction: for each merged span, the text between
+        # the previous span's end and this span's start survives, plus the
+        # tail after the last span; fragments are whitespace-trimmed,
+        # empties dropped, and re-joined with ' '; docs with no spans pass
+        # through unchanged, docs fully covered become ''
+        "WITH w AS (SELECT doc_id, g.i AS pos, "
+        " substring(text, CAST(g.i AS INT), 40) AS win "
+        " FROM documents, LATERAL (SELECT unnest(range(2, length(text) - 38)) AS i) AS g "
+        " WHERE text IS NOT NULL AND substring(text, CAST(g.i - 1 AS INT), 1) IN (' ', chr(10))), "
+        "dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2), "
+        "hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)), "
+        "lagged AS (SELECT doc_id, pos, "
+        " lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits), "
+        "isl AS (SELECT doc_id, pos, "
+        " sum(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END) "
+        "   OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagged), "
+        "sp AS (SELECT doc_id, min(pos) - 1 AS s, max(pos) + 39 AS e "
+        " FROM isl GROUP BY doc_id, island), "
+        "o AS (SELECT doc_id, s, e, "
+        " coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev FROM sp), "
+        "frag AS ("
+        " SELECT o.doc_id, o.s AS ord, "
+        "  substring(d.text, CAST(o.prev + 1 AS INT), CAST(o.s - o.prev AS INT)) AS f "
+        " FROM o JOIN documents d USING (doc_id) WHERE o.s > o.prev "
+        " UNION ALL "
+        " SELECT q.doc_id, length(d.text) AS ord, "
+        "  substring(d.text, CAST(q.last_e + 1 AS INT)) AS f "
+        " FROM (SELECT doc_id, max(e) AS last_e FROM sp GROUP BY doc_id) q "
+        " JOIN documents d USING (doc_id) WHERE q.last_e < length(d.text)), "
+        "clean AS (SELECT doc_id, string_agg(tf, ' ' ORDER BY ord) AS txt FROM "
+        " (SELECT doc_id, ord, trim(f, ' ' || chr(10) || chr(9) || chr(13)) AS tf FROM frag) "
+        " WHERE tf <> '' GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        " CASE WHEN sd.doc_id IS NULL THEN d.text ELSE coalesce(c.txt, '') END AS text_clean "
+        "FROM documents d "
+        "LEFT JOIN (SELECT DISTINCT doc_id FROM sp) sd USING (doc_id) "
+        "LEFT JOIN clean c USING (doc_id)"
+    ),
+    "dup_line_stats": (
+        # derived lined corpus (replace ' value ' -> newline, identical
+        # left-to-right non-overlapping scan as the vectorized Arrow
+        # kernel); duplicated = exact line content in >= 2 distinct docs
+        "WITH t AS (SELECT doc_id, replace(text, ' value ', chr(10)) AS txt "
+        " FROM documents WHERE text IS NOT NULL), "
+        "ln AS (SELECT doc_id, i, string_split(txt, chr(10))[CAST(i AS INT)] AS line "
+        " FROM t, LATERAL (SELECT unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS i) AS r), "
+        "dup AS (SELECT line FROM ln WHERE length(line) >= 1 "
+        " GROUP BY line HAVING count(DISTINCT doc_id) >= 2), "
+        "hits AS (SELECT ln.doc_id, length(ln.line) AS c FROM ln JOIN dup USING (line)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_lines, "
+        " CAST(sum(c) AS BIGINT) AS dup_line_chars "
+        "FROM hits GROUP BY doc_id"
+    ),
+    "drop_dup_lines": (
+        # same duplicated-line set, removed from every doc; remaining lines
+        # re-joined in order (anti join + ordered string_agg); docs whose
+        # every line is duplicated become ''
+        "WITH t AS (SELECT doc_id, replace(text, ' value ', chr(10)) AS txt "
+        " FROM documents WHERE text IS NOT NULL), "
+        "ln AS (SELECT doc_id, i, string_split(txt, chr(10))[CAST(i AS INT)] AS line "
+        " FROM t, LATERAL (SELECT unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS i) AS r), "
+        "dup AS (SELECT line FROM ln WHERE length(line) >= 1 "
+        " GROUP BY line HAVING count(DISTINCT doc_id) >= 2), "
+        "kept AS (SELECT ln.doc_id, ln.i, ln.line FROM ln ANTI JOIN dup USING (line)), "
+        "clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt2 "
+        " FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(c.txt2, '') AS text_clean "
+        "FROM t LEFT JOIN clean c USING (doc_id)"
     ),
     # minhash_lsh_dedupe / simhash_pairs / lang_id / flagship_er:
     # hash-function / model-driven ops, not SQL-expressible -> rows-only check.

@@ -1,0 +1,95 @@
+"""Line-level exact dedup (dedupe._lines): stats, drop, keep_first."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _ds(docs: dict[int, str | None]):
+    t = pa.table(
+        {
+            "record_id": pa.array(list(docs.keys()), type=pa.int64()),
+            "text": pa.array(list(docs.values()), type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(2).materialize()
+
+
+DOCS = {
+    0: "unique alpha\ncookie banner accept all\nunique beta",
+    1: "other start\ncookie banner accept all\nother end\ncookie banner accept all",
+    2: "totally unrelated\nno shared lines",
+    3: None,
+    4: "",
+}
+
+
+def test_dup_line_stats(ray_session):
+    from mismo_ray.dedupe import dup_line_stats
+
+    out = (
+        dup_line_stats(_ds(DOCS), "text")
+        .to_pandas()
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["record_id"]) == [0, 1]
+    assert list(out["n_dup_lines"]) == [1, 2]
+    n = len("cookie banner accept all")
+    assert list(out["dup_line_chars"]) == [n, 2 * n]
+
+
+def test_drop_dup_lines(ray_session):
+    from mismo_ray.dedupe import drop_dup_lines
+
+    out = drop_dup_lines(_ds(DOCS), "text", out_column="clean").to_pandas()
+    cm = dict(zip(out["record_id"], out["clean"]))
+    assert cm[0] == "unique alpha\nunique beta"
+    assert cm[1] == "other start\nother end"
+    assert cm[2] == DOCS[2]  # untouched doc passes through byte-identical
+    assert cm[3] is None
+    assert cm[4] == ""
+    assert set(out.columns) == {"record_id", "text", "clean"}
+
+
+def test_drop_dup_lines_keep_first(ray_session):
+    from mismo_ray.dedupe import drop_dup_lines
+
+    out = drop_dup_lines(_ds(DOCS), "text", keep_first=True).to_pandas()
+    cm = dict(zip(out["record_id"], out["text"]))
+    # canonical copy (smallest doc id, then line index) survives; all other
+    # occurrences - including doc 1's second intra-doc repeat - are dropped
+    assert cm[0] == DOCS[0]
+    assert cm[1] == "other start\nother end"
+    assert cm[2] == DOCS[2]
+
+
+def test_intra_doc_repeats_do_not_qualify(ray_session):
+    from mismo_ray.dedupe import drop_dup_lines, dup_line_stats
+
+    docs = {0: "same line\nsame line\nsame line", 1: "different things here"}
+    assert dup_line_stats(_ds(docs), "text").count() == 0
+    out = drop_dup_lines(_ds(docs), "text").to_pandas()
+    assert dict(zip(out["record_id"], out["text"])) == docs
+
+
+def test_min_chars_and_delimiter(ray_session):
+    from mismo_ray.dedupe import drop_dup_lines
+
+    # "ab" is shared but below min_chars=3 -> survives; "longer shared" drops
+    docs = {0: "ab|longer shared|tail0", 1: "ab|longer shared|tail1"}
+    out = drop_dup_lines(
+        _ds(docs), "text", delimiter="|", min_chars=3
+    ).to_pandas()
+    cm = dict(zip(out["record_id"], out["text"]))
+    assert cm[0] == "ab|tail0" and cm[1] == "ab|tail1"
+
+
+def test_all_lines_dropped_gives_empty(ray_session):
+    from mismo_ray.dedupe import drop_dup_lines
+
+    docs = {0: "x y z\nq r s", 1: "x y z\nq r s", 2: "x y z"}
+    out = drop_dup_lines(_ds(docs), "text").to_pandas()
+    assert all(out["text"] == "")
