@@ -1129,6 +1129,49 @@ def q_drop_dup_lines(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_canonical_url(sf_dir: str):
+    """URL canonicalization (lib/url.py) over deterministically
+    synthesized crawl URLs (scheme/www/port/trailing-slash/tracking-param/
+    fragment variation keyed on doc_id — the SQL oracle builds the
+    identical strings with || and CASE): lowercase scheme+host, strip www.
+    and userinfo, drop default ports and fragments, rstrip path slashes,
+    drop utm_*/fbclid-style params, sort survivors."""
+    from mismo_ray.lib.url import add_canonical_url, add_url_parts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        lang = pd.Series(t["lang"].to_pylist(), dtype="object")
+        source = pd.Series(t["source"].to_pylist(), dtype="object")
+        scheme = pd.Series(np.array(["HTTP", "https", "HTTPS"])[did % 3])
+        www = pd.Series(np.where(did % 2 == 0, "WWW.", ""))
+        port = pd.Series(np.array([":80", ":443", ":8080", ""])[did % 4])
+        slash = pd.Series(np.where(did % 5 == 0, "/", ""))
+        q0 = "?utm_source=feed&b=" + pd.Series(did % 10).astype(str) + "&a=1&fbclid=x"
+        query = q0.where(did % 3 == 0, "?z=9&a=2").where(did % 3 != 2, "")
+        frag = pd.Series(np.where(did % 7 == 0, "#sec", ""))
+        url = (
+            scheme + "://" + www + source + ".Example.COM" + port
+            + "/" + lang + "/Doc/" + pd.Series(did).astype(str) + slash
+            + query + frag
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(url, type=pa.string()),
+            }
+        )
+
+    out = add_canonical_url(
+        add_url_parts(docs.map_batches(synth, batch_format="pyarrow"), "url"),
+        "url",
+    )
+    return out.select_columns(["doc_id", "url_host", "url_canon"])
+
+
 def q_incremental_dedupe(sf_dir: str):
     """Two-run incremental exact dedupe through the sharded actor index
     (state.dedup_index): run 1 ingests even-id docs and snapshots; run 2
@@ -1265,6 +1308,7 @@ QUERIES = {
     "substring_strip": q_substring_strip,
     "dup_line_stats": q_dup_line_stats,
     "drop_dup_lines": q_drop_dup_lines,
+    "canonical_url": q_canonical_url,
     "repetition_stats": q_repetition_stats,
     "flagship_er": q_flagship,
 }
@@ -1729,6 +1773,45 @@ ORACLE_SQL = {
         " FROM kept GROUP BY doc_id) "
         "SELECT t.doc_id, coalesce(c.txt2, '') AS text_clean "
         "FROM t LEFT JOIN clean c USING (doc_id)"
+    ),
+    "canonical_url": (
+        # identical deterministic URL synthesis (CASE on doc_id), then the
+        # canonicalization rules of lib/url.py re-expressed in SQL:
+        # regexp component split, www/userinfo strip, default-port drop,
+        # trailing-slash rstrip, tracking-param filter + bytewise sort
+        "WITH u AS (SELECT doc_id, "
+        " CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END "
+        " || '://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END "
+        " || source || '.Example.COM' "
+        " || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END "
+        " || '/' || lang || '/Doc/' || CAST(doc_id AS VARCHAR) "
+        " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END "
+        " || CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&b=' || CAST(doc_id % 10 AS VARCHAR) || '&a=1&fbclid=x' "
+        "    WHEN 1 THEN '?z=9&a=2' ELSE '' END "
+        " || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url "
+        " FROM documents), "
+        "p AS (SELECT doc_id, url, "
+        " lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+        " regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1) AS auth, "
+        " regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path, "
+        " regexp_extract(url, '\\?([^#]*)', 1) AS qs FROM u), "
+        "h AS (SELECT doc_id, scheme, path, qs, "
+        " lower(regexp_extract(list_extract(string_split(auth, '@'), len(string_split(auth, '@'))), '^(.*?)(?::[0-9]+)?$', 1)) AS host, "
+        " regexp_extract(list_extract(string_split(auth, '@'), len(string_split(auth, '@'))), ':([0-9]+)$', 1) AS port FROM p), "
+        "c AS (SELECT doc_id, host AS url_host, scheme, "
+        " regexp_replace(host, '^www\\.', '') AS host2, port, "
+        " (port <> '' AND NOT (scheme = 'http' AND port = '80') "
+        "  AND NOT (scheme = 'https' AND port = '443')) AS keep_port, "
+        " CASE WHEN rtrim(path, '/') = '' THEN '/' ELSE rtrim(path, '/') END AS path2, "
+        " list_sort(list_filter(string_split(qs, '&'), x -> x <> '' "
+        "  AND NOT starts_with(x, 'utm_') "
+        "  AND NOT list_contains(['fbclid','gclid','msclkid','ref','ref_src','igshid','mc_cid','mc_eid'], "
+        "   list_extract(string_split(x, '='), 1)))) AS params FROM h) "
+        "SELECT doc_id, url_host, "
+        " scheme || '://' || host2 "
+        " || CASE WHEN keep_port THEN ':' || port ELSE '' END || path2 "
+        " || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS url_canon "
+        "FROM c"
     ),
     # minhash_lsh_dedupe / simhash_pairs / lang_id / flagship_er:
     # hash-function / model-driven ops, not SQL-expressible -> rows-only check.

@@ -1,0 +1,141 @@
+"""URL parsing + canonicalization for Common-Crawl-style web tables.
+
+No reference analog (mismo's lib/ covers email/phone/name/address/geo —
+see SURVEY §2.2); URLs are this graft's payload axis: the canonical URL is
+the natural exact-dedup and blocking key for a crawl (one groupby over
+``url_canon`` or ``host``), the same role the cleaned email/phone play in
+the reference's person-record pipelines.
+
+Everything is vectorized: one compiled regex per batch via pandas
+``str.extract`` (C-speed loop), explode → filter → sort → rejoin for the
+query-param canonicalization. No per-row Python in the hot path.
+
+Canonicalization rules (applied by ``canonical_url_batch``):
+
+- scheme and host lowercased; leading ``www.`` dropped from the host;
+  ``user:pass@`` userinfo dropped;
+- default ports dropped (``:80`` for http, ``:443`` for https — a
+  non-default port, even ``:80`` on https, is kept);
+- empty path becomes ``/``; trailing slashes stripped (but ``/`` stays);
+- fragment dropped;
+- tracking query params dropped (names starting ``utm_`` or in
+  ``TRACKING_PARAMS``), survivors sorted bytewise and rejoined; an empty
+  survivor set drops the ``?`` entirely;
+- inputs that do not look like ``scheme://authority...`` canonicalize to
+  null.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_URL_PATTERN = (
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+_HOSTPORT_PATTERN = r"^(.*?)(?::(\d+))?$"
+
+TRACKING_PARAMS = frozenset(
+    {"fbclid", "gclid", "msclkid", "ref", "ref_src", "igshid", "mc_cid", "mc_eid"}
+)
+TRACKING_PREFIX = "utm_"
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def parse_url_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Split a string array of URLs into (scheme, host, port, path, query,
+    fragment) columns; non-URL rows are all-null. Host is lowercased with
+    userinfo removed; everything else is byte-preserved."""
+    s = arr.to_pandas().astype("object")
+    parts = pd.Series(s).str.extract(_URL_PATTERN)
+    parts.columns = ["scheme", "authority", "path", "query", "fragment"]
+    # strip userinfo, then split host:port
+    hostport = parts["authority"].str.split("@").str[-1]
+    hp = hostport.str.extract(_HOSTPORT_PATTERN)
+    host = hp[0].str.lower()
+    return pa.table(
+        {
+            "scheme": pa.array(parts["scheme"].str.lower(), type=pa.string()),
+            "host": pa.array(host, type=pa.string()),
+            "port": pa.array(hp[1], type=pa.string()),
+            "path": pa.array(parts["path"], type=pa.string()),
+            "query": pa.array(parts["query"], type=pa.string()),
+            "fragment": pa.array(parts["fragment"], type=pa.string()),
+        }
+    )
+
+
+def _canonical_query(query: pd.Series) -> pd.Series:
+    """Drop tracking params, sort survivors bytewise, rejoin with '&'.
+    Null/empty input -> null output; all-params-dropped -> null too."""
+    idx = np.arange(len(query))
+    df = pd.DataFrame({"i": idx, "q": query.to_numpy()})
+    df = df[df["q"].notna() & (df["q"] != "")]
+    if not len(df):
+        return pd.Series([None] * len(query), dtype="object")
+    ex = df.assign(p=df["q"].str.split("&")).explode("p")
+    ex = ex[ex["p"] != ""]
+    name = ex["p"].str.split("=").str[0]
+    keep = ~(name.str.startswith(TRACKING_PREFIX) | name.isin(TRACKING_PARAMS))
+    ex = ex[keep]
+    agg = ex.sort_values(["i", "p"], kind="mergesort").groupby("i")["p"].agg("&".join)
+    out = pd.Series([None] * len(query), dtype="object")
+    out.iloc[agg.index.to_numpy()] = agg.to_numpy()
+    return out
+
+
+def canonical_url_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical form of a string array of URLs (rules in module
+    docstring); rows that don't parse canonicalize to null."""
+    parts = parse_url_batch(arr)
+    scheme = parts["scheme"].to_pandas()
+    host = parts["host"].to_pandas().str.replace(r"^www\.", "", regex=True)
+    port = parts["port"].to_pandas()
+    path = parts["path"].to_pandas()
+    q = _canonical_query(parts["query"].to_pandas())
+
+    default = scheme.map(_DEFAULT_PORTS)
+    keep_port = port.notna() & (port != default)
+    path2 = path.fillna("").str.rstrip("/")
+    path2 = path2.where(path2 != "", "/")
+
+    out = (
+        scheme
+        + "://"
+        + host
+        + np.where(keep_port, ":" + port.fillna(""), "")
+        + path2
+        + np.where(q.notna(), "?" + q.fillna(""), "")
+    )
+    out = out.where(scheme.notna() & host.notna() & (host != ""), None)
+    return pa.array(out, type=pa.string())
+
+
+def add_url_parts(
+    ds: ray.data.Dataset, column: str = "url", *, prefix: str = "url_"
+) -> ray.data.Dataset:
+    """Add ``{prefix}scheme/host/port/path/query/fragment`` columns
+    (vectorized map_batches; see parse_url_batch)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = parse_url_batch(t[column].combine_chunks())
+        for name in parts.column_names:
+            t = t.append_column(f"{prefix}{name}", parts[name])
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_canonical_url(
+    ds: ray.data.Dataset, column: str = "url", *, out_column: str = "url_canon"
+) -> ray.data.Dataset:
+    """Add the canonical URL column (see canonical_url_batch)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out_column, canonical_url_batch(t[column].combine_chunks())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

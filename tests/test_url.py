@@ -1,0 +1,79 @@
+"""URL parsing + canonicalization (lib/url.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from mismo_ray.lib.url import canonical_url_batch, parse_url_batch
+
+
+def _canon(urls):
+    return canonical_url_batch(pa.array(urls, type=pa.string())).to_pylist()
+
+
+def test_canonical_rules():
+    assert _canon(["HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"]) == [
+        "http://example.com/a/b?a=1&b=2"
+    ]
+    assert _canon(["https://example.com:443/"]) == ["https://example.com/"]
+    # non-default port is kept, even :80 on https
+    assert _canon(["https://example.com:80/path"]) == ["https://example.com:80/path"]
+    # userinfo dropped, path case preserved, params sorted
+    assert _canon(["http://user:pw@Sub.Site.org:8080/P/Q?z=9&fbclid=abc&a=2"]) == [
+        "http://sub.site.org:8080/P/Q?a=2&z=9"
+    ]
+    # empty path -> /, all-tracking query dropped entirely
+    assert _canon(["https://example.com", "https://example.com/?utm_a=1&utm_b=2"]) == [
+        "https://example.com/",
+        "https://example.com/",
+    ]
+    # unknown scheme: no default port to drop
+    assert _canon(["ftp://files.example.com/x/"]) == ["ftp://files.example.com/x"]
+    assert _canon(["https://example.com/a//"]) == ["https://example.com/a"]
+    # empty params dropped, duplicates kept and sorted
+    assert _canon(["https://example.com/?a=1&&a=0"]) == [
+        "https://example.com/?a=0&a=1"
+    ]
+    assert _canon(["not a url", None]) == [None, None]
+
+
+def test_parse_url_batch():
+    t = parse_url_batch(
+        pa.array(
+            [
+                "https://User@WWW.Ex.COM:8443/p/q?a=1#top",
+                "nope",
+                None,
+            ]
+        )
+    )
+    d = t.to_pydict()
+    assert d["scheme"] == ["https", None, None]
+    assert d["host"] == ["www.ex.com", None, None]
+    assert d["port"] == ["8443", None, None]
+    assert d["path"] == ["/p/q", None, None]
+    assert d["query"] == ["a=1", None, None]
+    assert d["fragment"] == ["top", None, None]
+
+
+def test_add_canonical_url_dataset(ray_session):
+    from mismo_ray.lib.url import add_canonical_url, add_url_parts
+
+    t = pa.table(
+        {
+            "record_id": pa.array([0, 1], type=pa.int64()),
+            "url": pa.array(
+                ["HTTPS://WWW.A.com/x/?b=2&a=1", "http://b.org:80/y"],
+                type=pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).materialize()
+    out = add_canonical_url(add_url_parts(ds), "url").to_pandas()
+    assert list(out["url_canon"]) == [
+        "https://a.com/x?a=1&b=2",
+        "http://b.org/y",
+    ]
+    assert list(out["url_host"]) == ["www.a.com", "b.org"]
