@@ -1172,6 +1172,50 @@ def q_canonical_url(sf_dir: str):
     return out.select_columns(["doc_id", "url_host", "url_canon"])
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction (textstats.redact_pii) over deterministically
+    PII-salted text (emails / IPv4s / phone runs appended keyed on doc_id;
+    the SQL oracle builds identical strings and applies the same three
+    RE2-compatible patterns in the same order via regexp_replace 'g')."""
+    from mismo_ray.textstats import redact_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        txt = pd.Series(t["text"].to_pylist(), dtype="object")
+        ds_ = pd.Series(did).astype(str)
+        email = (" contact user" + ds_ + "@mail" + pd.Series(did % 5).astype(str) + ".com").where(
+            did % 3 != 2, ""
+        )
+        ip = (
+            " from "
+            + pd.Series(did % 200).astype(str)
+            + "."
+            + pd.Series(did % 250).astype(str)
+            + "."
+            + pd.Series(did % 220).astype(str)
+            + "."
+            + pd.Series(did % 100).astype(str)
+        ).where(did % 4 != 3, "")
+        phone = (" tel +1 (555) 01" + pd.Series(did % 10).astype(str) + "-0" + ds_).where(
+            did % 5 != 4, ""
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(txt + email + ip + phone, type=pa.string()),
+            }
+        )
+
+    out = redact_pii(docs.map_batches(salt, batch_format="pyarrow"), "text")
+    return out.select_columns(
+        ["doc_id", "text_redacted", "n_emails", "n_ips", "n_phones"]
+    )
+
+
 def q_incremental_dedupe(sf_dir: str):
     """Two-run incremental exact dedupe through the sharded actor index
     (state.dedup_index): run 1 ingests even-id docs and snapshots; run 2
@@ -1309,6 +1353,7 @@ QUERIES = {
     "dup_line_stats": q_dup_line_stats,
     "drop_dup_lines": q_drop_dup_lines,
     "canonical_url": q_canonical_url,
+    "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
     "flagship_er": q_flagship,
 }
@@ -1812,6 +1857,31 @@ ORACLE_SQL = {
         " || CASE WHEN keep_port THEN ':' || port ELSE '' END || path2 "
         " || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS url_canon "
         "FROM c"
+    ),
+    "redact_pii": (
+        # identical PII salting (CASE on doc_id), then the same three
+        # patterns applied in the same order (email -> IP -> phone), each
+        # counted on the text as it stands BEFORE its own replacement
+        "WITH s AS (SELECT doc_id, text "
+        " || CASE WHEN doc_id % 3 <> 2 THEN ' contact user' || CAST(doc_id AS VARCHAR) "
+        "    || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END "
+        " || CASE WHEN doc_id % 4 <> 3 THEN ' from ' || CAST(doc_id % 200 AS VARCHAR) "
+        "    || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 220 AS VARCHAR) "
+        "    || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END "
+        " || CASE WHEN doc_id % 5 <> 4 THEN ' tel +1 (555) 01' || CAST(doc_id % 10 AS VARCHAR) "
+        "    || '-0' || CAST(doc_id AS VARCHAR) ELSE '' END AS t "
+        " FROM documents), "
+        "e AS (SELECT doc_id, "
+        " len(regexp_extract_all(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+        " regexp_replace(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM s), "
+        "i AS (SELECT doc_id, n_emails, "
+        " len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips, "
+        " regexp_replace(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t FROM e), "
+        "p AS (SELECT doc_id, n_emails, n_ips, "
+        " len(regexp_extract_all(t, '\\+?[0-9][0-9()\\-. ]{6,}[0-9]')) AS n_phones, "
+        " regexp_replace(t, '\\+?[0-9][0-9()\\-. ]{6,}[0-9]', '<PHONE>', 'g') AS t FROM i) "
+        "SELECT doc_id, t AS text_redacted, CAST(n_emails AS BIGINT) AS n_emails, "
+        " CAST(n_ips AS BIGINT) AS n_ips, CAST(n_phones AS BIGINT) AS n_phones FROM p"
     ),
     # minhash_lsh_dedupe / simhash_pairs / lang_id / flagship_er:
     # hash-function / model-driven ops, not SQL-expressible -> rows-only check.

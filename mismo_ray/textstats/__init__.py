@@ -345,3 +345,9 @@ def add_repetition_stats(
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+from mismo_ray.textstats._pii import (  # noqa: E402
+    redact_pii,
+    redact_pii_batch,
+)
