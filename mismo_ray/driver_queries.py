@@ -1216,6 +1216,47 @@ def q_redact_pii(sf_dir: str):
     )
 
 
+def q_media_features(sf_dir: str):
+    """Real-codec multimodal path (multimodal/codecs.py + actor-pool
+    featurizer): deterministic 8x8 PPM payloads synthesized per doc_id,
+    decoded by the pure-numpy netpbm parser inside the ImageFeaturizer
+    actor pool, channel/luminance features returned as 1e6-scaled ints.
+    Rows-only (binary payload construction is not SQL-expressible)."""
+    from mismo_ray.multimodal import featurize_images
+    from mismo_ray.multimodal.codecs import decode_ppm, encode_ppm
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        payloads = []
+        for did in ids:
+            rng = np.random.default_rng(int(did) + 1)
+            payloads.append(
+                encode_ppm(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    feats = featurize_images(media, decoder=decode_ppm, concurrency=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = np.array(t["image_features"].to_pylist(), dtype=np.float64).reshape(
+            len(t), -1
+        )
+        out = {"doc_id": t["doc_id"]}
+        for j in range(f.shape[1]):
+            out[f"f{j}"] = _e6(f[:, j])
+        return pa.table(out)
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
 def q_incremental_dedupe(sf_dir: str):
     """Two-run incremental exact dedupe through the sharded actor index
     (state.dedup_index): run 1 ingests even-id docs and snapshots; run 2
@@ -1354,6 +1395,7 @@ QUERIES = {
     "drop_dup_lines": q_drop_dup_lines,
     "canonical_url": q_canonical_url,
     "redact_pii": q_redact_pii,
+    "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
     "flagship_er": q_flagship,
 }

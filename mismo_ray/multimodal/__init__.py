@@ -2,11 +2,14 @@
 typed metadata, processed by actor-pool map_batches stages.
 
 Not in the reference (mismo is text/tabular only); part of the 100 TB
-training-data surface (task brief). The decode kernels themselves need
-image/audio libraries that are NOT in this container, so the decoders are
-STUBS behind ``decoder=`` hooks (a deterministic fake is provided for tests);
-everything Ray-side — schema, batch sizing, actor signature, output layout —
-is real and tested.
+training-data surface (task brief). Uncompressed formats decode for REAL:
+``codecs.decode_ppm`` / ``decode_wav`` (pure-numpy netpbm P5/P6 and
+RIFF/WAVE PCM parsers, round-trip tested) plug straight into the
+``decoder=`` hooks, so the image/audio stages run end-to-end on real
+payloads. Compressed codecs (JPEG/PNG/MP3/H.264) need libraries NOT in
+this container and remain STUBS behind the same hooks (a deterministic
+fake is provided for tests); everything Ray-side — schema, batch sizing,
+actor signature, output layout — is real and tested either way.
 
 Layout convention: a media table is
     (record_id:int64, payload:binary, media_type:string, meta:struct/json)
