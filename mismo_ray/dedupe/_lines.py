@@ -161,7 +161,11 @@ def drop_dup_lines(
     original order. ``keep_first=True`` exempts one canonical occurrence
     (smallest doc id, then line index) per distinct line, C4-style. Docs
     with no duplicated lines pass through byte-identical. Writes
-    ``out_column`` (default: replaces ``column``)."""
+    ``out_column`` (default: replaces ``column``).
+
+    ``ds`` is consumed TWICE (the line-hits pass and the rewrite join's
+    document side): pass a materialized / checkpointed dataset, or an
+    expensive lazy upstream will execute twice."""
     from mismo_ray._joins import default_num_partitions, hash_join
 
     n_buckets = default_num_partitions()

@@ -293,6 +293,10 @@ def strip_dup_spans(
     hash join — the full text crosses the join shuffle once, which is
     unavoidable for a rewrite; run this only on the (usually small) subset
     of docs that need cleaning if the spans table is sparse.
+
+    If ``spans`` was derived lazily from this same ``ds``, the shared
+    upstream executes once per consumer — materialize ``ds`` (or the spans)
+    first when the upstream is expensive.
     """
     from mismo_ray._joins import default_num_partitions, hash_join
 

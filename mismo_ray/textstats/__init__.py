@@ -119,27 +119,41 @@ def add_fingerprint(
 
 def add_token_stats(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
     """n_chars / n_tokens / n_uniq_tokens / avg_token_len / stopword_ratio
-    (english list) per row — the quality-scoring basics."""
+    (english list) per row — the quality-scoring basics.
+
+    Vectorized (pandas split + explode + bincount; no per-row Python).
+    Ratios are bit-identical to the scalar definition: integer counts are
+    summed exactly (< 2^53) and divided once."""
+    import pandas as pd
+
+    stop_list = list(STOPWORDS_EN)
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[column].to_pylist()
-        n_chars = np.zeros(len(texts), dtype=np.int64)
-        n_tokens = np.zeros(len(texts), dtype=np.int64)
-        n_uniq = np.zeros(len(texts), dtype=np.int64)
-        avg_len = np.zeros(len(texts), dtype=np.float64)
-        stop_ratio = np.zeros(len(texts), dtype=np.float64)
-        for i, s in enumerate(texts):
-            if s is None:
-                continue
-            toks = s.split()
-            n_chars[i] = len(s)
-            n_tokens[i] = len(toks)
-            n_uniq[i] = len(set(toks))
-            if toks:
-                avg_len[i] = sum(len(x) for x in toks) / len(toks)
-                stop_ratio[i] = sum(
-                    1 for x in toks if x.lower() in STOPWORDS_EN
-                ) / len(toks)
+        n = len(t)
+        texts = pd.Series(t[column].to_pylist(), dtype="object")
+        n_chars = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+        toks = texts.str.split()
+        n_tokens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        rows = ex.index.to_numpy(dtype=np.int64)
+        tok_lens = ex.str.len().to_numpy(dtype=np.int64)
+        sum_len = np.bincount(rows, weights=tok_lens, minlength=n)
+        uniq = (
+            pd.DataFrame({"r": rows, "t": ex.to_numpy()})
+            .drop_duplicates()
+            .groupby("r")
+            .size()
+        )
+        n_uniq = np.zeros(n, dtype=np.int64)
+        if len(uniq):
+            n_uniq[uniq.index.to_numpy()] = uniq.to_numpy()
+        stop_mask = ex.str.lower().isin(stop_list).to_numpy()
+        n_stop = np.bincount(rows[stop_mask], minlength=n)
+        denom = np.maximum(n_tokens, 1).astype(np.float64)
+        has = n_tokens > 0
+        avg_len = np.where(has, sum_len / denom, 0.0)
+        stop_ratio = np.where(has, n_stop / denom, 0.0)
         t = t.append_column("n_chars", pa.array(n_chars))
         t = t.append_column("n_tokens", pa.array(n_tokens))
         t = t.append_column("n_uniq_tokens", pa.array(n_uniq))
@@ -173,14 +187,81 @@ class LangId:
                 best_lang, best_score = lang, score
         return best_lang, best_score
 
+    def _classify_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized classify over an object Series; element-identical to
+        per-row ``classify`` (same tie-breaks: strict > over dict order,
+        integer-count ratios divided once)."""
+        import pandas as pd
+
+        n = len(texts)
+        langs = np.full(n, "und", dtype=object)
+        scores = np.zeros(n, dtype=np.float64)
+        filled = texts.fillna("")
+
+        # --- script detection over the first 400 chars, one codepoint pass
+        head = filled.str.slice(0, 400)
+        lens = head.str.len().to_numpy(dtype=np.int64)
+        cp = np.frombuffer(
+            "".join(head.tolist()).encode("utf-32-le"), dtype=np.uint32
+        )
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        lower = cp | np.uint32(0x20)
+        is_letter = (cp >= 0x80) | ((lower >= 0x61) & (lower <= 0x7A))
+        n_letters = np.bincount(rows[is_letter], minlength=n).astype(np.int64)
+        counts = np.zeros((len(_SCRIPT_RANGES), n), dtype=np.int64)
+        for k, (_lang, lo, hi) in enumerate(_SCRIPT_RANGES):
+            m = (cp >= lo) & (cp <= hi)
+            counts[k] = np.bincount(rows[m], minlength=n)
+        script_names = np.array([lang for lang, _, _ in _SCRIPT_RANGES])
+        ja_row = next(
+            k for k, (lang, _, _) in enumerate(_SCRIPT_RANGES) if lang == "ja"
+        )
+        letters = np.maximum(n_letters, 1).astype(np.float64)
+        fracs = counts / letters
+        best_k = counts.argmax(axis=0)  # first max wins, = dict-order tiebreak
+        best_frac = fracs[best_k, np.arange(n)]
+        ja_hit = (n_letters > 0) & (fracs[ja_row] >= 0.05)
+        range_hit = (n_letters > 0) & ~ja_hit & (best_frac >= 0.2)
+        langs[ja_hit] = "ja"
+        scores[ja_hit] = fracs[ja_row][ja_hit]
+        langs[range_hit] = script_names[best_k[range_hit]]
+        scores[range_hit] = best_frac[range_hit]
+
+        # --- marker-token scoring for the still-undecided rows
+        todo = ~(ja_hit | range_hit) & (filled != "").to_numpy()
+        if todo.any():
+            idx = np.nonzero(todo)[0]
+            toks = filled.iloc[idx].str.lower().str.split().reset_index(drop=True)
+            tok_counts = toks.str.len().to_numpy(dtype=np.int64)
+            ex = toks.explode()
+            ex = ex[ex.notna()]
+            erows = ex.index.to_numpy(dtype=np.int64)
+            m = len(idx)
+            lang_names = list(self.markers)
+            mat = np.zeros((len(lang_names), m), dtype=np.int64)
+            for k, lang in enumerate(lang_names):
+                hit = ex.isin(self.markers[lang]).to_numpy()
+                mat[k] = np.bincount(erows[hit], minlength=m)
+            denom = np.maximum(tok_counts, 1).astype(np.float64)
+            sc = mat / denom
+            bk = sc.argmax(axis=0)
+            bs = sc[bk, np.arange(m)]
+            decided = (bs > 0) & (tok_counts > 0)
+            sub_langs = np.full(m, "und", dtype=object)
+            sub_langs[decided] = np.array(lang_names, dtype=object)[bk[decided]]
+            langs[idx] = sub_langs
+            scores[idx] = np.where(decided, bs, 0.0)
+        return langs, scores
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         col = "text" if "text" in batch.column_names else batch.column_names[0]
-        langs, scores = [], []
-        for s in batch[col].to_pylist():
-            lang, score = self.classify(s)
-            langs.append(lang)
-            scores.append(score)
-        batch = batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        texts = pd.Series(batch[col].to_pylist(), dtype="object")
+        langs, scores = self._classify_batch(texts)
+        batch = batch.append_column(
+            "lang_pred", pa.array(langs, type=pa.string())
+        )
         return batch.append_column("lang_score", pa.array(scores, type=pa.float64()))
 
 

@@ -8,6 +8,7 @@ import math
 import duckdb
 import pyarrow as pa
 import pytest
+import ray.data
 
 from mismo_ray import text
 
@@ -259,3 +260,69 @@ def test_lang_id_real_snippets(ray_session):
         assert score > 0
     assert clf.classify(None) == ("und", 0.0)
     assert clf.classify("zzz qqq xxx")[0] == "und"
+
+
+def test_lang_id_batch_parity():
+    """Vectorized _classify_batch must be element-identical to per-row
+    classify (same tie-breaks, same scores) over adversarial inputs."""
+    import pandas as pd
+
+    from mismo_ray.textstats import LangId
+
+    clf = LangId()
+    texts = [
+        None,
+        "",
+        "   ",
+        "the cat and the dog are in the house",
+        "der Hund und die Katze sind im Haus",
+        "zzz qqq xxx",
+        "123 456 789",
+        "敏捷的棕色狐狸跳过了懒狗",
+        "素早い茶色のキツネ",
+        "быстрая лиса",
+        "mixed 敏捷 latin 狐狸 text here",
+        "de la le el",  # marker-tie bait across languages
+        "a" * 500,  # longer than the 400-char script sample
+        "の",  # single kana: ja via the 5% kana rule
+        "la " * 50,
+        "THE AND OF",  # uppercase markers (lowercased before matching)
+        "e o a",  # it/pt tie bait
+        "!@# $%^ &*(",
+    ]
+    langs, scores = clf._classify_batch(pd.Series(texts, dtype="object"))
+    for i, s in enumerate(texts):
+        want = clf.classify(s)
+        assert (langs[i], scores[i]) == want, (i, s, langs[i], scores[i], want)
+
+
+def test_token_stats_parity(ray_session):
+    """Vectorized add_token_stats == the scalar definition, bit-identical."""
+    from mismo_ray.textstats import STOPWORDS_EN, add_token_stats
+
+    texts = [
+        None,
+        "",
+        "   ",
+        "the cat and the cat",
+        "one",
+        "a  b\tc\nd a",
+        "The THE the",
+        "longword " * 7,
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"i": list(range(len(texts))), "text": pa.array(texts, type=pa.string())})
+    )
+    got = add_token_stats(ds, "text").to_pandas().sort_values("i").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        toks = s.split() if s else []
+        assert got.n_chars[i] == (len(s) if s is not None else 0)
+        assert got.n_tokens[i] == len(toks)
+        assert got.n_uniq_tokens[i] == len(set(toks))
+        if toks:
+            assert got.avg_token_len[i] == sum(len(x) for x in toks) / len(toks)
+            assert got.stopword_ratio[i] == sum(
+                1 for x in toks if x.lower() in STOPWORDS_EN
+            ) / len(toks)
+        else:
+            assert got.avg_token_len[i] == 0.0 and got.stopword_ratio[i] == 0.0
