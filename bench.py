@@ -78,6 +78,13 @@ def run_bench() -> dict:
     with timed("scaled_er"):
         scaled = scaling_pipeline(sf_dir, multiplier=100)
 
+    # ---- webtext cleaning chain (canonical URL -> PII redact -> lang-ID ->
+    # quality gate -> C4 line dedup -> exact dedupe) over an amplified corpus
+    from mismo_ray.pipelines._crawl import crawl_clean_pipeline
+
+    with timed("crawl_clean"):
+        crawl = crawl_clean_pipeline(sf_dir, multiplier=60)
+
     # ---- representative operator benchmarks
     from mismo_ray import driver_queries as dq
 
@@ -146,6 +153,8 @@ def run_bench() -> dict:
         "pairs_scored_per_sec": round(n_pairs / headline, 1) if headline else None,
         "pair_count_300k_pairs": n_pairs_300k,
         "scaled_er": scaled,
+        "crawl_clean": crawl,
+        "crawl_docs_per_sec": round(crawl["n_records"] / crawl["seconds"]),
         "scaled_pages_per_sec": round(
             scaled["n_source_docs"] * scaled["multiplier"] * 1.46 / scaled["seconds"]
         ),

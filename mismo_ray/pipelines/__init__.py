@@ -1,3 +1,4 @@
+from mismo_ray.pipelines._crawl import crawl_clean, crawl_clean_pipeline, synth_crawl
 from mismo_ray.pipelines._febrl import febrl_comparers, febrl_match_pairs
 from mismo_ray.pipelines._rldata import rldata_match_pairs
 from mismo_ray.pipelines._webpages import (
@@ -13,6 +14,9 @@ from mismo_ray.pipelines._webpages import (
 )
 
 __all__ = [
+    "crawl_clean",
+    "crawl_clean_pipeline",
+    "synth_crawl",
     "febrl_comparers",
     "febrl_match_pairs",
     "rldata_match_pairs",

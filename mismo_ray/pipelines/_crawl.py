@@ -1,0 +1,148 @@
+"""Crawl-cleaning pipeline: the webtext pre-training data path, end to end
+as ONE streaming chain — the companion benchmark to the ER flagship.
+
+    synth(multiplier-amplified corpus, URL + PII + line structure)
+    -> canonical URL (regex parse + param canonicalization)
+    -> PII redaction (email/IP/phone -> typed tokens)
+    -> language ID (actor pool) + token/quality stats
+    -> quality gate (vectorized filter)
+    -> C4-style duplicated-line removal (hits shuffle ~32 B/line, one
+       full-text rewrite join)
+    -> exact dedupe of the cleaned text (one 128-bit-hash groupby)
+
+Every stage is a map_batches / bucketed-groupby / hash-join composition:
+nothing materializes the corpus on the driver, all shuffles are keyed and
+fixed-layout (96 blocks / MISMO_RAY_NUM_PARTITIONS), so the chain's
+wall-time scales with CPUs the same way the ER scaling pipeline does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def synth_crawl(
+    docs: ray.data.Dataset, *, multiplier: int = 20
+) -> ray.data.Dataset:
+    """Amplify the documents table ``multiplier``x with per-replica
+    variation: distinct record_id and URL, a replica-tagged first line
+    (keeps replicas distinct through exact dedupe), deterministic PII
+    salting, and line structure (the word 'value' becomes a newline)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.repeat(np.asarray(t["doc_id"], dtype=np.int64), multiplier)
+        rep = np.tile(np.arange(multiplier, dtype=np.int64), len(t))
+        text = pd.Series(
+            np.repeat(np.asarray(t["text"].to_pylist(), dtype=object), multiplier)
+        )
+        lined = text.str.replace(" value ", "\n", regex=False)
+        did_s = pd.Series(did).astype(str)
+        rep_s = pd.Series(rep).astype(str)
+        body = (
+            "r" + rep_s + " d" + did_s + " head\n" + lined
+            + "\ncontact user" + did_s + "@mail" + pd.Series(did % 5).astype(str)
+            + ".com from " + pd.Series(did % 200).astype(str) + ".0.0."
+            + pd.Series(did % 100).astype(str)
+        )
+        url = (
+            "HTTPS://WWW.crawl" + pd.Series(did % 50).astype(str)
+            + ".Example.COM/d/" + did_s + "/r/" + rep_s
+            + "/?utm_source=feed&a=" + rep_s
+        )
+        return pa.table(
+            {
+                "record_id": pa.array(did * np.int64(multiplier) + rep),
+                "url": pa.array(url, type=pa.string()),
+                "text": pa.array(body, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def crawl_clean(
+    docs: ray.data.Dataset,
+    *,
+    multiplier: int = 20,
+    min_tokens: int = 5,
+    dedupe_min_docs: int = 2,
+) -> dict:
+    """Run the full cleaning chain; returns summary counters (each one the
+    result of a streaming count/aggregate, not a driver materialization)."""
+    from mismo_ray.dedupe import drop_dup_lines, exact_dedupe
+    from mismo_ray.lib.url import add_canonical_url
+    from mismo_ray.textstats import add_lang_id, add_token_stats, redact_pii
+
+    # the amplifier stands in for the corpus read: materialize it so
+    # downstream batch sizes apply to CORPUS rows, not source-doc rows —
+    # fused, the lang stage's batch_size would bundle 4096 PRE-expansion
+    # rows per task (5000 docs -> 2 tasks for the whole chain). A real
+    # read_parquet produces corpus-sized blocks and needs no such break.
+    crawl = synth_crawl(docs, multiplier=multiplier).materialize()
+    crawl = add_canonical_url(crawl, "url")
+    crawl = redact_pii(crawl, "text", out_column="text")
+    # default lang-ID concurrency = (2, cluster CPUs): the actor pool absorbs
+    # the fused synth/url/pii/stats upstream, so it must not undersize
+    crawl = add_lang_id(add_token_stats(crawl, "text"))
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_tokens"], min_tokens))
+
+    # drop_dup_lines consumes its input twice (the line-hits pass and the
+    # rewrite join's document side) — materialize the gated corpus so the
+    # synth/url/pii/lang chain executes once, not twice (at real scale this
+    # checkpoint would be the natural write_parquet boundary)
+    gated = (
+        crawl.map_batches(gate, batch_format="pyarrow")
+        .select_columns(
+            ["record_id", "url_canon", "lang_pred", "text", "n_emails", "n_ips"]
+        )
+        .materialize()
+    )
+    cleaned = drop_dup_lines(gated, "text", min_docs=dedupe_min_docs)
+    # ONE execution of the chain; the cheap counters below read the
+    # materialized blocks (at real scale this would be write_parquet and
+    # the counters would come from the write's lineage counters instead)
+    cleaned = cleaned.materialize()
+    n_pii = cleaned.sum(["n_emails", "n_ips"])
+    survivors = exact_dedupe(cleaned, "text")
+
+    def text_len(t: pa.Table, col: str) -> pa.Table:
+        return pa.table({"c": pc.utf8_length(t[col]).cast(pa.int64())})
+
+    n_chars_in = gated.map_batches(
+        lambda t: text_len(t, "text"), batch_format="pyarrow"
+    ).sum("c")
+    n_chars_out = cleaned.map_batches(
+        lambda t: text_len(t, "text"), batch_format="pyarrow"
+    ).sum("c")
+    return {
+        "n_records": cleaned.count(),
+        "n_distinct_clean": survivors.count(),
+        "n_emails": int(n_pii["sum(n_emails)"]),
+        "n_ips": int(n_pii["sum(n_ips)"]),
+        "n_chars_in": int(n_chars_in),
+        "n_chars_out": int(n_chars_out),
+        "multiplier": multiplier,
+    }
+
+
+def crawl_clean_pipeline(sf_dir: str, *, multiplier: int = 20) -> dict:
+    """Benchmark entry: fixed 96-block layout (same reasoning as the ER
+    scaling pipeline — layout must not depend on CPU count)."""
+    import os
+    import time
+
+    t0 = time.time()
+    os.environ.setdefault("MISMO_RAY_NUM_PARTITIONS", "64")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(int(os.environ.get("GRAFT_SCALE_BLOCKS", "96")))
+    out = crawl_clean(docs, multiplier=multiplier)
+    out["seconds"] = round(time.time() - t0, 3)
+    return out

@@ -266,8 +266,22 @@ class LangId:
 
 
 def add_lang_id(
-    ds: ray.data.Dataset, *, concurrency: int | tuple[int, int] = 2, batch_size: int = 4096
+    ds: ray.data.Dataset,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 4096,
 ) -> ray.data.Dataset:
+    """Language-ID actor-pool stage.
+
+    Default concurrency autoscales (2, cluster CPUs): Ray Data fuses
+    adjacent task maps INTO an actor-pool operator, so an undersized pool
+    caps the parallelism of the whole fused upstream chain, not just this
+    stage — size it to the cluster unless the caller knows better."""
+    if concurrency is None:
+        import ray as _ray
+
+        n = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        concurrency = (2, max(2, n))
     return ds.map_batches(
         LangId, batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size
     )
