@@ -78,13 +78,6 @@ def run_bench() -> dict:
     with timed("scaled_er"):
         scaled = scaling_pipeline(sf_dir, multiplier=100)
 
-    # ---- webtext cleaning chain (canonical URL -> PII redact -> lang-ID ->
-    # quality gate -> C4 line dedup -> exact dedupe) over an amplified corpus
-    from mismo_ray.pipelines._crawl import crawl_clean_pipeline
-
-    with timed("crawl_clean"):
-        crawl = crawl_clean_pipeline(sf_dir, multiplier=60)
-
     # ---- representative operator benchmarks
     from mismo_ray import driver_queries as dq
 
@@ -109,6 +102,16 @@ def run_bench() -> dict:
         dq.q_febrl_dedupe(sf_dir).count()
     with timed("incremental_dedupe"):
         dq.q_incremental_dedupe(sf_dir).count()
+
+    # ---- webtext cleaning chain (canonical URL -> PII redact -> lang-ID ->
+    # quality gate -> C4 line dedup -> exact dedupe) over an amplified corpus.
+    # Deliberately LAST: dozens of prior executions age the Ray session and
+    # inflate whatever runs late by a few seconds; this 300k-doc chain is the
+    # stage big enough to absorb that (the sub-second micro-queries are not).
+    from mismo_ray.pipelines._crawl import crawl_clean_pipeline
+
+    with timed("crawl_clean"):
+        crawl = crawl_clean_pipeline(sf_dir, multiplier=60)
 
     # ---- reference-comparable pair-count benchmark
     # (mismo's KeyLinker("street") pair-count on 300k rows, BASELINE.md:
