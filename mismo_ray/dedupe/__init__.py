@@ -24,6 +24,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -765,6 +766,81 @@ def embedding_neardup_pairs(
     else:
         raise ValueError("method must be 'auto', 'exact' or 'lsh'")
     return Linkage(left=ds, right=ds, links=links)
+
+
+# ------------------------------------------------------ corpus-level dedupe
+def fuzzy_dedupe(
+    ds: ray.data.Dataset,
+    column: str,
+    *,
+    links: ray.data.Dataset | None = None,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    max_pairs: int | None = 100_000,
+    label_as: str = "component",
+    with_counts: bool = False,
+) -> ray.data.Dataset:
+    """Corpus-level fuzzy dedupe: near-dup pairs -> connected components ->
+    ONE canonical survivor per duplicate cluster (the min-record_id member;
+    singletons survive unchanged). Returns the surviving rows of ``ds`` with
+    the cluster label attached (``label_as``; == record_id for survivors),
+    plus ``n_members`` when ``with_counts``.
+
+    ``links``: pre-computed near-dup pairs (record_id_l / record_id_r) from
+    any pair generator — ``minhash_lsh_pairs`` (the 100 TB path),
+    ``simhash_pairs``, ``embedding_neardup_pairs`` — else defaults to exact
+    ``ngram_jaccard_pairs`` over ``column``.
+
+    Cost: the pair-gen's shuffles + CC rounds + one stateless filter.
+    Survivor selection itself is FREE for integer record ids: component
+    labels ARE min member ids, so the survivor is the row whose record_id
+    equals its label (no extra shuffle; the reference picks survivors with a
+    separate groupby, mismo/cluster semantics). Non-integer ids get
+    factorized labels, so survivors cost one groupby-min + one semi-join.
+    """
+    from mismo_ray.cluster import connected_components
+
+    if links is None:
+        links = ngram_jaccard_pairs(
+            ds, column, n=n, min_jaccard=min_jaccard, max_pairs=max_pairs
+        ).links_ds
+    labeled = connected_components(links=links, records=ds, label_as=label_as)
+    _s = ds.schema()
+    id_type = dict(zip(_s.names, _s.types))["record_id"]
+    if pa.types.is_integer(id_type):
+        survivors = labeled.map_batches(
+            lambda t: t.filter(pc.equal(t["record_id"], t[label_as])),
+            batch_format="pyarrow",
+        )
+    else:
+        from mismo_ray._joins import hash_join
+
+        owners = (
+            labeled.select_columns(["record_id", label_as])
+            .groupby(label_as)
+            .min("record_id")
+        )
+        survivors = hash_join(
+            labeled,
+            owners.map_batches(
+                lambda t: pa.table(
+                    {label_as: t[label_as], "record_id": t["min(record_id)"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["record_id", label_as],
+        )
+    if with_counts:
+        from mismo_ray._joins import hash_join
+
+        counts = labeled.groupby(label_as).count().map_batches(
+            lambda t: pa.table(
+                {label_as: t[label_as], "n_members": t["count()"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        survivors = hash_join(survivors, counts, on=[label_as])
+    return survivors
 
 
 from mismo_ray.dedupe._lines import (  # noqa: E402

@@ -953,6 +953,41 @@ def q_ngram_jaccard(sf_dir: str):
     ).links_ds
 
 
+def q_fuzzy_dedupe(sf_dir: str):
+    """Corpus-level fuzzy dedupe end to end (dedupe.fuzzy_dedupe): exact
+    ngram-jaccard near-dup pairs -> connected components -> one canonical
+    survivor (min doc_id) per duplicate cluster + member counts. Same corpus
+    prep as ngram_jaccard (even doc_ids, text truncated to 80 chars) so the
+    SQL oracle's gram join stays tractable; fully SQL-oracled (gram join +
+    recursive-CTE components + survivor filter)."""
+    from mismo_ray.dedupe import fuzzy_dedupe
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def trunc(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % 2 == 0))
+        idx = t.schema.get_field_index("text")
+        return t.set_column(
+            idx, "text", pc.utf8_slice_codeunits(t["text"].combine_chunks(), 0, 80)
+        )
+
+    out = fuzzy_dedupe(
+        docs.map_batches(trunc, batch_format="pyarrow"),
+        "text",
+        n=3,
+        min_jaccard=0.8,
+        max_pairs=None,
+        with_counts=True,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"keep_id": t["record_id"], "n_members": t["n_members"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_minhash_lsh_link(sf_dir: str):
     """Link task: cross-corpus near-dup between the even- and odd-doc_id
     halves of the documents table (rows-only check; hash-function op)."""
@@ -1386,6 +1421,7 @@ QUERIES = {
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     "minhash_lsh_link": q_minhash_lsh_link,
     "ngram_jaccard": q_ngram_jaccard,
+    "fuzzy_dedupe": q_fuzzy_dedupe,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "substring_dedupe": q_substring_dedupe,
@@ -1717,6 +1753,33 @@ ORACLE_SQL = {
         "SELECT l AS record_id_l, r AS record_id_r "
         "FROM inter JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r "
         "WHERE c * 5 >= (sa.n + sb.n - c) * 4"
+    ),
+    "fuzzy_dedupe": (
+        # same gram-join pair SQL as ngram_jaccard, then recursive-CTE
+        # connected components over the even-doc_id universe, survivor =
+        # the min member (node == its component label), + member counts
+        "WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 80) AS text FROM documents "
+        " WHERE text IS NOT NULL AND doc_id % 2 = 0 "
+        " AND length(substr(text, 1, 80)) >= 3), "
+        "g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram "
+        " FROM d, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)), "
+        "inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c "
+        " FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        " GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), "
+        "pairs AS (SELECT l, r FROM inter "
+        " JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r "
+        " WHERE c * 5 >= (sa.n + sb.n - c) * 4), "
+        "edges AS (SELECT l AS s, r AS t FROM pairs UNION SELECT r, l FROM pairs), "
+        "walk(node, comp) AS ("
+        " SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0"
+        " UNION "
+        " SELECT e.t, w.comp FROM walk w JOIN edges e ON e.s = w.node"
+        "), labels AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node), "
+        "counts AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members "
+        " FROM labels GROUP BY comp) "
+        "SELECT l.node AS keep_id, c.n_members "
+        "FROM labels l JOIN counts c ON c.comp = l.comp WHERE l.node = l.comp"
     ),
     "repetition_stats": (
         # word n-grams by VALUE (space-joined — injective, words contain no

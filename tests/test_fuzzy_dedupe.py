@@ -1,0 +1,63 @@
+"""fuzzy_dedupe: near-dup pairs -> connected components -> canonical
+survivor per cluster. Survivor selection is free for int ids (labels are
+min member ids); string ids take the groupby-min + semi-join path."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog tonight",
+    "the quick brown fox jumps over the lazy dog tonight!",  # near-dup of 0
+    "the quick brown fox jumps over the lazy dog toniight",  # near-dup of 0
+    "completely different text about ray data pipelines",
+    "completely different text about ray data pipelines.",  # near-dup of 3
+    "a unique singleton document with nothing similar here",
+]
+
+
+def test_fuzzy_dedupe_int_ids(ray_session):
+    from mismo_ray.dedupe import fuzzy_dedupe
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": list(range(len(TEXTS))), "text": TEXTS})
+    )
+    out = fuzzy_dedupe(ds, "text", min_jaccard=0.7, max_pairs=None, with_counts=True)
+    rows = sorted(out.take_all(), key=lambda r: r["record_id"])
+    got = [(r["record_id"], r["component"], r["n_members"]) for r in rows]
+    assert got == [(0, 0, 3), (3, 3, 2), (5, 5, 1)]
+
+
+def test_fuzzy_dedupe_string_ids(ray_session):
+    from mismo_ray.dedupe import fuzzy_dedupe
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": [f"r{i}" for i in range(len(TEXTS))], "text": TEXTS})
+    )
+    out = fuzzy_dedupe(ds, "text", min_jaccard=0.7, max_pairs=None, with_counts=True)
+    rows = sorted(out.take_all(), key=lambda r: r["record_id"])
+    assert [(r["record_id"], r["n_members"]) for r in rows] == [
+        ("r0", 3),
+        ("r3", 2),
+        ("r5", 1),
+    ]
+
+
+def test_fuzzy_dedupe_precomputed_links_minhash(ray_session):
+    """The links= hook: survivors from minhash-LSH candidate pairs (the
+    100 TB pair-gen path) instead of the exact gram join."""
+    from mismo_ray.dedupe import fuzzy_dedupe, minhash_lsh_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": list(range(len(TEXTS))), "text": TEXTS})
+    )
+    links = minhash_lsh_pairs(
+        ds, "text", num_hashes=64, n_bands=16, verify_jaccard=0.5
+    ).links_ds
+    out = fuzzy_dedupe(ds, "text", links=links)
+    keep = sorted(r["record_id"] for r in out.take_all())
+    # cluster representatives only; 1/2 and 4 are deduped away
+    assert 0 in keep and 3 in keep and 5 in keep
+    assert not ({1, 2, 4} & set(keep))
