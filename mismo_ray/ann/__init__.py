@@ -548,3 +548,207 @@ def lsh_topk(
         )
 
     return bucketed.groupby("__bucket__").map_groups(search, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- IVF
+def kmeans_centroids(
+    ds: ray.data.Dataset,
+    *,
+    n_centroids: int = 64,
+    iters: int = 10,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic distributed Lloyd k-means over an embedding column.
+
+    Init: the ``n_centroids`` rows with the smallest ``hash64(id, seed)``
+    (a deterministic corpus sample independent of partitioning). Each
+    iteration is one ``map_batches`` pass emitting per-batch partial sums
+    (one row per non-empty centroid per batch: sum-vector + count) and a
+    tiny driver-side reduce — the classic map-side-combine k-means; the
+    driver never sees more than blocks x centroids partials. Empty
+    centroids keep their previous position. Vectors are L2-normalized
+    (cosine/spherical k-means) to match the cosine search path.
+    """
+    # ---- deterministic init: n_centroids smallest-hash rows
+    def sample_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        h = hash64(ids, seed)
+        vm = _matrix(batch, vector_column)
+        if len(ids) == 0:
+            return pa.table(
+                {"h": pa.array([], type=pa.uint64()), "v": pa.array([], type=pa.list_(pa.float64()))}
+            )
+        order = np.argsort(h)[:n_centroids]
+        return pa.table(
+            {
+                "h": pa.array(h[order]),
+                "v": pa.array(list(vm[order]), type=pa.list_(pa.float64())),
+            }
+        )
+
+    top = ds.map_batches(sample_key, batch_format="pyarrow").sort("h").limit(n_centroids)
+    init_rows = top.take_all()
+    cm = _normalize_rows(np.array([r["v"] for r in init_rows], dtype=np.float64))
+
+    for _ in range(iters):
+        c_ref = ray.put(cm)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            vm = _matrix(batch, vector_column)
+            if len(vm) == 0:
+                return pa.table(
+                    {
+                        "cid": pa.array([], type=pa.int64()),
+                        "s": pa.array([], type=pa.list_(pa.float64())),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            vn = _normalize_rows(vm)
+            ok = ~np.isnan(vn).any(axis=1)
+            vn = vn[ok]
+            assign = np.argmax(vn @ c.T, axis=1)
+            cids = np.unique(assign)
+            sums = np.zeros((len(cids), vn.shape[1]), dtype=np.float64)
+            counts = np.zeros(len(cids), dtype=np.int64)
+            pos = np.searchsorted(cids, assign)
+            np.add.at(sums, pos, vn)
+            np.add.at(counts, pos, 1)
+            return pa.table(
+                {
+                    "cid": pa.array(cids.astype(np.int64)),
+                    "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "n": pa.array(counts),
+                }
+            )
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cm)
+        counts = np.zeros(len(cm), dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cid"]] += r["n"]
+        live = counts > 0
+        new = cm.copy()
+        new[live] = sums[live] / counts[live, None]
+        cm = _normalize_rows(new)
+    return cm
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    iters: int = 10,
+    centroids: np.ndarray | None = None,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k via an IVF (inverted-file) index: corpus
+    rows are assigned to their nearest k-means centroid, each query is
+    searched exactly against its ``nprobe`` nearest lists only.
+
+    The scale path when hyperplane LSH recall is too bucket-lucky: cost per
+    query ~ nprobe/n_centroids of the corpus, recall rises smoothly with
+    nprobe. One shuffle (groupby list), centroids broadcast via ``ray.put``;
+    at 100 TB pass precomputed ``centroids=`` (train on a sample) so
+    indexing is a single assignment pass.
+    """
+    qm = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    qids = (
+        np.arange(len(qm), dtype=np.int64)
+        if query_ids is None
+        else np.asarray(query_ids, dtype=np.int64)
+    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            ds,
+            n_centroids=n_centroids,
+            iters=iters,
+            id_column=id_column,
+            vector_column=vector_column,
+            seed=seed,
+        )
+    cm = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(cm))
+    # queries -> nprobe nearest lists (tiny driver-side matmul)
+    qsims = qm @ cm.T
+    probe = np.argsort(-qsims, axis=1)[:, :nprobe]  # (q, nprobe)
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qm)):
+        for cid in probe[qi]:
+            by_list.setdefault(int(cid), []).append(qi)
+    q_ref = ray.put((qm, qids, by_list))
+    c_ref = ray.put(cm)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        vm = _normalize_rows(_matrix(batch, vector_column))
+        if len(vm) == 0:
+            return batch.append_column("__list__", pa.array([], type=pa.int64()))
+        sims = np.where(np.isnan(vm), 0.0, vm) @ c.T
+        return batch.append_column(
+            "__list__", pa.array(np.argmax(sims, axis=1).astype(np.int64))
+        )
+
+    listed = ds.map_batches(assign, batch_format="pyarrow")
+
+    def search(g: pa.Table) -> pa.Table:
+        qm, qids, by_list = ray.get(q_ref)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        lid = int(g["__list__"][0].as_py())
+        qidx = by_list.get(lid, [])
+        if not qidx:
+            return empty
+        vm = _normalize_rows(_matrix(g, vector_column))
+        ids = np.asarray(g[id_column], dtype=np.int64)
+        sub_qids = qids[qidx]
+        sims = vm @ qm[qidx].T  # (n, q)
+        sims[ids[:, None] == sub_qids[None, :]] = -np.inf
+        n, q = sims.shape
+        kk = min(k, n)
+        if kk < n:
+            topi = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        else:
+            topi = np.tile(np.arange(n)[:, None], (1, q))
+        qj = np.tile(np.arange(q), topi.shape[0])
+        ni = topi.ravel()
+        ssel = sims[ni, qj]
+        keep = ssel > -np.inf
+        return pa.table(
+            {
+                "query_id": pa.array(sub_qids[qj[keep]], type=pa.int64()),
+                "neighbor_id": pa.array(ids[ni[keep]], type=pa.int64()),
+                "sim": pa.array(ssel[keep], type=pa.float64()),
+            }
+        )
+
+    candidates = listed.groupby("__list__").map_groups(search, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        sims = np.asarray(g["sim"], dtype=np.float64)
+        nids = np.asarray(g["neighbor_id"], dtype=np.int64)
+        order = np.lexsort((nids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(order, type=pa.int64())),
+                "neighbor_id": pa.array(nids[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "sim": pa.array(sims[order]),
+            }
+        )
+
+    return candidates.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -953,6 +953,34 @@ def q_ngram_jaccard(sf_dir: str):
     ).links_ds
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF approximate top-k (ann.ivf_topk): deterministic spherical k-means
+    lists + nprobe exact search. Rows-only (k-means has no SQL expression);
+    recall vs brute force is pytest-gated in tests/test_ivf.py."""
+    from mismo_ray.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 20").to_pandas()
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].to_numpy()
+    out = ivf_topk(
+        emb,
+        queries,
+        k=3,
+        n_centroids=16,
+        nprobe=10,
+        iters=5,
+        id_column="vec_id",
+        query_ids=qids,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"query_id": t["query_id"], "neighbor_id": t["neighbor_id"], "rk": t["rank"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_fuzzy_dedupe(sf_dir: str):
     """Corpus-level fuzzy dedupe end to end (dedupe.fuzzy_dedupe): exact
     ngram-jaccard near-dup pairs -> connected components -> one canonical
@@ -1422,6 +1450,7 @@ QUERIES = {
     "minhash_lsh_link": q_minhash_lsh_link,
     "ngram_jaccard": q_ngram_jaccard,
     "fuzzy_dedupe": q_fuzzy_dedupe,
+    "ivf_topk": q_ivf_topk,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "substring_dedupe": q_substring_dedupe,
