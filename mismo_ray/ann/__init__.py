@@ -283,186 +283,6 @@ def lsh_bucket(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
-def train_ivf_centroids(
-    ds: ray.data.Dataset,
-    *,
-    n_centroids: int,
-    id_column: str = "vec_id",
-    vector_column: str = "embedding",
-    kmeans_iters: int = 2,
-    seed: int = 7,
-) -> np.ndarray:
-    """Deterministic IVF coarse quantizer: hash-threshold sample of
-    ~n_centroids rows as seeds, then ``kmeans_iters`` distributed Lloyd
-    iterations (per-batch partial sums -> tiny driver combine; only the
-    (n_centroids, dim) matrix ever reaches the driver)."""
-    n = ds.count()
-    frac = min(1.0, (n_centroids * 1.25) / max(n, 1))
-    thresh = np.uint64(int(frac * 2**64))
-
-    def sample(t: pa.Table) -> pa.Table:
-        h = hash64(t[id_column].combine_chunks().cast(pa.int64()), seed=seed)
-        return t.filter(pa.array(h < thresh))
-
-    seeds = []
-    for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        seeds.append(_matrix(b, vector_column))
-    cm = np.concatenate(seeds) if seeds else np.zeros((0, 1))
-    cm = _normalize_rows(cm[:n_centroids])
-    for _ in range(kmeans_iters):
-        ref = ray.put(cm)
-
-        def partial(t: pa.Table) -> pa.Table:
-            c = ray.get(ref)
-            vm = _normalize_rows(_matrix(t, vector_column))
-            if not len(vm):
-                return pa.table(
-                    {
-                        "cid": pa.array([], type=pa.int64()),
-                        "vsum": pa.array([], type=pa.list_(pa.float64())),
-                        "cnt": pa.array([], type=pa.int64()),
-                    }
-                )
-            assign = np.argmax(vm @ c.T, axis=1)
-            cids = np.unique(assign)
-            sums = np.stack([vm[assign == ci].sum(axis=0) for ci in cids])
-            cnts = np.bincount(assign)[cids]
-            return pa.table(
-                {
-                    "cid": pa.array(cids.astype(np.int64)),
-                    "vsum": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
-                    "cnt": pa.array(cnts.astype(np.int64)),
-                }
-            )
-
-        acc = np.zeros_like(cm)
-        cnt = np.zeros(len(cm), dtype=np.int64)
-        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            cids = np.asarray(b["cid"], dtype=np.int64)
-            sums = np.asarray(b["vsum"].combine_chunks().flatten()).reshape(
-                len(cids), -1
-            )
-            acc[cids] += sums
-            cnt[cids] += np.asarray(b["cnt"], dtype=np.int64)
-        nonempty = cnt > 0
-        cm[nonempty] = _normalize_rows(acc[nonempty] / cnt[nonempty, None])
-    return cm
-
-
-def ivf_topk(
-    ds: ray.data.Dataset,
-    queries: np.ndarray,
-    *,
-    k: int = 10,
-    n_centroids: int = 64,
-    nprobe: int = 4,
-    id_column: str = "vec_id",
-    vector_column: str = "embedding",
-    query_ids: np.ndarray | None = None,
-    centroids: np.ndarray | None = None,
-    kmeans_iters: int = 2,
-    seed: int = 7,
-) -> ray.data.Dataset:
-    """IVF-flat approximate top-k: corpus partitioned by nearest centroid
-    (the shuffle key), each query searched exactly within its ``nprobe``
-    nearest lists, per-list results merged per query.
-
-    The scale path alongside ``lsh_topk``: per-task work ~ n/n_centroids x
-    (queries probing that list); recall grows with nprobe (nprobe ==
-    n_centroids -> exact). Only the (n_centroids, dim) centroid matrix is
-    broadcast.
-    """
-    qm = _normalize_rows(np.asarray(queries, dtype=np.float64))
-    qids = (
-        np.arange(len(qm), dtype=np.int64)
-        if query_ids is None
-        else np.asarray(query_ids, dtype=np.int64)
-    )
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            ds,
-            n_centroids=n_centroids,
-            id_column=id_column,
-            vector_column=vector_column,
-            kmeans_iters=kmeans_iters,
-            seed=seed,
-        )
-    cm = _normalize_rows(np.asarray(centroids, dtype=np.float64))
-    qsims = qm @ cm.T  # (q, c)
-    nprobe = min(nprobe, len(cm))
-    probe = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
-    by_list: dict[int, list[int]] = {}
-    for qi in range(len(qm)):
-        for ci in probe[qi]:
-            by_list.setdefault(int(ci), []).append(qi)
-    q_ref = ray.put((qm, qids, by_list))
-    c_ref = ray.put(cm)
-
-    def assign(t: pa.Table) -> pa.Table:
-        c = ray.get(c_ref)
-        vm = _normalize_rows(_matrix(t, vector_column))
-        cid = (
-            np.argmax(vm @ c.T, axis=1).astype(np.int64)
-            if len(vm)
-            else np.array([], dtype=np.int64)
-        )
-        return t.append_column("__ivf__", pa.array(cid))
-
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
-
-    def search_list(g: pa.Table) -> pa.Table:
-        qm, qids, by_list = ray.get(q_ref)
-        cid = int(g["__ivf__"][0].as_py())
-        qidx = by_list.get(cid, [])
-        empty = pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "neighbor_id": pa.array([], type=pa.int64()),
-                "sim": pa.array([], type=pa.float64()),
-            }
-        )
-        if not qidx:
-            return empty
-        vm = _normalize_rows(_matrix(g, vector_column))
-        ids = np.asarray(g[id_column], dtype=np.int64)
-        sims = vm @ qm[qidx].T  # (n, q')
-        kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk] if kk < len(ids) else (
-            np.tile(np.arange(len(ids))[:, None], (1, len(qidx)))
-        )
-        qj = np.tile(np.arange(len(qidx)), top.shape[0])
-        ni = top.ravel()
-        return pa.table(
-            {
-                "query_id": pa.array(qids[np.asarray(qidx)][qj], type=pa.int64()),
-                "neighbor_id": pa.array(ids[ni], type=pa.int64()),
-                "sim": pa.array(sims[ni, qj], type=pa.float64()),
-            }
-        )
-
-    candidates = assigned.groupby("__ivf__").map_groups(
-        search_list, batch_format="pyarrow"
-    )
-
-    def merge(g: pa.Table) -> pa.Table:
-        sims = np.asarray(g["sim"], dtype=np.float64)
-        nids = np.asarray(g["neighbor_id"], dtype=np.int64)
-        order = np.lexsort((nids, -sims))[:k]
-        return pa.table(
-            {
-                "query_id": g["query_id"].take(pa.array(order, type=pa.int64())),
-                "neighbor_id": pa.array(nids[order]),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                "sim": pa.array(sims[order]),
-            }
-        )
-
-    return candidates.groupby("query_id").map_groups(merge, batch_format="pyarrow")
-
 
 def lsh_topk(
     ds: ray.data.Dataset,
