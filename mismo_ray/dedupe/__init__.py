@@ -847,6 +847,7 @@ from mismo_ray.dedupe._lines import (  # noqa: E402
     drop_dup_lines,
     dup_line_stats,
 )
+from mismo_ray.dedupe._semdedup import semdedup  # noqa: E402
 from mismo_ray.dedupe._substring import (  # noqa: E402
     strip_dup_spans,
     substring_dup_spans,

@@ -516,6 +516,21 @@ def q_embedding_neardup(sf_dir: str):
     ).links_ds
 
 
+def q_semdedup(sf_dir: str):
+    """SemDedup within-cluster prune with a deterministic modulo clustering
+    (so the SQL oracle can reproduce the cluster assignment exactly); the
+    k-means path is covered by tests/test_semdedup.py."""
+    from mismo_ray.dedupe import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semdedup(
+        emb,
+        tau=0.40,
+        cluster_fn=lambda t: np.asarray(t["vec_id"], dtype=np.int64) % 16,
+    )
+    return out.select_columns(["vec_id", "cluster"])
+
+
 def q_groupby_agg(sf_dir: str):
     li = _read(
         sf_dir,
@@ -1429,6 +1444,7 @@ QUERIES = {
     "degree": q_degree,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
+    "semdedup": q_semdedup,
     "groupby_agg": q_groupby_agg,
     "tf_lookup": q_tf_lookup,
     "events_tumbling": q_events_tumbling,
@@ -1638,6 +1654,13 @@ ORACLE_SQL = {
         "SELECT a.vec_id AS record_id_l, b.vec_id AS record_id_r "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
+    ),
+    "semdedup": (
+        "SELECT a.vec_id, CAST(a.vec_id % 16 AS BIGINT) AS cluster "
+        "FROM embeddings a WHERE NOT EXISTS ("
+        " SELECT 1 FROM embeddings b "
+        " WHERE b.vec_id % 16 = a.vec_id % 16 AND b.vec_id < a.vec_id "
+        " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.40)"
     ),
     "groupby_agg": (
         "SELECT l_returnflag, "
