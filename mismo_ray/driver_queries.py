@@ -531,6 +531,24 @@ def q_semdedup(sf_dir: str):
     return out.select_columns(["vec_id", "cluster"])
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split by splitmix64(id + seed); the SQL
+    oracle reproduces the mixer bit-exactly with 128-bit modular arithmetic."""
+    from mismo_ray.util_ops import hash_split
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+    out = hash_split(
+        part,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_column="p_partkey",
+        seed=42,
+    )
+    return out.map_batches(
+        lambda t: pa.table({"record_id": t["p_partkey"], "split": t["split"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_groupby_agg(sf_dir: str):
     li = _read(
         sf_dir,
@@ -1445,6 +1463,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "semdedup": q_semdedup,
+    "hash_split": q_hash_split,
     "groupby_agg": q_groupby_agg,
     "tf_lookup": q_tf_lookup,
     "events_tumbling": q_events_tumbling,
@@ -1654,6 +1673,15 @@ ORACLE_SQL = {
         "SELECT a.vec_id AS record_id_l, b.vec_id AS record_id_r "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
+    ),
+    "hash_split": (
+        "WITH s1 AS (SELECT p_partkey, CAST((CAST(CAST(p_partkey AS UBIGINT) AS HUGEINT) + 11400714819323198527) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM part), "
+        "s2 AS (SELECT p_partkey, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+        "s3 AS (SELECT p_partkey, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2), "
+        "b AS (SELECT p_partkey, xor(z, z >> 31) % 1000000 AS bucket FROM s3) "
+        "SELECT p_partkey AS record_id, CASE WHEN bucket < 800000 THEN 'train' "
+        "WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
     ),
     "semdedup": (
         "SELECT a.vec_id, CAST(a.vec_id % 16 AS BIGINT) AS cluster "

@@ -196,3 +196,73 @@ def stratified_sample(
         n_per_group,
     )
     return out.drop_columns(["__sample_rank__"])
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    fractions: dict[str, float],
+    *,
+    id_column: str = "record_id",
+    seed: int = 0,
+    label_as: str = "split",
+    buckets: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment by hash of the record id.
+
+    Every row gets a ``label_as`` column with one of ``fractions``' keys;
+    boundaries are ``round(cumfrac * buckets)`` over
+    ``bucket = mix(id + seed) % buckets``. Assignment is a pure function of
+    (id, seed) — stable across runs, partitionings and cluster sizes, and
+    rows added later keep every existing row's split (the property that
+    makes hash splits the standard for growing corpora). One stateless
+    ``map_batches``; nothing shuffles.
+
+    Integer ids use splitmix64 directly (exactly reproducible in SQL via
+    128-bit modular arithmetic — see the driver oracle); other types hash
+    through ``hash64`` first.
+
+    ``fractions`` must sum to ~1.0; order determines boundary layout.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    names = list(fractions)
+    bounds = np.round(np.cumsum([fractions[n] for n in names]) * buckets)
+    bounds[-1] = buckets  # guard float drift: last bucket always labeled
+
+    schema = ds.schema()
+    id_type = dict(zip(schema.names, schema.types))[id_column]
+    int_id = pa.types.is_integer(id_type)
+
+    def fn(t: pa.Table) -> pa.Table:
+        from mismo_ray._util import splitmix64
+
+        if int_id:
+            ids = np.asarray(t[id_column]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = splitmix64(ids + np.uint64(seed))
+        else:
+            h = hash64(t[id_column], seed=seed)
+        bucket = (h % np.uint64(buckets)).astype(np.int64)
+        lab = np.searchsorted(bounds, bucket, side="right")
+        labels = pa.array(np.array(names, dtype=object)[lab])
+        return t.append_column(label_as, labels.cast(pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_split_datasets(
+    ds: "ray.data.Dataset",
+    fractions: dict[str, float],
+    **kwargs,
+) -> dict[str, "ray.data.Dataset"]:
+    """:func:`hash_split`, returned as one lazy filtered Dataset per split
+    (each consumer pays one pass; labels are recomputed, not shuffled)."""
+    label_as = kwargs.get("label_as", "split")
+    labeled = hash_split(ds, fractions, **kwargs)
+    return {
+        name: labeled.filter(
+            expr=f"{label_as} == {name!r}"
+        ).drop_columns([label_as])
+        for name in fractions
+    }

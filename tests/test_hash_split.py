@@ -1,0 +1,62 @@
+"""hash_split: deterministic, partition-independent train/val/test splits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from mismo_ray.util_ops import hash_split, hash_split_datasets
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _ids_ds(n: int, parts: int) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({"record_id": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(parts)
+
+
+def test_hash_split_fractions_and_stability(ray_session):
+    n = 20_000
+    out = hash_split(_ids_ds(n, 8), FR, seed=7).to_pandas()
+    counts = out["split"].value_counts()
+    for name, frac in FR.items():
+        assert abs(counts[name] / n - frac) < 0.01
+    # partition-count independent and run-to-run stable
+    out2 = hash_split(_ids_ds(n, 3), FR, seed=7).to_pandas()
+    m1 = dict(zip(out["record_id"], out["split"]))
+    m2 = dict(zip(out2["record_id"], out2["split"]))
+    assert m1 == m2
+    # growing the corpus never relabels existing rows
+    out3 = hash_split(_ids_ds(2 * n, 8), FR, seed=7).to_pandas()
+    m3 = dict(zip(out3["record_id"], out3["split"]))
+    assert all(m3[k] == v for k, v in m1.items())
+    # a different seed produces a different assignment
+    out4 = hash_split(_ids_ds(n, 8), FR, seed=8).to_pandas()
+    assert dict(zip(out4["record_id"], out4["split"])) != m1
+
+
+def test_hash_split_string_ids_and_errors(ray_session):
+    t = pa.table({"record_id": pa.array([f"doc-{i}" for i in range(5000)])})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = hash_split(ds, FR, seed=1).to_pandas()
+    counts = out["split"].value_counts()
+    assert abs(counts["train"] / 5000 - 0.8) < 0.02
+    with pytest.raises(ValueError):
+        hash_split(ds, {"a": 0.5, "b": 0.4})
+
+
+def test_hash_split_datasets_partition(ray_session):
+    splits = hash_split_datasets(_ids_ds(3000, 4), FR, seed=3)
+    seen = {}
+    total = 0
+    for name, d in splits.items():
+        ids = d.to_pandas()["record_id"].tolist()
+        total += len(ids)
+        for i in ids:
+            assert i not in seen, f"{i} in both {seen.get(i)} and {name}"
+            seen[i] = name
+        assert "split" not in d.schema().names
+    assert total == 3000
