@@ -843,6 +843,11 @@ def fuzzy_dedupe(
     return survivors
 
 
+from mismo_ray.dedupe._decontam import (  # noqa: E402
+    benchmark_grams,
+    contamination_stats,
+    drop_contaminated,
+)
 from mismo_ray.dedupe._lines import (  # noqa: E402
     drop_dup_lines,
     dup_line_stats,

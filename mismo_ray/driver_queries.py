@@ -1427,6 +1427,44 @@ def q_rldata_dedupe(sf_dir: str):
     return rldata_match_pairs(lk.left).links_ds
 
 
+def _decontam_split(sf_dir: str):
+    """Corpus = documents with doc_id % 7 != 0; benchmark = the rest —
+    a deterministic stand-in for train-corpus vs eval-benchmark."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            mask = (ids % 7 == 0) if keep_bench else (ids % 7 != 0)
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    return corpus, bench
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination stats (dedupe.contamination_stats): per
+    corpus doc, distinct word-4-gram count and how many of those grams also
+    occur in the benchmark split (GPT-3-style overlap rule)."""
+    from mismo_ray.dedupe import contamination_stats
+
+    corpus, bench = _decontam_split(sf_dir)
+    return contamination_stats(corpus, bench, "text", id_column="doc_id", n=4)
+
+
+def q_drop_contaminated(sf_dir: str):
+    """Benchmark decontamination filter (dedupe.drop_contaminated): corpus
+    docs surviving the any-shared-4-gram drop rule."""
+    from mismo_ray.dedupe import drop_contaminated
+
+    corpus, bench = _decontam_split(sf_dir)
+    corpus = corpus.materialize()  # consumed twice (stats pass + anti join)
+    return drop_contaminated(corpus, bench, "text", id_column="doc_id", n=4)
+
+
 def q_flagship(sf_dir: str):
     from mismo_ray.pipelines import flagship
 
@@ -1497,6 +1535,8 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
+    "drop_contaminated": q_drop_contaminated,
     "flagship_er": q_flagship,
 }
 
@@ -1894,6 +1934,38 @@ ORACLE_SQL = {
         " CAST(coalesce(dup3.v, 0) AS BIGINT) AS dup3gram_chars "
         "FROM base b LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id) "
         "LEFT JOIN dup2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)"
+    ),
+    "decontaminate": (
+        # word 4-grams by VALUE (space-joined; hashes in the Ray op are
+        # membership-only): DISTINCT per corpus doc, benchmark set = DISTINCT
+        # over the doc_id % 7 == 0 split
+        "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL), "
+        "bm AS (SELECT text FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL), "
+        "cw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM corpus), "
+        "bw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM bm), "
+        "cg AS (SELECT DISTINCT doc_id, array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 3], ' ') AS gram "
+        " FROM cw, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) AS r), "
+        "bg AS (SELECT DISTINCT array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 3], ' ') AS gram "
+        " FROM bw, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) AS r), "
+        "hits AS (SELECT doc_id, count(*) AS c FROM cg JOIN bg USING (gram) GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id) "
+        "SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams, "
+        " CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated "
+        "FROM tot t LEFT JOIN hits h USING (doc_id)"
+    ),
+    "drop_contaminated": (
+        # survivors of the any-shared-4-gram rule: corpus docs with no gram
+        # in the benchmark set (incl. docs with < 4 words / null text)
+        "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0), "
+        "bm AS (SELECT text FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL), "
+        "cw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM corpus WHERE text IS NOT NULL), "
+        "bw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM bm), "
+        "cg AS (SELECT DISTINCT doc_id, array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 3], ' ') AS gram "
+        " FROM cw, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) AS r), "
+        "bg AS (SELECT DISTINCT array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 3], ' ') AS gram "
+        " FROM bw, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) AS r), "
+        "bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)) "
+        "SELECT c.doc_id, c.text FROM corpus c ANTI JOIN bad USING (doc_id)"
     ),
     "substring_dedupe": (
         # same anchored windows by VALUE: a window starts at 1-indexed pos i

@@ -1,0 +1,140 @@
+"""Benchmark decontamination (dedupe._decontam): stats, drop, join path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _ds(docs: dict[int, str | None], id_column: str = "record_id"):
+    t = pa.table(
+        {
+            id_column: pa.array(list(docs.keys()), type=pa.int64()),
+            "text": pa.array(list(docs.values()), type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(2).materialize()
+
+
+CORPUS = {
+    0: "the quick brown fox jumps over the lazy dog",
+    1: "what is the capital of france paris obviously",
+    2: "a short one",  # fewer than n=3 words? no: 3 words -> 1 gram
+    3: "totally clean document with no benchmark overlap at all",
+    4: None,
+    5: "",
+    6: "the quick brown cat sleeps",
+}
+
+BENCH = {
+    100: "what is the capital of france",
+    101: "the quick brown fox runs",
+}
+
+
+def _brute_stats(n: int) -> dict[int, tuple[int, int]]:
+    def grams(s: str | None) -> set[str]:
+        if not s:
+            return set()
+        ws = [w for w in s.split(" ") if w]
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench = set()
+    for s in BENCH.values():
+        bench |= grams(s)
+    out = {}
+    for k, s in CORPUS.items():
+        g = grams(s)
+        if g:
+            out[k] = (len(g), len(g & bench))
+    return out
+
+
+def test_contamination_stats_matches_bruteforce(ray_session):
+    from mismo_ray.dedupe import contamination_stats
+
+    for n in (1, 3, 4):
+        out = contamination_stats(
+            _ds(CORPUS), _ds(BENCH, "bid"), "text", n=n
+        ).to_pandas()
+        got = {
+            int(r.record_id): (int(r.n_grams), int(r.n_contaminated))
+            for r in out.itertuples()
+        }
+        assert got == _brute_stats(n), f"n={n}"
+
+
+def test_contamination_stats_join_path_parity(ray_session):
+    from mismo_ray.dedupe import contamination_stats
+
+    kw = dict(id_column="record_id", n=3)
+    broad = contamination_stats(_ds(CORPUS), _ds(BENCH, "bid"), "text", **kw)
+    joined = contamination_stats(
+        _ds(CORPUS), _ds(BENCH, "bid"), "text", max_broadcast_grams=0, **kw
+    )
+    b = broad.to_pandas().sort_values("record_id").reset_index(drop=True)
+    j = joined.to_pandas().sort_values("record_id").reset_index(drop=True)
+    assert b[["record_id", "n_grams", "n_contaminated"]].equals(
+        j[["record_id", "n_grams", "n_contaminated"]]
+    )
+
+
+def test_drop_contaminated_gpt3_rule(ray_session):
+    from mismo_ray.dedupe import drop_contaminated
+
+    out = drop_contaminated(_ds(CORPUS), _ds(BENCH, "bid"), "text", n=3)
+    kept = sorted(out.to_pandas()["record_id"])
+    brute = _brute_stats(3)
+    expect = sorted(
+        k
+        for k in CORPUS
+        if k not in brute or brute[k][1] == 0  # no grams or no contamination
+    )
+    assert kept == expect
+    # sanity: doc 0 and 1 share 3-grams with the benchmark and must be gone
+    assert 0 not in kept and 1 not in kept
+    # null/empty/gram-less docs always survive
+    assert {2, 4, 5}.issubset(set(kept))
+
+
+def test_drop_contaminated_fraction_threshold(ray_session):
+    from mismo_ray.dedupe import drop_contaminated
+
+    # doc 0: 7 grams, 2 contaminated (frac ~0.29); doc 1: 6 grams, 4
+    # contaminated (frac ~0.67) -> only doc 1 drops at 0.5
+    brute = _brute_stats(3)
+    assert brute[0][1] > 0 and brute[1][1] > 0
+    out = drop_contaminated(
+        _ds(CORPUS), _ds(BENCH, "bid"), "text", n=3, max_contaminated_frac=0.5
+    )
+    kept = set(out.to_pandas()["record_id"])
+    assert 0 in kept
+    assert 1 not in kept
+
+
+def test_benchmark_grams_distinct(ray_session):
+    from mismo_ray.dedupe import benchmark_grams
+
+    bg = benchmark_grams(_ds(BENCH, "bid"), "text", n=3).to_pandas()
+    # 4 + 3 distinct 3-grams, no overlap between the two benchmark docs
+    assert len(bg) == 7
+    assert len(bg.drop_duplicates(["__h1__", "__h2__"])) == 7
+
+
+def test_double_space_and_null_handling(ray_session):
+    from mismo_ray.dedupe import contamination_stats
+
+    corpus = {0: "a  b   c d", 1: "x y"}
+    bench = {9: "a b c"}
+    out = contamination_stats(
+        _ds(corpus), _ds(bench, "bid"), "text", n=3
+    ).to_pandas()
+    got = {
+        int(r.record_id): (int(r.n_grams), int(r.n_contaminated))
+        for r in out.itertuples()
+    }
+    # empty split segments are dropped: "a  b   c d" -> [a,b,c,d] -> 2 grams,
+    # one of which ("a b c") is in the benchmark; "x y" has no 3-grams
+    assert got == {0: (2, 1)}
