@@ -1465,6 +1465,24 @@ def q_drop_contaminated(sf_dir: str):
     return drop_contaminated(corpus, bench, "text", id_column="doc_id", n=4)
 
 
+def q_mixture_sample(sf_dir: str):
+    """Per-language training-mixture resampling (util_ops.mixture_sample):
+    en halved, de ~doubled (2.25 copies expected), zh dropped, others kept.
+    Deterministic splitmix64 buckets — the oracle reproduces them with
+    128-bit modular arithmetic."""
+    from mismo_ray.util_ops import mixture_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return mixture_sample(
+        docs,
+        {"en": 0.5, "de": 2.25, "zh": 0.0},
+        group_column="lang",
+        id_column="doc_id",
+        seed=0,
+        copy_as="n_copy",
+    )
+
+
 def q_flagship(sf_dir: str):
     from mismo_ray.pipelines import flagship
 
@@ -1537,6 +1555,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
+    "mixture_sample": q_mixture_sample,
     "flagship_er": q_flagship,
 }
 
@@ -1722,6 +1741,21 @@ ORACLE_SQL = {
         "b AS (SELECT p_partkey, xor(z, z >> 31) % 1000000 AS bucket FROM s3) "
         "SELECT p_partkey AS record_id, CASE WHEN bucket < 800000 THEN 'train' "
         "WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+    "mixture_sample": (
+        # same splitmix64 bucket as hash_split (seed 0), then per-lang rate:
+        # copies = floor(rate) + (bucket < round(frac(rate)*1e6)); one output
+        # row per copy with its 0-based copy index
+        "WITH s1 AS (SELECT doc_id, lang, CAST((CAST(CAST(doc_id AS UBIGINT) AS HUGEINT) + 11400714819323198485) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM documents), "
+        "s2 AS (SELECT doc_id, lang, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+        "s3 AS (SELECT doc_id, lang, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2), "
+        "b AS (SELECT doc_id, lang, xor(z, z >> 31) % 1000000 AS bucket FROM s3), "
+        "r AS (SELECT doc_id, lang, bucket, CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.25 WHEN 'zh' THEN 0.0 ELSE 1.0 END AS rate FROM b), "
+        "c AS (SELECT doc_id, lang, CAST(floor(rate) AS BIGINT) + "
+        " (CASE WHEN bucket < CAST(round((rate - floor(rate)) * 1000000) AS UBIGINT) THEN 1 ELSE 0 END) AS copies FROM r) "
+        "SELECT doc_id, lang, CAST(u.i AS BIGINT) AS n_copy "
+        "FROM c, LATERAL (SELECT unnest(range(0, copies)) AS i) AS u"
     ),
     "semdedup": (
         "SELECT a.vec_id, CAST(a.vec_id % 16 AS BIGINT) AS cluster "

@@ -251,6 +251,88 @@ def hash_split(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    rates: dict[str, float],
+    *,
+    group_column: str = "source",
+    id_column: str = "record_id",
+    seed: int = 0,
+    default_rate: float = 1.0,
+    copy_as: str | None = None,
+    buckets: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Deterministic per-group resampling to training-mixture weights.
+
+    ``rates[group]`` is the expected number of copies each row of that group
+    contributes (DoReMi/Llama-style domain weights): ``0.25`` keeps a
+    deterministic quarter of the group, ``1.0`` passes it through, ``2.5``
+    emits two full copies of every row plus a hash-chosen half. Groups not
+    in ``rates`` get ``default_rate``. Selection is a pure function of
+    (id, seed) — stable across runs, partitionings and cluster sizes, and
+    the kept subset at a lower rate is a SUBSET of the kept rows at any
+    higher rate (nested samples, same splitmix64 bucket as
+    :func:`hash_split`). One stateless ``map_batches``; nothing shuffles —
+    the scale path for reweighting a 100 TB corpus is exactly one pass.
+
+    With ``copy_as`` (or whenever some rate > 1), each emitted duplicate
+    carries a copy index 0..k-1 in that column (default ``n_copy``) so
+    downstream shuffles can tell copies apart.
+
+    No reference analog (mismo is record linkage); this is the
+    LLM-training-data mixing op alongside ``hash_split``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from mismo_ray._util import hash64, splitmix64
+
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    if copy_as is None and (
+        any(r > 1 for r in rates.values()) or default_rate > 1
+    ):
+        copy_as = "n_copy"
+
+    schema = ds.schema()
+    id_type = dict(zip(schema.names, schema.types))[id_column]
+    int_id = pa.types.is_integer(id_type)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if int_id:
+            ids = np.asarray(t[id_column]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = splitmix64(ids + np.uint64(seed))
+        else:
+            h = hash64(t[id_column], seed=seed)
+        bucket = (h % np.uint64(buckets)).astype(np.int64)
+        # per-group rate via dictionary encoding: the python dict lookup
+        # runs once per DISTINCT group in the batch, not once per row
+        de = t[group_column].combine_chunks().dictionary_encode()
+        urates = np.array(
+            [rates.get(g, default_rate) for g in de.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        rate = (
+            urates[np.asarray(de.indices, dtype=np.int64)]
+            if len(t)
+            else np.array([], dtype=np.float64)
+        )
+        whole = np.floor(rate).astype(np.int64)
+        frac_bound = np.round((rate - whole) * buckets).astype(np.int64)
+        copies = whole + (bucket < frac_bound).astype(np.int64)
+        if copy_as is None:
+            return t.filter(pa.array(copies > 0))
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), copies)
+        out = t.take(pa.array(idx))
+        pos = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(copies) - copies, copies
+        )
+        return out.append_column(copy_as, pa.array(pos))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def hash_split_datasets(
     ds: "ray.data.Dataset",
     fractions: dict[str, float],
