@@ -1483,6 +1483,19 @@ def q_mixture_sample(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (packing.pack_sequences): global
+    token offsets + sequence slots under the splitmix64(doc_id) pseudo-
+    shuffle order, n_chars as the token count, budget 4096. The oracle is
+    the same prefix sum as a SQL window function over the same order."""
+    from mismo_ray.packing import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_sequences(
+        docs, "n_chars", budget=4096, id_column="doc_id", seed=0, order="hash"
+    )
+
+
 def q_flagship(sf_dir: str):
     from mismo_ray.pipelines import flagship
 
@@ -1556,6 +1569,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
     "mixture_sample": q_mixture_sample,
+    "pack_sequences": q_pack_sequences,
     "flagship_er": q_flagship,
 }
 
@@ -1756,6 +1770,19 @@ ORACLE_SQL = {
         " (CASE WHEN bucket < CAST(round((rate - floor(rate)) * 1000000) AS UBIGINT) THEN 1 ELSE 0 END) AS copies FROM r) "
         "SELECT doc_id, lang, CAST(u.i AS BIGINT) AS n_copy "
         "FROM c, LATERAL (SELECT unnest(range(0, copies)) AS i) AS u"
+    ),
+    "pack_sequences": (
+        # splitmix64(doc_id) order key (seed 0), then the packing prefix sum
+        # as a window function over (key, doc_id)
+        "WITH s1 AS (SELECT doc_id, n_chars, CAST((CAST(CAST(doc_id AS UBIGINT) AS HUGEINT) + 11400714819323198485) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM documents), "
+        "s2 AS (SELECT doc_id, n_chars, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+        "s3 AS (SELECT doc_id, n_chars, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2), "
+        "b AS (SELECT doc_id, n_chars, xor(z, z >> 31) AS pkey FROM s3), "
+        "o AS (SELECT doc_id, n_chars, "
+        " CAST(SUM(coalesce(n_chars, 0)) OVER (ORDER BY pkey, doc_id ROWS UNBOUNDED PRECEDING) - coalesce(n_chars, 0) AS BIGINT) AS global_offset FROM b) "
+        "SELECT doc_id, n_chars, global_offset, "
+        " global_offset // 4096 AS seq_id, global_offset % 4096 AS seq_pos FROM o"
     ),
     "semdedup": (
         "SELECT a.vec_id, CAST(a.vec_id % 16 AS BIGINT) AS cluster "

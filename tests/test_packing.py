@@ -1,0 +1,104 @@
+"""Sequence packing (packing.pack_sequences): prefix-sum parity, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _corpus(n: int = 500, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    t = pa.table(
+        {
+            "record_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.integers(0, 900, n).astype(np.int64),
+        }
+    )
+    return t, ray.data.from_arrow(t).repartition(5)
+
+
+def _brute(t: pa.Table, budget: int, seed: int, order: str):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from mismo_ray._util import splitmix64
+
+    ids = np.asarray(t["record_id"]).astype(np.uint64)
+    toks = np.asarray(t["n_tokens"], dtype=np.int64)
+    key = splitmix64(ids + np.uint64(seed)) if order == "hash" else ids
+    o = np.lexsort((ids, key))
+    before = np.zeros(len(o), dtype=np.int64)
+    before[o] = np.cumsum(toks[o]) - toks[o]
+    return {
+        int(i): (int(b), int(b // budget), int(b % budget))
+        for i, b in zip(np.asarray(t["record_id"]), before)
+    }
+
+
+def test_matches_single_threaded_definition(ray_session):
+    from mismo_ray.packing import pack_sequences
+
+    t, ds = _corpus()
+    for order in ("hash", "id"):
+        out = pack_sequences(
+            ds, "n_tokens", budget=2048, seed=7, order=order
+        ).to_pandas()
+        got = {
+            int(r.record_id): (int(r.global_offset), int(r.seq_id), int(r.seq_pos))
+            for r in out.itertuples()
+        }
+        assert got == _brute(t, 2048, 7, order), order
+
+
+def test_offsets_are_a_permutation_of_the_stream(ray_session):
+    from mismo_ray.packing import pack_sequences
+
+    t, ds = _corpus(300, seed=2)
+    out = (
+        pack_sequences(ds, "n_tokens", budget=1000, seed=1)
+        .to_pandas()
+        .sort_values("global_offset")
+    )
+    # offsets tile the token stream exactly: each offset = previous + tokens
+    starts = out["global_offset"].to_numpy()
+    toks = out["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+    assert (out["seq_id"] == starts // 1000).all()
+
+
+def test_stable_across_partitioning_and_bucket_count(ray_session):
+    from mismo_ray.packing import pack_sequences
+
+    t, _ = _corpus(200, seed=3)
+    a = pack_sequences(
+        ray.data.from_arrow(t).repartition(2), "n_tokens", budget=512, n_buckets=4
+    ).to_pandas()
+    b = pack_sequences(
+        ray.data.from_arrow(t).repartition(9), "n_tokens", budget=512, n_buckets=32
+    ).to_pandas()
+    a = a.sort_values("record_id").reset_index(drop=True)
+    b = b.sort_values("record_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_null_tokens_count_zero(ray_session):
+    from mismo_ray.packing import pack_sequences
+
+    t = pa.table(
+        {
+            "record_id": pa.array([0, 1, 2], type=pa.int64()),
+            "n_tokens": pa.array([10, None, 5], type=pa.int64()),
+        }
+    )
+    out = (
+        pack_sequences(
+            ray.data.from_arrow(t), "n_tokens", budget=8, order="id"
+        )
+        .to_pandas()
+        .sort_values("record_id")
+    )
+    assert list(out["global_offset"]) == [0, 10, 10]
+    assert list(out["seq_id"]) == [0, 1, 1]
