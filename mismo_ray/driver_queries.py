@@ -1496,6 +1496,18 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_affiliations_dedupe(sf_dir: str):
+    """Leipzig affiliations dedupe (pipelines.affiliations_match_pairs):
+    rare-token blocking + token-set jaccard on the bundled golden corpus.
+    Rows-only (bundled data isn't a driver view); the P/R band is gated in
+    tests/test_affiliations.py."""
+    from mismo_ray import playdata
+    from mismo_ray.pipelines import affiliations_match_pairs
+
+    lk = playdata.load_affiliations()
+    return affiliations_match_pairs(lk.left).links_ds
+
+
 def q_flagship(sf_dir: str):
     from mismo_ray.pipelines import flagship
 
@@ -1570,6 +1582,7 @@ QUERIES = {
     "drop_contaminated": q_drop_contaminated,
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
+    "affiliations_dedupe": q_affiliations_dedupe,
     "flagship_er": q_flagship,
 }
 

@@ -1,3 +1,7 @@
+from mismo_ray.pipelines._affiliations import (
+    affiliations_match_pairs,
+    featurize_affiliations,
+)
 from mismo_ray.pipelines._crawl import crawl_clean, crawl_clean_pipeline, synth_crawl
 from mismo_ray.pipelines._febrl import febrl_comparers, febrl_match_pairs
 from mismo_ray.pipelines._rldata import rldata_match_pairs
@@ -14,6 +18,8 @@ from mismo_ray.pipelines._webpages import (
 )
 
 __all__ = [
+    "affiliations_match_pairs",
+    "featurize_affiliations",
     "crawl_clean",
     "crawl_clean_pipeline",
     "synth_crawl",

@@ -27,6 +27,7 @@ from mismo_ray.linker._key_linker import KeyLinker
 from mismo_ray.types import Linkage
 
 __all__ = [
+    "load_affiliations",
     "load_febrl1",
     "load_febrl2",
     "load_febrl3",
@@ -89,3 +90,19 @@ def load_rldata500() -> Linkage:
 def load_rldata10000() -> Linkage:
     """RLdata10000: 10000 synthetic person records, 10% duplicates."""
     return _load("rldata10000")
+
+
+def load_affiliations() -> Linkage:
+    """Leipzig "Affiliations" benchmark: 2260 raw author-affiliation strings
+    from publication metadata, 330 labeled entities, 16795 true pairs.
+
+    From the Database Group at Leipzig University (CC BY 4.0), adapted by
+    the reference's converter (reference mismo/_data/_datasets/leipzig/
+    make_affiliations.py — which itself warns "the ground truth labels are
+    not very reliable": identical organization strings can carry different
+    labels). Columns: record_id int64, label_true int64, affiliation string.
+
+    Expect materially lower ceilings than febrl/RLdata here — this is the
+    realistic-noise end of the conformance corpus (see
+    tests/test_affiliations.py for the documented achievable band)."""
+    return _load("affiliations")

@@ -60,6 +60,13 @@ RLDATA_SCHEMA = {
 }
 
 
+AFFILIATIONS_SCHEMA = {
+    "record_id": pa.int64(),
+    "label_true": pa.int64(),
+    "affiliation": pa.string(),
+}
+
+
 def convert(src_csv: str, dst_parquet: str, schema: dict, sort_by: str | None):
     read_as = {
         k: (pa.string() if pa.types.is_string(v) else v) for k, v in schema.items()
@@ -99,6 +106,12 @@ def main() -> None:
         f"{DST}/rldata10000.parquet",
         RLDATA_SCHEMA,
         None,
+    )
+    convert(
+        f"{SRC}/leipzig/affiliations.csv",
+        f"{DST}/affiliations.parquet",
+        AFFILIATIONS_SCHEMA,
+        "record_id",
     )
 
 
