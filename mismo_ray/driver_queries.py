@@ -1496,6 +1496,53 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Two-run incremental NEAR-dedupe through the sharded band-key index
+    (state.dedup_index.StreamingNearDupIndex): run 1 ingests even-id docs
+    and snapshots; run 2 ingests odd-id docs plus lightly-EDITED re-crawls
+    (text + ' updated tail marker', new ids) of every doc_id%10==0 doc —
+    near-dups, not exact dups, so only the LSH index catches them.
+    Rows-only (greedy arrival-order semantics have no SQL expression);
+    single-partition days keep the greedy order deterministic."""
+    import os
+    import tempfile
+
+    from mismo_ray.state.dedup_index import incremental_neardup_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    def near_recrawls(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % 10 == 0))
+        ids2 = np.asarray(t["doc_id"], dtype=np.int64) + 1_000_000
+        edited = pc.binary_join_element_wise(
+            t["text"].combine_chunks(), "updated tail marker", " "
+        )
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids2)
+        ).set_column(t.schema.get_field_index("text"), "text", edited)
+
+    day1 = docs.map_batches(half(0), batch_format="pyarrow").repartition(1)
+    day2 = (
+        docs.map_batches(half(1), batch_format="pyarrow")
+        .union(docs.map_batches(near_recrawls, batch_format="pyarrow"))
+        .repartition(1)
+    )
+    snap = os.path.join(
+        tempfile.mkdtemp(prefix="mismo_ray_neardup_"), "idx.parquet"
+    )
+    incremental_neardup_filter(day1, "text", snapshot_out=snap)
+    kept2 = incremental_neardup_filter(day2, "text", snapshot_in=snap)
+    return kept2.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_affiliations_dedupe(sf_dir: str):
     """Leipzig affiliations dedupe (pipelines.affiliations_match_pairs):
     rare-token blocking + token-set jaccard on the bundled golden corpus.
@@ -1583,6 +1630,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
     "affiliations_dedupe": q_affiliations_dedupe,
+    "incremental_neardup": q_incremental_neardup,
     "flagship_er": q_flagship,
 }
 

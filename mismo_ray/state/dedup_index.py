@@ -85,6 +85,21 @@ class _IndexShard:
         for f in fps:
             self._seen.setdefault(f, _RESTORED)
 
+    def contains_excluding(self, fps: list[int], token: int) -> list[bool]:
+        """True where the fingerprint is present AND owned by a DIFFERENT
+        token. Claims made by this same token read as absent, so a replayed
+        batch (same claim token) sees the pre-replay state of its own keys —
+        the read half of the near-dup index's two-phase protocol."""
+        seen = self._seen
+        return [(f in seen and seen[f] != token) for f in fps]
+
+    def add(self, fps: list[int], token: int) -> None:
+        """Claim fingerprints unconditionally (first owner wins; re-adding
+        an owned key is a no-op). The write half of the two-phase protocol."""
+        seen = self._seen
+        for f in fps:
+            seen.setdefault(f, token)
+
 
 class StreamingDedupIndex:
     """Sharded cross-run exact-dedup index.
@@ -197,6 +212,209 @@ class StreamingDedupIndex:
             ]
         )
         return self
+
+
+class StreamingNearDupIndex:
+    """Sharded cross-run NEAR-dup index: MinHash LSH band keys in the same
+    actor shards the exact index uses.
+
+    A document is dropped when ANY of its ``n_bands`` band keys is already
+    claimed (standard LSH: two docs at jaccard j share a band with
+    probability 1-(1-j^r)^b, r = num_hashes/n_bands); a kept document claims
+    all of its band keys. Within a batch the rule is applied greedily in row
+    order (exact). Across batches racing on DIFFERENT shards the check and
+    the claim are not one atomic step, so two concurrently-ingested
+    near-dups can occasionally both survive — the usual multi-writer
+    dedup-index relaxation (a Bloom-filter dedupper has the same window);
+    ingest days sequentially when that matters.
+
+    Same replay defenses as :class:`StreamingDedupIndex`: results are
+    materialized, and both phases carry the batch claim token —
+    ``contains_excluding`` hides a replayed batch's own claims, so a task
+    retry keeps exactly the rows the first attempt kept.
+
+    Index memory: ``n_bands`` int64 keys per kept doc across all shards.
+    """
+
+    def __init__(
+        self,
+        *,
+        n_shards: int = 16,
+        num_hashes: int = 16,
+        n_bands: int = 8,
+        shingle_w: int = 24,
+        seed: int = 7,
+    ):
+        if num_hashes % n_bands:
+            raise ValueError("num_hashes must be divisible by n_bands")
+        self.n_shards = n_shards
+        self.num_hashes = num_hashes
+        self.n_bands = n_bands
+        self.shingle_w = shingle_w
+        self.seed = seed
+        self._shards = [_IndexShard.remote() for _ in range(n_shards)]
+
+    def filter_new(
+        self, ds: ray.data.Dataset, column: str
+    ) -> ray.data.Dataset:
+        """Rows not near-duplicating anything this index has seen (nor an
+        earlier row of the same batch). Null/shingle-less texts always pass
+        (no signature). Materialized before returning — see class docstring."""
+        shards = self._shards
+        n_shards = self.n_shards
+        num_hashes, n_bands = self.num_hashes, self.n_bands
+        shingle_w, seed = self.shingle_w, self.seed
+
+        def fn(t: pa.Table) -> pa.Table:
+            from mismo_ray._util import splitmix64
+            from mismo_ray.dedupe import (
+                band_keys_from_signatures,
+                minhash_signatures_charhash_batch,
+            )
+
+            if len(t) == 0:
+                return t
+            texts = t[column].to_pylist()
+            sig, valid = minhash_signatures_charhash_batch(
+                texts, num_hashes=num_hashes, shingle_w=shingle_w, seed=seed
+            )
+            keys = band_keys_from_signatures(sig, valid, n_bands=n_bands)
+            # docs with no signature (null / shorter than one shingle) pass
+            has_keys = np.array(
+                [k is not None and len(texts[i] or "") >= shingle_w
+                 for i, k in enumerate(keys)],
+                dtype=bool,
+            )
+            flat = np.array(
+                [f for i, k in enumerate(keys) if has_keys[i] for f in k],
+                dtype=np.int64,
+            )
+            with np.errstate(over="ignore"):
+                tok = np.bitwise_xor.reduce(
+                    splitmix64(
+                        flat.astype(np.uint64)
+                        ^ splitmix64(np.arange(len(flat), dtype=np.uint64))
+                    )
+                ) if len(flat) else np.uint64(1)
+                if "record_id" in t.column_names:
+                    tok ^= np.bitwise_xor.reduce(
+                        hash64(t["record_id"], seed=0x1D)
+                    )
+            token = int(np.uint64(tok).astype(np.int64))
+            if token == _RESTORED:
+                token = 1
+            # phase A: one membership call per touched shard, all keys
+            sh = (flat.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+            hit = np.zeros(len(flat), dtype=bool)
+            futures, positions = [], []
+            for s in np.unique(sh):
+                pos = np.flatnonzero(sh == s)
+                futures.append(
+                    shards[int(s)].contains_excluding.remote(
+                        [int(f) for f in flat[pos]], token
+                    )
+                )
+                positions.append(pos)
+            for pos, mask in zip(positions, ray.get(futures)):
+                hit[pos] = np.asarray(mask, dtype=bool)
+            # greedy in row order: keep unless a band key hits the index or
+            # an earlier KEPT row of this batch
+            keep = np.ones(len(t), dtype=bool)
+            local: set[int] = set()
+            j = 0
+            claim: list[int] = []
+            for i in range(len(t)):
+                if not has_keys[i]:
+                    continue
+                ks = keys[i]
+                row_hit = False
+                for b in range(n_bands):
+                    if hit[j + b] or ks[b] in local:
+                        row_hit = True
+                if row_hit:
+                    keep[i] = False
+                else:
+                    local.update(ks)
+                    claim.extend(ks)
+                j += n_bands
+            # phase B: claim the kept rows' keys
+            if claim:
+                carr = np.array(claim, dtype=np.int64)
+                csh = (carr.astype(np.uint64) % np.uint64(n_shards)).astype(
+                    np.int64
+                )
+                ray.get(
+                    [
+                        shards[int(s)].add.remote(
+                            [int(f) for f in carr[csh == s]], token
+                        )
+                        for s in np.unique(csh)
+                    ]
+                )
+            return t.filter(pa.array(keep))
+
+        return ds.map_batches(fn, batch_format="pyarrow").materialize()
+
+    def n_seen_keys(self) -> int:
+        return int(sum(ray.get([s.size.remote() for s in self._shards])))
+
+    def shutdown(self) -> None:
+        for s in self._shards:
+            ray.kill(s)
+        self._shards = []
+
+    def snapshot(self, path: str) -> None:
+        fps: list[int] = []
+        for chunk in ray.get([s.dump.remote() for s in self._shards]):
+            fps.extend(chunk)
+        pq.write_table(pa.table({"fp": pa.array(fps, type=pa.int64())}), path)
+
+    def restore(self, path: str) -> "StreamingNearDupIndex":
+        fps_signed = np.asarray(pq.read_table(path)["fp"], dtype=np.int64)
+        sh = (fps_signed.astype(np.uint64) % np.uint64(self.n_shards)).astype(
+            np.int64
+        )
+        ray.get(
+            [
+                self._shards[s].load.remote([int(f) for f in fps_signed[sh == s]])
+                for s in range(self.n_shards)
+            ]
+        )
+        return self
+
+
+def incremental_neardup_filter(
+    day: ray.data.Dataset,
+    column: str,
+    *,
+    snapshot_in: str | None = None,
+    snapshot_out: str | None = None,
+    n_shards: int = 16,
+    num_hashes: int = 16,
+    n_bands: int = 8,
+    shingle_w: int = 24,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """One ingest step of an incremental cross-run NEAR-dedupe loop: restore
+    the band-key index, drop near-dups of anything previously ingested,
+    persist the updated index. The near analog of
+    :func:`incremental_filter_new`."""
+    import os
+
+    idx = StreamingNearDupIndex(
+        n_shards=n_shards,
+        num_hashes=num_hashes,
+        n_bands=n_bands,
+        shingle_w=shingle_w,
+        seed=seed,
+    )
+    if snapshot_in and os.path.exists(snapshot_in):
+        idx.restore(snapshot_in)
+    out = idx.filter_new(day, column)
+    if snapshot_out:
+        idx.snapshot(snapshot_out)
+    idx.shutdown()
+    return out
 
 
 def incremental_filter_new(
