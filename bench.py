@@ -102,6 +102,12 @@ def run_bench() -> dict:
         dq.q_febrl_dedupe(sf_dir).count()
     with timed("incremental_dedupe"):
         dq.q_incremental_dedupe(sf_dir).count()
+    with timed("decontaminate"):
+        dq.q_decontaminate(sf_dir).count()
+    with timed("pack_sequences"):
+        dq.q_pack_sequences(sf_dir).count()
+    with timed("mixture_sample"):
+        dq.q_mixture_sample(sf_dir).count()
 
     # ---- webtext cleaning chain (canonical URL -> PII redact -> lang-ID ->
     # quality gate -> C4 line dedup -> exact dedupe) over an amplified corpus.

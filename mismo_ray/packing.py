@@ -153,3 +153,86 @@ def pack_sequences(
         .groupby("__pbkt__")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def write_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    tokens_column: str,
+    budget: int,
+    seqs_per_shard: int = 1024,
+    id_column: str = "record_id",
+    seed: int = 0,
+    order: str = "hash",
+) -> dict:
+    """Pack the corpus and write it as resumable, training-ready shards.
+
+    :func:`pack_sequences` assigns seq_id/seq_pos; docs are then written as
+    hive-partitioned parquet keyed by ``shard = seq_id // seqs_per_shard``
+    (consecutive sequences stay physically together, so a dataloader reads
+    one shard = one contiguous slice of the token stream), each shard sorted
+    by (seq_id, seq_pos). The directory carries the ``_DONE`` marker
+    convention of ``state.resume`` so a killed export is detected and
+    re-run, never half-read. Returns counters (docs, tokens, n_seqs,
+    n_shards).
+    """
+    import os
+    import shutil
+
+    packed = pack_sequences(
+        ds,
+        tokens_column,
+        budget=budget,
+        id_column=id_column,
+        seed=seed,
+        order=order,
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        seq = np.asarray(t["seq_id"], dtype=np.int64)
+        return t.append_column("shard", pa.array(seq // seqs_per_shard))
+
+    # materialize once: the write, the stats and the counters all read the
+    # same computed blocks (pack_sequences already documented its two passes)
+    with_shard = (
+        packed.map_batches(add_shard, batch_format="pyarrow")
+        .sort(["seq_id", "seq_pos"])
+        .materialize()
+    )
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    with_shard.write_parquet(out_dir, partition_cols=["shard"])
+    # per-shard stats double as the lineage counters
+    stats = with_shard.groupby("shard").count().to_pandas()
+    toks = int(
+        with_shard.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            int(
+                                np.asarray(
+                                    t[tokens_column]
+                                    .combine_chunks()
+                                    .fill_null(0)
+                                    .cast(pa.int64(), safe=False),
+                                    dtype=np.int64,
+                                ).sum()
+                            )
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+    counters = {
+        "docs": int(stats["count()"].sum()),
+        "tokens": toks,
+        "n_seqs": int(np.ceil(toks / budget)) if toks else 0,
+        "n_shards": int(len(stats)),
+    }
+    with open(os.path.join(out_dir, "_DONE"), "w") as f:
+        f.write(str(counters["n_shards"]))
+    return counters

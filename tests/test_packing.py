@@ -84,6 +84,32 @@ def test_stable_across_partitioning_and_bucket_count(ray_session):
     assert a.equals(b)
 
 
+def test_write_training_shards(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mismo_ray.packing import write_training_shards
+    from mismo_ray.state.resume import is_complete
+
+    t, ds = _corpus(400, seed=5)
+    out = str(tmp_path / "shards")
+    counters = write_training_shards(
+        ds, out, tokens_column="n_tokens", budget=1024, seqs_per_shard=16
+    )
+    assert counters["docs"] == 400
+    assert counters["tokens"] == int(t["n_tokens"].to_numpy().sum())
+    assert counters["n_seqs"] == -(-counters["tokens"] // 1024)
+    assert is_complete(out)
+    # shards hold contiguous seq ranges, rows ordered by (seq_id, seq_pos)
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) == counters["n_shards"]
+    back = pq.read_table(os.path.join(out, shard_dirs[0])).to_pandas()
+    assert (back["seq_id"] // 16 == int(shard_dirs[0].split("=")[1])).all()
+    key = back["seq_id"] * 10_000 + back["seq_pos"]
+    assert (key.to_numpy()[1:] >= key.to_numpy()[:-1]).all()
+
+
 def test_null_tokens_count_zero(ray_session):
     from mismo_ray.packing import pack_sequences
 
