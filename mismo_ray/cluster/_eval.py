@@ -190,3 +190,133 @@ def pairwise_metrics_from_links(
         "fp": fp,
         "true_pairs": int(true_pairs),
     }
+
+
+def pr_curve(
+    links: ray.data.Dataset,
+    *,
+    score_column: str,
+    truth_column: str,
+    thresholds,
+) -> "pa.Table":
+    """Precision/recall/F1 at each score threshold, in ONE streaming pass.
+
+    ``links`` carries a numeric score and a boolean truth flag per candidate
+    pair (tag it upstream: carried-column compare or a join against true
+    links). For each threshold t the predicted set is ``score >= t``; tp/fn
+    are counted within the candidate set (standard post-blocking pairwise
+    metrics — blocking misses are :func:`blocking_report`'s job).
+
+    Distributed shape: each batch histograms its true/false scores over the
+    threshold boundaries (searchsorted — no per-threshold rescan) and emits
+    one tiny partial row; the driver sums partials and suffix-cumulates.
+    Output: one row per threshold (threshold as float64, tp/fp/fn int64,
+    precision/recall/f1 float64). The threshold sweep the reference leaves
+    to notebook code, as a distributed one-pass op.
+    """
+    import numpy as np
+
+    th = np.asarray(sorted(thresholds), dtype=np.float64)
+    k = len(th)
+    if k == 0:
+        raise ValueError("thresholds must be non-empty")
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(
+            t[score_column].combine_chunks().cast(pa.float64()), dtype=np.float64
+        )
+        tru = np.asarray(t[truth_column].combine_chunks(), dtype=bool)
+        # bin i = count of scores in [th[i], th[i+1]); suffix-sum later gives
+        # count(score >= th[i])
+        bins_t = np.bincount(
+            np.searchsorted(th, s[tru], side="right"), minlength=k + 1
+        )[1:]
+        bins_f = np.bincount(
+            np.searchsorted(th, s[~tru], side="right"), minlength=k + 1
+        )[1:]
+        n_true = int(tru.sum())
+        return pa.table(
+            {
+                "i": pa.array(np.arange(k, dtype=np.int64)),
+                "t": pa.array(bins_t.astype(np.int64)),
+                "f": pa.array(bins_f.astype(np.int64)),
+                "n_true": pa.array(
+                    np.full(k, n_true, dtype=np.int64) * (np.arange(k) == 0)
+                ),
+            }
+        )
+
+    t_bins = np.zeros(k, dtype=np.int64)
+    f_bins = np.zeros(k, dtype=np.int64)
+    n_true_total = 0
+    for b in links.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        idx = np.asarray(b["i"], dtype=np.int64)
+        np.add.at(t_bins, idx, np.asarray(b["t"], dtype=np.int64))
+        np.add.at(f_bins, idx, np.asarray(b["f"], dtype=np.int64))
+        n_true_total += int(np.asarray(b["n_true"], dtype=np.int64).sum())
+    tp = np.cumsum(t_bins[::-1])[::-1]
+    fp = np.cumsum(f_bins[::-1])[::-1]
+    fn = n_true_total - tp
+    with np.errstate(invalid="ignore", divide="ignore"):
+        precision = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 1.0)
+        recall = np.where(n_true_total > 0, tp / max(n_true_total, 1), 1.0)
+        f1 = np.where(
+            precision + recall > 0,
+            2 * precision * recall / np.maximum(precision + recall, 1e-300),
+            0.0,
+        )
+    return pa.table(
+        {
+            "threshold": pa.array(th),
+            "tp": pa.array(tp.astype(np.int64)),
+            "fp": pa.array(fp.astype(np.int64)),
+            "fn": pa.array(fn.astype(np.int64)),
+            "precision": pa.array(precision),
+            "recall": pa.array(recall),
+            "f1": pa.array(f1),
+        }
+    )
+
+
+def blocking_report(
+    candidate_links: ray.data.Dataset,
+    true_links: ray.data.Dataset,
+    *,
+    n_left: int,
+    n_right: int | None = None,
+) -> dict:
+    """Blocking-quality metrics: pair-completeness (recall of true pairs
+    into the candidate set) and reduction ratio vs the full cross product.
+
+    ``n_right=None`` means dedupe (denominator n*(n-1)/2). One semi join
+    (candidates ∩ truth) + three counts; nothing is collected but scalars.
+    """
+    from mismo_ray._joins import hash_join
+
+    n_cand = candidate_links.count()
+    n_true = true_links.count()
+    found = hash_join(
+        true_links,
+        candidate_links,
+        on=["record_id_l", "record_id_r"],
+        how="left_semi",
+        left_schema=pa.schema(
+            [pa.field("record_id_l", pa.int64()), pa.field("record_id_r", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [pa.field("record_id_l", pa.int64()), pa.field("record_id_r", pa.int64())]
+        ),
+    ).count()
+    total = (
+        n_left * (n_left - 1) // 2 if n_right is None else n_left * n_right
+    )
+    return {
+        "n_candidates": int(n_cand),
+        "n_true": int(n_true),
+        "true_found": int(found),
+        "pair_completeness": found / n_true if n_true else 1.0,
+        "reduction_ratio": 1.0 - (n_cand / total) if total else 0.0,
+        "total_pairs": int(total),
+    }

@@ -1496,6 +1496,50 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_pr_curve(sf_dir: str):
+    """Threshold sweep over FS odds (cluster.pr_curve): the fs_score pairs,
+    truth = equality of the name's FIRST token (a coarser signal than the
+    scored full-name/type features), thresholds at the pipeline's 3 distinct
+    odds products. One streaming pass histograms scores per class; the
+    oracle re-derives every row with SQL filters over the same scored CTE."""
+    from mismo_ray.cluster import pr_curve
+
+    scored = _scored_pairs(sf_dir)
+
+    def first_tok(col: pa.ChunkedArray) -> pa.Array:
+        return pc.list_element(
+            pc.split_pattern(col.combine_chunks(), pattern=" "), 0
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "odds_e6": _e6(np.asarray(t["odds"], dtype=np.float64)),
+                "is_true": pc.equal(
+                    first_tok(t["p_name_l"]), first_tok(t["p_name_r"])
+                ),
+            }
+        )
+
+    curve = pr_curve(
+        scored.map_batches(tag, batch_format="pyarrow"),
+        score_column="odds_e6",
+        truth_column="is_true",
+        thresholds=[1_000_000, 8_000_000, 80_000_000],
+    )
+
+    return pa.table(
+        {
+            "threshold": curve["threshold"].cast(pa.int64()),
+            "tp": curve["tp"],
+            "fp": curve["fp"],
+            "fn": curve["fn"],
+            "precision_e6": _e6(np.asarray(curve["precision"], dtype=np.float64)),
+            "recall_e6": _e6(np.asarray(curve["recall"], dtype=np.float64)),
+        }
+    )
+
+
 def q_incremental_neardup(sf_dir: str):
     """Two-run incremental NEAR-dedupe through the sharded band-key index
     (state.dedup_index.StreamingNearDupIndex): run 1 ingests even-id docs
@@ -1631,6 +1675,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "affiliations_dedupe": q_affiliations_dedupe,
     "incremental_neardup": q_incremental_neardup,
+    "pr_curve": q_pr_curve,
     "flagship_er": q_flagship,
 }
 
@@ -1816,6 +1861,28 @@ ORACLE_SQL = {
         "b AS (SELECT p_partkey, xor(z, z >> 31) % 1000000 AS bucket FROM s3) "
         "SELECT p_partkey AS record_id, CASE WHEN bucket < 800000 THEN 'train' "
         "WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+    "pr_curve": (
+        # same scored CTE as fs_score + mfgr truth; per-threshold filters
+        "WITH pairs AS (SELECT a.p_partkey AS record_id_l, b.p_partkey AS record_id_r, "
+        " a.p_name AS p_name_l, b.p_name AS p_name_r, a.p_type AS p_type_l, b.p_type AS p_type_r, "
+        " (list_extract(string_split(a.p_name, ' '), 1) = list_extract(string_split(b.p_name, ' '), 1)) AS is_true "
+        " FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey), "
+        "lvl AS (SELECT is_true, "
+        " CAST(ROUND((CASE WHEN p_name_l = p_name_r THEN 0.9/0.01 "
+        "   WHEN levenshtein(p_name_l, p_name_r) <= 3 THEN 0.5/0.05 ELSE 1.0 END "
+        "  * CASE WHEN p_type_l = p_type_r THEN 0.8/0.1 ELSE 1.0 END) * 1000000) AS BIGINT) AS odds_e6 "
+        " FROM pairs), "
+        "th AS (SELECT unnest([1000000, 8000000, 80000000]) AS threshold), "
+        "agg AS (SELECT th.threshold, "
+        " CAST(sum(CASE WHEN odds_e6 >= th.threshold AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+        " CAST(sum(CASE WHEN odds_e6 >= th.threshold AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+        " CAST(sum(CASE WHEN odds_e6 < th.threshold AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS fn "
+        " FROM th CROSS JOIN lvl GROUP BY th.threshold) "
+        "SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn, "
+        " CAST(CASE WHEN tp + fp > 0 THEN ROUND(tp / (tp + fp) * 1000000) ELSE 1000000 END AS BIGINT) AS precision_e6, "
+        " CAST(CASE WHEN tp + fn > 0 THEN ROUND(tp / (tp + fn) * 1000000) ELSE 1000000 END AS BIGINT) AS recall_e6 "
+        "FROM agg"
     ),
     "mixture_sample": (
         # same splitmix64 bucket as hash_split (seed 0), then per-lang rate:
