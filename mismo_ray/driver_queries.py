@@ -1496,6 +1496,23 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles (util_ops.quantiles, radix selection on
+    the order-preserving uint64 float view — histograms only, no sort, no
+    value collect) over lineitem prices; DuckDB quantile_disc is the oracle."""
+    from mismo_ray.util_ops import quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = quantiles(li, "l_extendedprice", qs)
+    return pa.table(
+        {
+            "q_e6": pa.array([int(round(q * 1e6)) for q in qs], type=pa.int64()),
+            "value": pa.array([got[q] for q in qs], type=pa.float64()),
+        }
+    )
+
+
 def q_pr_curve(sf_dir: str):
     """Threshold sweep over FS odds (cluster.pr_curve): the fs_score pairs,
     truth = equality of the name's FIRST token (a coarser signal than the
@@ -1676,6 +1693,7 @@ QUERIES = {
     "affiliations_dedupe": q_affiliations_dedupe,
     "incremental_neardup": q_incremental_neardup,
     "pr_curve": q_pr_curve,
+    "quantiles": q_quantiles,
     "flagship_er": q_flagship,
 }
 
@@ -1861,6 +1879,13 @@ ORACLE_SQL = {
         "b AS (SELECT p_partkey, xor(z, z >> 31) % 1000000 AS bucket FROM s3) "
         "SELECT p_partkey AS record_id, CASE WHEN bucket < 800000 THEN 'train' "
         "WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+    "quantiles": (
+        "WITH v AS (SELECT quantile_disc(l_extendedprice, "
+        " [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS vs FROM lineitem), "
+        "q AS (SELECT unnest([10000, 250000, 500000, 750000, 900000, 990000]) AS q_e6, "
+        " unnest(generate_series(1, 6)) AS i) "
+        "SELECT CAST(q.q_e6 AS BIGINT) AS q_e6, v.vs[CAST(q.i AS INT)] AS value FROM q, v"
     ),
     "pr_curve": (
         # same scored CTE as fs_score + mfgr truth; per-threshold filters
