@@ -386,3 +386,38 @@ def weights_chart(weights) -> dict:
             ],
         },
     }
+
+
+def pr_curve_chart(curve) -> dict:
+    """Precision-recall curve over score thresholds (companion to
+    cluster.pr_curve — pass its output table). Points are thresholds;
+    the tooltip carries the confusion counts for cut-point selection."""
+    rows = _rows(curve)
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": "Precision vs recall by score threshold",
+        "data": {"values": rows},
+        "mark": {"type": "line", "point": True},
+        "encoding": {
+            "x": {
+                "field": "recall",
+                "type": "quantitative",
+                "scale": {"domain": [0, 1]},
+            },
+            "y": {
+                "field": "precision",
+                "type": "quantitative",
+                "scale": {"domain": [0, 1]},
+            },
+            "order": {"field": "threshold"},
+            "tooltip": [
+                {"field": "threshold", "type": "quantitative"},
+                {"field": "precision", "type": "quantitative", "format": ".4f"},
+                {"field": "recall", "type": "quantitative", "format": ".4f"},
+                {"field": "f1", "type": "quantitative", "format": ".4f"},
+                {"field": "tp", "type": "quantitative"},
+                {"field": "fp", "type": "quantitative"},
+                {"field": "fn", "type": "quantitative"},
+            ],
+        },
+    }

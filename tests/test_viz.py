@@ -117,3 +117,29 @@ def test_distribution_and_key_counts_charts(ray_session):
     spec = key_counts_chart(kc)
     json.dumps(spec)
     assert spec["data"]["values"][0] == {"key": "B1, 3", "n": 100}
+
+
+def test_pr_curve_chart(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.cluster import pr_curve
+    from mismo_ray.viz import pr_curve_chart
+
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([1, 5, 9, 9, 2], type=pa.int64()),
+                "y": pa.array([False, True, True, False, True]),
+            }
+        )
+    )
+    curve = pr_curve(links, score_column="s", truth_column="y", thresholds=[2, 6])
+    spec = pr_curve_chart(curve)
+    assert spec["mark"]["type"] == "line"
+    vals = spec["data"]["values"]
+    assert len(vals) == 2
+    assert {v["threshold"] for v in vals} == {2.0, 6.0}
+    for v in vals:
+        assert 0 <= v["precision"] <= 1 and 0 <= v["recall"] <= 1
