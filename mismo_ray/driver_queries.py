@@ -1496,6 +1496,38 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_blocking_report(sf_dir: str):
+    """Blocking quality (cluster.blocking_report): pair completeness and
+    reduction ratio of (p_brand, p_size) blocking against first-name-token
+    ground truth. One semi join + three counts; SQL-oracled exactly."""
+    from mismo_ray.cluster import blocking_report
+    from mismo_ray.linker import KeyLinker
+
+    parts = _part_records(sf_dir)
+    n = parts.count()
+    cand = KeyLinker(["p_brand", "p_size"], salt_rows=4096)(parts, parts).links_ds
+
+    def truth_keyed(t: pa.Table) -> pa.Table:
+        tok = pc.list_element(
+            pc.split_pattern(t["p_name"].combine_chunks(), pattern=" "), 0
+        )
+        return pa.table({"record_id": t["record_id"], "tok": tok})
+
+    keyed = parts.map_batches(truth_keyed, batch_format="pyarrow")
+    truth = KeyLinker("tok", salt_rows=4096)(keyed, keyed).links_ds
+    rep = blocking_report(cand, truth, n_left=n)
+    return pa.table(
+        {
+            "n_candidates": pa.array([rep["n_candidates"]], type=pa.int64()),
+            "n_true": pa.array([rep["n_true"]], type=pa.int64()),
+            "true_found": pa.array([rep["true_found"]], type=pa.int64()),
+            "total_pairs": pa.array([rep["total_pairs"]], type=pa.int64()),
+            "completeness_e6": _e6(np.array([rep["pair_completeness"]])),
+            "reduction_e6": _e6(np.array([rep["reduction_ratio"]])),
+        }
+    )
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles (util_ops.quantiles, radix selection on
     the order-preserving uint64 float view — histograms only, no sort, no
@@ -1694,6 +1726,7 @@ QUERIES = {
     "incremental_neardup": q_incremental_neardup,
     "pr_curve": q_pr_curve,
     "quantiles": q_quantiles,
+    "blocking_report": q_blocking_report,
     "flagship_er": q_flagship,
 }
 
@@ -1879,6 +1912,23 @@ ORACLE_SQL = {
         "b AS (SELECT p_partkey, xor(z, z >> 31) % 1000000 AS bucket FROM s3) "
         "SELECT p_partkey AS record_id, CASE WHEN bucket < 800000 THEN 'train' "
         "WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+    "blocking_report": (
+        "WITH cand AS (SELECT a.p_partkey AS l, b.p_partkey AS r FROM part a JOIN part b "
+        " ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey), "
+        "tru AS (SELECT a.p_partkey AS l, b.p_partkey AS r FROM part a JOIN part b "
+        " ON list_extract(string_split(a.p_name, ' '), 1) = list_extract(string_split(b.p_name, ' '), 1) "
+        " AND a.p_partkey < b.p_partkey), "
+        "n AS (SELECT count(*) AS c FROM part), "
+        "s AS (SELECT (SELECT count(*) FROM cand) AS n_candidates, "
+        " (SELECT count(*) FROM tru) AS n_true, "
+        " (SELECT count(*) FROM tru SEMI JOIN cand USING (l, r)) AS true_found, "
+        " (SELECT c * (c - 1) // 2 FROM n) AS total_pairs) "
+        "SELECT CAST(n_candidates AS BIGINT) AS n_candidates, CAST(n_true AS BIGINT) AS n_true, "
+        " CAST(true_found AS BIGINT) AS true_found, CAST(total_pairs AS BIGINT) AS total_pairs, "
+        " CAST(ROUND(true_found / n_true * 1000000) AS BIGINT) AS completeness_e6, "
+        " CAST(ROUND((1.0 - n_candidates / total_pairs) * 1000000) AS BIGINT) AS reduction_e6 "
+        "FROM s"
     ),
     "quantiles": (
         "WITH v AS (SELECT quantile_disc(l_extendedprice, "
