@@ -1496,6 +1496,28 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_row_number(sf_dir: str):
+    """Global row numbers in the splitmix64 pseudo-shuffle order
+    (packing.add_row_number — distributed ROW_NUMBER()); window-function
+    oracle over the same order."""
+    from mismo_ray.packing import add_row_number
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return add_row_number(docs, id_column="doc_id", seed=0, order="hash")
+
+
+def q_compression_stats(sf_dir: str):
+    """zlib deflate-size quality signal (textstats.add_compression_stats).
+    Rows-only: DuckDB has no deflate; exact byte counts are pytest-gated
+    against zlib in tests/test_text.py."""
+    from mismo_ray.textstats import add_compression_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_compression_stats(docs, "text").select_columns(
+        ["doc_id", "utf8_bytes", "deflate_bytes"]
+    )
+
+
 def q_blocking_report(sf_dir: str):
     """Blocking quality (cluster.blocking_report): pair completeness and
     reduction ratio of (p_brand, p_size) blocking against first-name-token
@@ -1727,6 +1749,8 @@ QUERIES = {
     "pr_curve": q_pr_curve,
     "quantiles": q_quantiles,
     "blocking_report": q_blocking_report,
+    "row_number": q_row_number,
+    "compression_stats": q_compression_stats,
     "flagship_er": q_flagship,
 }
 
@@ -1912,6 +1936,14 @@ ORACLE_SQL = {
         "b AS (SELECT p_partkey, xor(z, z >> 31) % 1000000 AS bucket FROM s3) "
         "SELECT p_partkey AS record_id, CASE WHEN bucket < 800000 THEN 'train' "
         "WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+    "row_number": (
+        # splitmix64(doc_id) order (seed 0) -> ROW_NUMBER() - 1
+        "WITH s1 AS (SELECT doc_id, CAST((CAST(CAST(doc_id AS UBIGINT) AS HUGEINT) + 11400714819323198485) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM documents), "
+        "s2 AS (SELECT doc_id, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+        "s3 AS (SELECT doc_id, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2) "
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY xor(z, z >> 31), doc_id) - 1 AS BIGINT) AS row_number FROM s3"
     ),
     "blocking_report": (
         "WITH cand AS (SELECT a.p_partkey AS l, b.p_partkey AS r FROM part a JOIN part b "

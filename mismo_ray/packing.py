@@ -155,6 +155,49 @@ def pack_sequences(
     )
 
 
+def add_row_number(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "record_id",
+    seed: int = 0,
+    order: str = "id",
+    row_number_as: str = "row_number",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Global 0-based row number in a deterministic total order — the
+    distributed ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+    ``order="id"``: ordered by id. ``order="hash"``: ordered by the
+    splitmix64 pseudo-shuffle of the id (a deterministic global shuffle —
+    assign-once example ordering for training). Same two-pass prefix-sum
+    machinery as :func:`pack_sequences` with a unit weight per row; see its
+    docstring for the scale analysis (consumes ``ds`` twice).
+    """
+    unit = "__one__"
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(unit, pa.array(np.ones(len(t), dtype=np.int64)))
+
+    packed = pack_sequences(
+        ds.map_batches(add_one, batch_format="pyarrow"),
+        unit,
+        budget=1,
+        id_column=id_column,
+        seed=seed,
+        order=order,
+        n_buckets=n_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([unit, "seq_id", "seq_pos"])
+        idx = t.schema.get_field_index("global_offset")
+        return t.set_column(
+            idx, row_number_as, t.column("global_offset")
+        )
+
+    return packed.map_batches(finish, batch_format="pyarrow")
+
+
 def write_training_shards(
     ds: ray.data.Dataset,
     out_dir: str,

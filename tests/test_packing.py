@@ -128,3 +128,24 @@ def test_null_tokens_count_zero(ray_session):
     )
     assert list(out["global_offset"]) == [0, 10, 10]
     assert list(out["seq_id"]) == [0, 1, 1]
+
+
+def test_add_row_number(ray_session):
+    from mismo_ray.packing import add_row_number
+
+    t, ds = _corpus(300, seed=7)
+    out = add_row_number(ds, order="id").to_pandas().sort_values("record_id")
+    # id order: row_number == record_id (ids are 0..n-1)
+    assert (out["row_number"].to_numpy() == out["record_id"].to_numpy()).all()
+    shuf = add_row_number(ds, order="hash", seed=3).to_pandas()
+    rn = np.sort(shuf["row_number"].to_numpy())
+    assert (rn == np.arange(300)).all()  # a permutation
+    # deterministic across partitionings
+    import ray.data as rd
+
+    shuf2 = add_row_number(
+        rd.from_arrow(t).repartition(11), order="hash", seed=3
+    ).to_pandas()
+    a = shuf.sort_values("record_id")["row_number"].to_numpy()
+    b = shuf2.sort_values("record_id")["row_number"].to_numpy()
+    assert (a == b).all()

@@ -326,3 +326,37 @@ def test_token_stats_parity(ray_session):
             ) / len(toks)
         else:
             assert got.avg_token_len[i] == 0.0 and got.stopword_ratio[i] == 0.0
+
+
+def test_add_compression_stats(ray_session):
+    import zlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.textstats import add_compression_stats
+
+    docs = ["abc " * 200, "completely unrepetitive mixture 9f3k1", None, ""]
+    t = pa.table(
+        {
+            "record_id": pa.array(list(range(4)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    out = (
+        add_compression_stats(ray.data.from_arrow(t), "text")
+        .to_pandas()
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(docs):
+        if s is None:
+            assert out.loc[i, "utf8_bytes"] == 0 and out.loc[i, "deflate_bytes"] == 0
+        else:
+            b = s.encode()
+            assert out.loc[i, "utf8_bytes"] == len(b)
+            assert out.loc[i, "deflate_bytes"] == len(zlib.compress(b, 6))
+    # the repetitive doc compresses far better than the unique one
+    rep = out.loc[0, "deflate_bytes"] / out.loc[0, "utf8_bytes"]
+    uni = out.loc[1, "deflate_bytes"] / out.loc[1, "utf8_bytes"]
+    assert rep < 0.05 < uni
