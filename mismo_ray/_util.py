@@ -45,7 +45,10 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     arr = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
     if seed:
         with np.errstate(over="ignore"):
-            arr = arr ^ splitmix64(np.full(1, np.uint64(seed)))[0]
+            # mask: negative seeds must not raise on NumPy 2.x
+            arr = arr ^ splitmix64(
+                np.full(1, np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+            )[0]
     return splitmix64(arr.astype(np.uint64))
 
 

@@ -74,19 +74,24 @@ def pack_sequences(
     B = n_buckets or default_num_partitions()
     shift = np.uint64(64 - max(1, int(np.ceil(np.log2(B)))))
 
-    schema = ds.schema()
-    id_type = dict(zip(schema.names, schema.types))[id_column]
-    int_id = pa.types.is_integer(id_type)
+    def ids_of(col) -> np.ndarray:
+        """Non-null integer ids as uint64 (hash64 for other types). Type is
+        decided per batch; int-with-null is rejected rather than silently
+        widened to float64 (loses ids > 2^53, batch-dependent)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            if col.null_count:
+                raise ValueError("id column contains nulls")
+            return np.asarray(col).astype(np.uint64)
+        return hash64(col, seed=0x1D5)
 
     def key_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """(order key, bucket) for a batch."""
-        if int_id:
-            ids = np.asarray(t[id_column]).astype(np.uint64)
-        else:
-            ids = hash64(t[id_column], seed=0x1D5)
+        ids = ids_of(t[id_column])
         if order == "hash":
             with np.errstate(over="ignore"):
-                key = splitmix64(ids + np.uint64(seed))
+                key = splitmix64(ids + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
         else:
             key = ids
         return key, (key >> shift).astype(np.int64)
@@ -132,10 +137,7 @@ def pack_sequences(
         offs = ray.get(off_ref)
         bkt = int(g["__pbkt__"][0].as_py())
         key = np.asarray(g["__pkey__"], dtype=np.uint64)
-        if int_id:
-            ids = np.asarray(g[id_column]).astype(np.uint64)
-        else:
-            ids = hash64(g[id_column], seed=0x1D5)
+        ids = ids_of(g[id_column])
         toks = toks_of(g)
         o = np.lexsort((ids, key))
         csum = np.cumsum(toks[o])

@@ -226,29 +226,48 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        # negative fractions make the cumulative bounds non-monotonic and
+        # searchsorted silently garbage — reject up front
+        raise ValueError("fractions must be >= 0")
     names = list(fractions)
     bounds = np.round(np.cumsum([fractions[n] for n in names]) * buckets)
     bounds[-1] = buckets  # guard float drift: last bucket always labeled
 
-    schema = ds.schema()
-    id_type = dict(zip(schema.names, schema.types))[id_column]
-    int_id = pa.types.is_integer(id_type)
-
     def fn(t: pa.Table) -> pa.Table:
-        from mismo_ray._util import splitmix64
-
-        if int_id:
-            ids = np.asarray(t[id_column]).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                h = splitmix64(ids + np.uint64(seed))
-        else:
-            h = hash64(t[id_column], seed=seed)
+        h = _id_mix64(t[id_column], seed)
         bucket = (h % np.uint64(buckets)).astype(np.int64)
         lab = np.searchsorted(bounds, bucket, side="right")
         labels = pa.array(np.array(names, dtype=object)[lab])
         return t.append_column(label_as, labels.cast(pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _id_mix64(col, seed: int) -> np.ndarray:
+    """splitmix64(id + seed) for integer id columns (the SQL-reproducible
+    path), hash64 otherwise — uint64 per row.
+
+    Type is decided per batch (no driver-side ds.schema(), which can force
+    partial execution of a lazy plan). Integer columns with nulls are
+    REJECTED rather than silently routed through float64 (numpy widens
+    int-with-null to float64, which loses ids > 2^53 and maps null to
+    platform-dependent garbage — and batch-dependent labels would break the
+    stable-across-partitionings guarantee)."""
+    from mismo_ray._util import hash64, splitmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        if col.null_count:
+            raise ValueError(
+                "id column contains nulls; deterministic hash assignment "
+                "needs non-null ids"
+            )
+        ids = np.asarray(col).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return splitmix64(ids + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    return hash64(col, seed=seed)
 
 
 def mixture_sample(
@@ -285,8 +304,6 @@ def mixture_sample(
     import numpy as np
     import pyarrow as pa
 
-    from mismo_ray._util import hash64, splitmix64
-
     if any(r < 0 for r in rates.values()) or default_rate < 0:
         raise ValueError("rates must be >= 0")
     if copy_as is None and (
@@ -294,17 +311,8 @@ def mixture_sample(
     ):
         copy_as = "n_copy"
 
-    schema = ds.schema()
-    id_type = dict(zip(schema.names, schema.types))[id_column]
-    int_id = pa.types.is_integer(id_type)
-
     def fn(t: pa.Table) -> pa.Table:
-        if int_id:
-            ids = np.asarray(t[id_column]).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                h = splitmix64(ids + np.uint64(seed))
-        else:
-            h = hash64(t[id_column], seed=seed)
+        h = _id_mix64(t[id_column], seed)
         bucket = (h % np.uint64(buckets)).astype(np.int64)
         # per-group rate via dictionary encoding: the python dict lookup
         # runs once per DISTINCT group in the batch, not once per row
@@ -516,9 +524,17 @@ def hash_split_datasets(
     (each consumer pays one pass; labels are recomputed, not shuffled)."""
     label_as = kwargs.get("label_as", "split")
     labeled = hash_split(ds, fractions, **kwargs)
+
+    def keep(name: str):
+        # vectorized batch filter, not an expr string: split/label names are
+        # user data and must not be interpolated into the expression language
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(t[label_as].combine_chunks(), name)
+            return t.filter(mask).drop_columns([label_as])
+
+        return fn
+
     return {
-        name: labeled.filter(
-            expr=f"{label_as} == {name!r}"
-        ).drop_columns([label_as])
+        name: labeled.map_batches(keep(name), batch_format="pyarrow")
         for name in fractions
     }
