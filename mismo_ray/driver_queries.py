@@ -1658,6 +1658,20 @@ def q_incremental_neardup(sf_dir: str):
     return kept2.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_febrl_link(sf_dir: str):
+    """Two-table clean-vs-dirty linkage on golden data (pipelines.
+    febrl_link_pairs): febrl1 split into canonical records vs noisy
+    duplicates, fused OR-blocking + FS in LINK task mode. Rows-only; the
+    pairwise F1 >= 0.99 gate lives in tests/test_playdata.py."""
+    from mismo_ray import playdata
+    from mismo_ray.pipelines import febrl_link_pairs, febrl_split_link_task
+
+    lk = playdata.load_febrl1()
+    left, right = febrl_split_link_task(lk.left)
+    pred, _w = febrl_link_pairs(left, right)
+    return pred.links_ds.select_columns(["record_id_l", "record_id_r"])
+
+
 def q_affiliations_dedupe(sf_dir: str):
     """Leipzig affiliations dedupe (pipelines.affiliations_match_pairs):
     rare-token blocking + token-set jaccard on the bundled golden corpus.
@@ -1746,6 +1760,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "affiliations_dedupe": q_affiliations_dedupe,
     "incremental_neardup": q_incremental_neardup,
+    "febrl_link": q_febrl_link,
     "pr_curve": q_pr_curve,
     "quantiles": q_quantiles,
     "blocking_report": q_blocking_report,

@@ -3,7 +3,12 @@ from mismo_ray.pipelines._affiliations import (
     featurize_affiliations,
 )
 from mismo_ray.pipelines._crawl import crawl_clean, crawl_clean_pipeline, synth_crawl
-from mismo_ray.pipelines._febrl import febrl_comparers, febrl_match_pairs
+from mismo_ray.pipelines._febrl import (
+    febrl_comparers,
+    febrl_link_pairs,
+    febrl_match_pairs,
+    febrl_split_link_task,
+)
 from mismo_ray.pipelines._rldata import rldata_match_pairs
 from mismo_ray.pipelines._webpages import (
     add_extracted_text,
@@ -24,7 +29,9 @@ __all__ = [
     "crawl_clean_pipeline",
     "synth_crawl",
     "febrl_comparers",
+    "febrl_link_pairs",
     "febrl_match_pairs",
+    "febrl_split_link_task",
     "rldata_match_pairs",
     "add_extracted_text",
     "extract_text_bytes",

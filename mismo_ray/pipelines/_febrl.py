@@ -198,3 +198,82 @@ def febrl_match_pairs(
 
     links = scored.map_batches(keep, batch_format="pyarrow")
     return Linkage(left=records, right=records, links=links), weights
+
+
+def febrl_split_link_task(
+    records: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Turn a FEBRL dedupe table into a two-table LINK task: left = one
+    canonical record per entity (min record_id per label_true), right = the
+    rest (the noisy duplicates). The clean-vs-dirty lookup shape of the
+    reference's address_linkage example, on golden labeled data."""
+    from mismo_ray.util_ops import top_k_per_group
+
+    canon = top_k_per_group(
+        records, ["label_true"], [("record_id", "asc")], 1
+    ).materialize()
+    canon_ids = set(
+        r["record_id"] for r in canon.select_columns(["record_id"]).take_all()
+    )
+    import ray as _ray
+
+    ids_ref = _ray.put(pa.array(sorted(canon_ids)))
+
+    def rest(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["record_id"].combine_chunks(), value_set=_ray.get(ids_ref))
+        return t.filter(pc.invert(mask))
+
+    dirty = records.map_batches(rest, batch_format="pyarrow").materialize()
+    return canon, dirty
+
+
+def febrl_link_pairs(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    weights: Weights | None = None,
+    threshold_odds: float = 1e7,
+    max_train_pairs: int = 100_000,
+    seed: int = 0,
+) -> tuple[Linkage, Weights]:
+    """Two-table linkage (clean left vs dirty right) with the same fused
+    OR-blocking + FS stack as :func:`febrl_match_pairs`, in LINK task mode
+    (cross-table pairs only, no within-table pairs)."""
+    from mismo_ray._joins import partition_hint
+
+    with partition_hint(8):
+        blocker = FusedOrLinker(
+            [[k] for k in _BLOCK_KEYS], salt_rows=None, count_prepass=False
+        )
+        linkage = blocker(left, right)
+        linkage = Linkage(
+            left=left,
+            right=right,
+            links=linkage.links_ds.materialize(),
+            links_schema=linkage.links.schema,
+        )
+        comparers = febrl_comparers()
+        if weights is None:
+            weights = train_using_labels(
+                comparers,
+                left,
+                right,
+                max_pairs=max_train_pairs,
+                seed=seed,
+                columns=PAIR_COLUMNS,
+                true_linker_kwargs={
+                    "count_prepass": False,
+                    "salt_rows": None,
+                    "max_pairs": None,
+                },
+            )
+        pairs = linkage.links.with_both(PAIR_COLUMNS, PAIR_COLUMNS)
+        scored = weights.compare_and_score(pairs, comparers)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["odds"], threshold_odds)).select(
+            ["record_id_l", "record_id_r", "odds"]
+        )
+
+    links = scored.map_batches(keep, batch_format="pyarrow")
+    return Linkage(left=left, right=right, links=links), weights

@@ -204,3 +204,32 @@ def test_febrl_dedupe_f1_gate(ray_session, loader):
     # the fitted weights must rank exact id agreement above disagreement
     ssn = weights["ssn"]
     assert ssn["exact"].odds > 1.0
+
+
+def test_febrl_link_two_table_f1_gate(ray_session):
+    """Clean-vs-dirty LINK task (reference address_linkage shape) on golden
+    labeled data: split febrl1 into one canonical record per entity vs the
+    noisy duplicates, link across tables, gate pairwise F1 >= 0.99."""
+    import pandas as pd
+
+    from mismo_ray.pipelines._febrl import febrl_link_pairs, febrl_split_link_task
+    from mismo_ray.playdata import load_febrl1
+
+    lk = load_febrl1()
+    left, right = febrl_split_link_task(lk.left)
+    assert left.count() == 500 and right.count() == 500
+    pred, _w = febrl_link_pairs(left, right)
+    pred_pairs = {
+        (r["record_id_l"], r["record_id_r"]) for r in pred.links_ds.take_all()
+    }
+    lp = left.select_columns(["record_id", "label_true"]).to_pandas()
+    rp = right.select_columns(["record_id", "label_true"]).to_pandas()
+    truth = set(
+        pd.merge(lp, rp, on="label_true").apply(
+            lambda r: (r.record_id_x, r.record_id_y), axis=1
+        )
+    )
+    tp = len(pred_pairs & truth)
+    p, r = tp / len(pred_pairs), tp / len(truth)
+    f1 = 2 * p * r / (p + r)
+    assert f1 >= 0.99, (p, r, f1)
