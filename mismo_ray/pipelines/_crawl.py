@@ -71,6 +71,7 @@ def crawl_clean(
     multiplier: int = 20,
     min_tokens: int = 5,
     dedupe_min_docs: int = 2,
+    output_dir: str | None = None,
 ) -> dict:
     """Run the full cleaning chain; returns summary counters (each one the
     result of a streaming count/aggregate, not a driver materialization)."""
@@ -111,6 +112,11 @@ def crawl_clean(
     cleaned = cleaned.materialize()
     n_pii = cleaned.sum(["n_emails", "n_ips"])
     survivors = exact_dedupe(cleaned, "text")
+    if output_dir:
+        import os
+
+        survivors = survivors.materialize()
+        survivors.write_parquet(os.path.join(output_dir, "clean"))
 
     def text_len(t: pa.Table, col: str) -> pa.Table:
         return pa.table({"c": pc.utf8_length(t[col]).cast(pa.int64())})
@@ -132,9 +138,12 @@ def crawl_clean(
     }
 
 
-def crawl_clean_pipeline(sf_dir: str, *, multiplier: int = 20) -> dict:
-    """Benchmark entry: fixed 96-block layout (same reasoning as the ER
-    scaling pipeline — layout must not depend on CPU count)."""
+def crawl_clean_pipeline(
+    sf_dir: str, *, multiplier: int = 20, output_dir: str | None = None
+) -> dict:
+    """Benchmark/job entry: fixed 96-block layout (same reasoning as the ER
+    scaling pipeline — layout must not depend on CPU count). With
+    ``output_dir``, the deduped corpus is written to ``<output_dir>/clean``."""
     import os
     import time
 
@@ -143,6 +152,6 @@ def crawl_clean_pipeline(sf_dir: str, *, multiplier: int = 20) -> dict:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).repartition(int(os.environ.get("GRAFT_SCALE_BLOCKS", "96")))
-    out = crawl_clean(docs, multiplier=multiplier)
+    out = crawl_clean(docs, multiplier=multiplier, output_dir=output_dir)
     out["seconds"] = round(time.time() - t0, 3)
     return out

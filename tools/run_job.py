@@ -33,6 +33,17 @@ def main() -> None:
     ap.add_argument("--threshold-odds", type=float, default=10.0)
     ap.add_argument("--train", choices=["labels", "em"], default="labels")
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
+    ap.add_argument(
+        "--pipeline",
+        choices=["er", "crawl_clean"],
+        default="er",
+        help="er = flagship entity resolution; crawl_clean = the webtext "
+        "cleaning chain (canonical URL -> PII redact -> lang-ID + quality "
+        "gate -> line dedup -> exact dedupe)",
+    )
+    ap.add_argument(
+        "--multiplier", type=int, default=60, help="crawl_clean corpus amplification"
+    )
     args = ap.parse_args()
 
     import ray
@@ -53,6 +64,26 @@ def main() -> None:
 
     from mismo_ray.cluster import pairwise_metrics_from_links
     from mismo_ray.pipelines import flagship
+
+    if args.pipeline == "crawl_clean":
+        from mismo_ray.pipelines._crawl import crawl_clean_pipeline
+
+        t0 = time.time()
+        counters = crawl_clean_pipeline(
+            args.sf_dir, multiplier=args.multiplier, output_dir=args.output
+        )
+        summary = {
+            "pipeline": "crawl_clean",
+            "seconds": round(time.time() - t0, 3),
+            "counters": counters,
+            "output": args.output,
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return
 
     t0 = time.time()
     result = flagship(
