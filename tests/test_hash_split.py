@@ -60,3 +60,50 @@ def test_hash_split_datasets_partition(ray_session):
             seen[i] = name
         assert "split" not in d.schema().names
     assert total == 3000
+
+
+def test_hash_split_rejects_negative_fractions(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mismo_ray.util_ops import hash_split
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": pa.array([1, 2, 3], type=pa.int64())})
+    )
+    with pytest.raises(ValueError, match=">= 0"):
+        hash_split(ds, {"train": 1.2, "val": -0.2})
+
+
+def test_hash_split_rejects_null_int_ids(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mismo_ray.util_ops import hash_split
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": pa.array([1, None, 3], type=pa.int64())})
+    )
+    out = hash_split(ds, {"train": 0.5, "test": 0.5})
+    with pytest.raises(Exception, match="null"):
+        out.to_pandas()
+
+
+def test_hash_split_negative_seed_and_dataset_split_names(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.util_ops import hash_split_datasets
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": pa.array(list(range(200)), type=pa.int64())})
+    )
+    # negative seed must not raise; awkward split names must filter correctly
+    parts = hash_split_datasets(
+        ds, {"o'brien": 0.5, "with space": 0.5}, seed=-7
+    )
+    counts = {k: v.count() for k, v in parts.items()}
+    assert sum(counts.values()) == 200
+    assert all(c > 0 for c in counts.values())
