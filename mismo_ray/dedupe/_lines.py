@@ -52,11 +52,17 @@ def _line_hits(
     min_chars: int,
     keep_first: bool,
     n_buckets: int,
+    scope_column: str | None = None,
 ) -> ray.data.Dataset:
     """(id, __idx__, __chars__, __dbkt__) of every line occurrence whose
     exact content appears in >= min_docs distinct docs. With keep_first,
     the occurrence at the smallest (doc id, line index) per distinct line
-    is exempted (the canonical copy survives)."""
+    is exempted (the canonical copy survives). With scope_column, lines
+    only count as duplicates of each other within the same scope value
+    (e.g. the page's domain — RefinedWeb removes boilerplate per-site, not
+    globally): the scope's hash is mixed into both line-content hashes, so
+    the distinct-doc count, keep_first survivor choice and every later
+    stage are scope-local with zero extra shuffle payload."""
 
     def emit_lines(t: pa.Table) -> pa.Table:
         texts = t[column].combine_chunks()
@@ -72,8 +78,17 @@ def _line_hits(
         chars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
         keep = chars >= min_chars
         flat, doc, idx, chars = flat.filter(pa.array(keep)), doc[keep], idx[keep], chars[keep]
-        h1 = hash64(flat, seed=_SEED1).astype(np.int64)
-        h2 = hash64(flat, seed=_SEED2).astype(np.int64)
+        h1 = hash64(flat, seed=_SEED1)
+        h2 = hash64(flat, seed=_SEED2)
+        if scope_column is not None:
+            scope = pc.fill_null(t[scope_column].combine_chunks(), "")
+            sh = np.repeat(hash64(scope, seed=_SEED1 ^ _SEED2), counts)[keep]
+            # odd-constant multiplies keep the two 64-bit mixes independent
+            with np.errstate(over="ignore"):
+                h1 = h1 ^ (sh * np.uint64(0x9E3779B97F4A7C15))
+                h2 = h2 ^ (sh * np.uint64(0xC2B2AE3D27D4EB4F))
+        h1 = h1.astype(np.int64)
+        h2 = h2.astype(np.int64)
         return pa.table(
             {
                 "__h1__": pa.array(h1),
@@ -122,16 +137,20 @@ def dup_line_stats(
     min_docs: int = 2,
     delimiter: str = "\n",
     min_chars: int = 1,
+    scope_column: str | None = None,
 ) -> ray.data.Dataset:
     """Per-document duplicated-line counts: one row per document owning at
     least one line (>= ``min_chars`` chars) whose exact content occurs in
     >= ``min_docs`` distinct documents — (id, n_dup_lines, dup_line_chars).
-    Intra-document repeats alone do not qualify (distinct-doc count)."""
+    Intra-document repeats alone do not qualify (distinct-doc count).
+    ``scope_column`` restricts duplicate counting to documents sharing that
+    value (RefinedWeb-style per-domain boilerplate detection)."""
     from mismo_ray._joins import default_num_partitions
 
     n_buckets = default_num_partitions()
     hits = _line_hits(
-        ds, column, id_column, min_docs, delimiter, min_chars, False, n_buckets
+        ds, column, id_column, min_docs, delimiter, min_chars, False, n_buckets,
+        scope_column,
     )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
@@ -155,13 +174,16 @@ def drop_dup_lines(
     min_chars: int = 1,
     keep_first: bool = False,
     out_column: str | None = None,
+    scope_column: str | None = None,
 ) -> ray.data.Dataset:
     """Remove every line whose exact content occurs in >= ``min_docs``
     distinct documents; remaining lines are rejoined with ``delimiter`` in
     original order. ``keep_first=True`` exempts one canonical occurrence
     (smallest doc id, then line index) per distinct line, C4-style. Docs
     with no duplicated lines pass through byte-identical. Writes
-    ``out_column`` (default: replaces ``column``).
+    ``out_column`` (default: replaces ``column``). ``scope_column`` makes
+    duplication scope-local (e.g. per domain): the same line on two
+    different domains is NOT boilerplate.
 
     ``ds`` is consumed TWICE (the line-hits pass and the rewrite join's
     document side): pass a materialized / checkpointed dataset, or an
@@ -171,7 +193,8 @@ def drop_dup_lines(
     n_buckets = default_num_partitions()
     out_column = out_column or column
     hits = _line_hits(
-        ds, column, id_column, min_docs, delimiter, min_chars, keep_first, n_buckets
+        ds, column, id_column, min_docs, delimiter, min_chars, keep_first, n_buckets,
+        scope_column,
     )
 
     def pack(t: pa.Table) -> pa.Table:

@@ -1225,6 +1225,36 @@ def q_drop_dup_lines(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_drop_dup_lines_domain(sf_dir: str):
+    """Domain-scoped (RefinedWeb-style) duplicated-line removal: the same
+    line repeated across docs of the SAME source/domain is boilerplate and
+    is dropped; the identical line on a different domain is kept. Exercises
+    ``drop_dup_lines(scope_column=...)`` — scope hash mixed into the line
+    keys, zero extra shuffle payload. Oracle groups the duplicated-line set
+    by (source, line)."""
+    from mismo_ray.dedupe import drop_dup_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        lined = pc.replace_substring(
+            t["text"].combine_chunks(), pattern=" value ", replacement="\n"
+        )
+        return pa.table(
+            {"record_id": t["doc_id"], "text": lined, "source": t["source"]}
+        )
+
+    lined = docs.map_batches(to_lines, batch_format="pyarrow")
+    out = drop_dup_lines(
+        lined, "text", min_docs=2, out_column="text_clean", scope_column="source"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["record_id"], "text_clean": t["text_clean"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_canonical_url(sf_dir: str):
     """URL canonicalization (lib/url.py) over deterministically
     synthesized crawl URLs (scheme/www/port/trailing-slash/tracking-param/
@@ -1750,6 +1780,7 @@ QUERIES = {
     "substring_strip": q_substring_strip,
     "dup_line_stats": q_dup_line_stats,
     "drop_dup_lines": q_drop_dup_lines,
+    "drop_dup_lines_domain": q_drop_dup_lines_domain,
     "canonical_url": q_canonical_url,
     "redact_pii": q_redact_pii,
     "media_features": q_media_features,
@@ -2382,6 +2413,21 @@ ORACLE_SQL = {
         "dup AS (SELECT line FROM ln WHERE length(line) >= 1 "
         " GROUP BY line HAVING count(DISTINCT doc_id) >= 2), "
         "kept AS (SELECT ln.doc_id, ln.i, ln.line FROM ln ANTI JOIN dup USING (line)), "
+        "clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt2 "
+        " FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(c.txt2, '') AS text_clean "
+        "FROM t LEFT JOIN clean c USING (doc_id)"
+    ),
+    "drop_dup_lines_domain": (
+        # domain-scoped variant: a line is boilerplate only within its own
+        # source/domain — duplicated-line set grouped by (source, line)
+        "WITH t AS (SELECT doc_id, source, replace(text, ' value ', chr(10)) AS txt "
+        " FROM documents WHERE text IS NOT NULL), "
+        "ln AS (SELECT doc_id, source, i, string_split(txt, chr(10))[CAST(i AS INT)] AS line "
+        " FROM t, LATERAL (SELECT unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS i) AS r), "
+        "dup AS (SELECT source, line FROM ln WHERE length(line) >= 1 "
+        " GROUP BY source, line HAVING count(DISTINCT doc_id) >= 2), "
+        "kept AS (SELECT ln.doc_id, ln.i, ln.line FROM ln ANTI JOIN dup USING (source, line)), "
         "clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt2 "
         " FROM kept GROUP BY doc_id) "
         "SELECT t.doc_id, coalesce(c.txt2, '') AS text_clean "

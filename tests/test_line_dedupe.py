@@ -93,3 +93,42 @@ def test_all_lines_dropped_gives_empty(ray_session):
     docs = {0: "x y z\nq r s", 1: "x y z\nq r s", 2: "x y z"}
     out = drop_dup_lines(_ds(docs), "text").to_pandas()
     assert all(out["text"] == "")
+
+
+def test_drop_dup_lines_scoped(ray_session):
+    """scope_column makes duplication domain-local: the same line on two
+    different domains is not boilerplate; within one domain it is."""
+    from mismo_ray.dedupe import drop_dup_lines, dup_line_stats
+
+    t = pa.table(
+        {
+            "record_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "domain": ["a.com", "a.com", "b.com", "b.com"],
+            "text": [
+                "nav bar\npage zero",
+                "nav bar\npage one",
+                "nav bar\npage two",
+                "b only\npage three",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2).materialize()
+
+    out = drop_dup_lines(
+        ds, "text", out_column="clean", scope_column="domain"
+    ).to_pandas()
+    cm = dict(zip(out["record_id"], out["clean"]))
+    # "nav bar" repeats within a.com (docs 0,1) -> dropped there; on b.com it
+    # appears in only one doc (2) -> kept.
+    assert cm[0] == "page zero"
+    assert cm[1] == "page one"
+    assert cm[2] == "nav bar\npage two"
+    assert cm[3] == "b only\npage three"
+
+    # unscoped: "nav bar" is in 3 distinct docs -> dropped everywhere
+    out2 = drop_dup_lines(ds, "text", out_column="clean").to_pandas()
+    cm2 = dict(zip(out2["record_id"], out2["clean"]))
+    assert cm2[2] == "page two"
+
+    stats = dup_line_stats(ds, "text", scope_column="domain").to_pandas()
+    assert sorted(stats["record_id"]) == [0, 1]
