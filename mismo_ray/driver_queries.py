@@ -1255,6 +1255,89 @@ def q_drop_dup_lines_domain(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_extract_links(sf_dir: str):
+    """href extraction + URL resolution (webgraph.extract_links) over
+    deterministically synthesized page html: per doc an absolute link, a
+    root-relative link, and a rotating third (protocol-relative / relative
+    with fragment / mailto), plus one unterminated href that must be
+    dropped. Oracle: unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"'))
+    + the same CASE resolution rules."""
+    from mismo_ray.webgraph import extract_links
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        lang = pd.Series(t["lang"].to_pylist(), dtype="object").fillna("xx")
+        source = pd.Series(t["source"].to_pylist(), dtype="object").fillna("s")
+        url = "https://" + source + ".example.org/" + lang + "/idx/" + pd.Series(did).astype(str)
+        third = pd.Series(
+            np.select(
+                [did % 3 == 0, did % 3 == 1],
+                ["//cdn.example.net/lib.js", "mailto:spam@example.com"],
+                default="",
+            )
+        )
+        third = third.where(third != "", "rel/" + pd.Series(did % 9).astype(str) + "#frag")
+        html = (
+            '<html><body><a href="https://'
+            + source
+            + ".example.com/p/"
+            + pd.Series(did).astype(str)
+            + '">a</a><p>text</p><a href="/local/'
+            + pd.Series(did % 7).astype(str)
+            + '">b</a><a href="'
+            + third
+            + '">c</a><a href="broken'
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(url, type=pa.string()),
+                "html": pa.array(html, type=pa.string()).cast(pa.binary()),
+            }
+        )
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    out = extract_links(pages, keep_columns=["doc_id"])
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "href", "link_url", "link_host"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_host_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (webgraph.pagerank, 3 iterations,
+    damping 85/100, scale 1e12) over a deterministic host graph synthesized
+    from doc_id arithmetic. Integer shares/sums make the result bit-exact
+    at any parallelism; the oracle chains three non-recursive CTEs with the
+    identical integer math."""
+    from mismo_ray.webgraph import pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        src = np.char.add("h", (did % 20).astype(str))
+        dst = np.char.add("h", ((did * 7 + 3) % 23).astype(str))
+        return pa.table(
+            {
+                "src": pa.array(src.tolist(), type=pa.string()),
+                "dst": pa.array(dst.tolist(), type=pa.string()),
+            }
+        )
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    from mismo_ray._joins import partition_hint
+
+    # tiny golden graph: pagerank materializes each round inside the call,
+    # so the hint covers every shuffle (same pattern as the febrl queries)
+    with partition_hint(8):
+        return pagerank(edges, iterations=3)
+
+
 def q_canonical_url(sf_dir: str):
     """URL canonicalization (lib/url.py) over deterministically
     synthesized crawl URLs (scheme/www/port/trailing-slash/tracking-param/
@@ -1782,6 +1865,8 @@ QUERIES = {
     "drop_dup_lines": q_drop_dup_lines,
     "drop_dup_lines_domain": q_drop_dup_lines_domain,
     "canonical_url": q_canonical_url,
+    "extract_links": q_extract_links,
+    "host_pagerank": q_host_pagerank,
     "redact_pii": q_redact_pii,
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
@@ -2432,6 +2517,65 @@ ORACLE_SQL = {
         " FROM kept GROUP BY doc_id) "
         "SELECT t.doc_id, coalesce(c.txt2, '') AS text_clean "
         "FROM t LEFT JOIN clean c USING (doc_id)"
+    ),
+    "extract_links": (
+        # identical html synthesis (|| and CASE on doc_id), href extraction
+        # via regexp_extract_all (closing quote required — the trailing
+        # 'href="broken' is dropped on both sides), then the resolution
+        # rules of webgraph.resolve_hrefs as one CASE
+        "WITH d AS (SELECT doc_id, lang, source, "
+        " CASE doc_id % 3 WHEN 0 THEN '//cdn.example.net/lib.js' "
+        "  WHEN 1 THEN 'mailto:spam@example.com' "
+        "  ELSE 'rel/' || CAST(doc_id % 9 AS VARCHAR) || '#frag' END AS third "
+        " FROM documents), "
+        "h AS (SELECT doc_id, lang, source, "
+        " '<html><body><a href=\"https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) "
+        " || '\">a</a><p>text</p><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) "
+        " || '\">b</a><a href=\"' || third || '\">c</a><a href=\"broken' AS html FROM d), "
+        "x AS (SELECT doc_id, lang, source, "
+        " unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)) AS href FROM h), "
+        "r AS (SELECT doc_id, lang, source, href, string_split(href, '#')[1] AS hf FROM x), "
+        "res AS (SELECT doc_id, href, "
+        " CASE "
+        "  WHEN hf = '' THEN NULL "
+        "  WHEN starts_with(lower(hf), 'mailto:') OR starts_with(lower(hf), 'javascript:') "
+        "   OR starts_with(lower(hf), 'tel:') OR starts_with(lower(hf), 'data:') THEN NULL "
+        "  WHEN starts_with(lower(hf), 'http://') OR starts_with(lower(hf), 'https://') THEN hf "
+        "  WHEN starts_with(hf, '//') THEN 'https:' || hf "
+        "  WHEN starts_with(hf, '/') THEN 'https://' || source || '.example.org' || hf "
+        "  WHEN regexp_matches(lower(hf), '^[a-z][a-z0-9+.\\-]*:') THEN NULL "
+        "  ELSE 'https://' || source || '.example.org/' || lang || '/idx/' || hf "
+        " END AS link_url FROM r) "
+        "SELECT doc_id, href, link_url, "
+        " lower(regexp_extract(link_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS link_host "
+        "FROM res WHERE link_url IS NOT NULL"
+    ),
+    "host_pagerank": (
+        # identical deterministic host graph from doc_id arithmetic, then 3
+        # PageRank iterations in the same fixed-point int64 math (shares =
+        # rank // out_degree, update = base + (85 * incoming) // 100) —
+        # integer sums are associative, so both sides are bit-exact
+        "WITH e AS (SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src, "
+        " 'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst FROM documents), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "c AS (SELECT 1000000000000 // count(*) AS r0, "
+        " (15 * (1000000000000 // count(*))) // 100 AS base FROM nodes), "
+        "od AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src), "
+        "r0t AS (SELECT node, (SELECT r0 FROM c) AS rank FROM nodes), "
+        "i1 AS (SELECT e.dst AS node, CAST(sum(p.rank // o.d) AS BIGINT) AS s "
+        " FROM e JOIN od o ON e.src = o.node JOIN r0t p ON e.src = p.node GROUP BY e.dst), "
+        "r1 AS (SELECT nd.node, CAST((SELECT base FROM c) + (85 * coalesce(i1.s, 0)) // 100 AS BIGINT) AS rank "
+        " FROM nodes nd LEFT JOIN i1 ON nd.node = i1.node), "
+        "i2 AS (SELECT e.dst AS node, CAST(sum(p.rank // o.d) AS BIGINT) AS s "
+        " FROM e JOIN od o ON e.src = o.node JOIN r1 p ON e.src = p.node GROUP BY e.dst), "
+        "r2 AS (SELECT nd.node, CAST((SELECT base FROM c) + (85 * coalesce(i2.s, 0)) // 100 AS BIGINT) AS rank "
+        " FROM nodes nd LEFT JOIN i2 ON nd.node = i2.node), "
+        "i3 AS (SELECT e.dst AS node, CAST(sum(p.rank // o.d) AS BIGINT) AS s "
+        " FROM e JOIN od o ON e.src = o.node JOIN r2 p ON e.src = p.node GROUP BY e.dst), "
+        "r3 AS (SELECT nd.node, CAST((SELECT base FROM c) + (85 * coalesce(i3.s, 0)) // 100 AS BIGINT) AS rank "
+        " FROM nodes nd LEFT JOIN i3 ON nd.node = i3.node) "
+        "SELECT node, rank FROM r3"
     ),
     "canonical_url": (
         # identical deterministic URL synthesis (CASE on doc_id), then the

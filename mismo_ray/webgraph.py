@@ -1,0 +1,337 @@
+"""Web-graph construction over a crawl: href extraction, URL resolution,
+and a distributed fixed-point PageRank over the host graph.
+
+A Common-Crawl-style corpus is a graph as much as it is text: the links
+between pages drive crawl frontier ranking, per-host quality priors
+(spam/link-farm demotion), and seed selection for training-data mixtures.
+This module keeps the whole path Ray-Data-native:
+
+- ``extract_links``: one ``map_batches`` over zero-copy Arrow — the html
+  bytes are split on the ``href="`` delimiter with the vectorized
+  ``split_pattern`` kernel, attribute values recovered with a second
+  ``max_splits=1`` split (no per-row regex loop; the html column never
+  crosses a shuffle).
+- ``resolve_hrefs``: masked pandas string ops resolving each href against
+  its page URL (absolute / protocol-relative / root-relative / relative;
+  mailto:/javascript:/fragment-only dropped as nulls).
+- ``pagerank``: iterative PageRank over (src, dst) edges in *fixed-point
+  int64 arithmetic* — each node's rank is an integer share of a global
+  ``scale``; per-iteration shares are ``rank // out_degree`` and the damping
+  update is ``((den-num)*r0 + num*incoming) // den``. Integer sums are
+  associative, so the result is bit-identical regardless of block order or
+  parallelism — and exactly reproducible by a SQL oracle (driver query
+  ``host_pagerank``). Dangling-node mass is dropped, the standard
+  simplification (Page et al. 1999 §2.6 handles it by renormalizing; at
+  fixed iteration count the ordering of hosts is unaffected for crawl-prior
+  use).
+
+Scale notes (100 TB): extract_links is embarrassingly parallel; the only
+shuffles in pagerank are one groupby per iteration over (dst) plus one
+hash-join of the compact (node, rank) table onto edges — both keyed the
+same way, ~24 B/edge. Edges dominate; ranks are |hosts| rows. No driver
+materialization except the scalar node count.
+
+No reference analog (mismo has no graph ops beyond connected components);
+this is webtext-tier infrastructure alongside lib/url.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = ["extract_links", "resolve_hrefs", "pagerank"]
+
+_SKIP_PREFIXES = ("mailto:", "javascript:", "tel:", "data:")
+
+
+def extract_links(
+    ds: ray.data.Dataset,
+    *,
+    html_column: str = "html",
+    url_column: str = "url",
+    resolve: bool = True,
+    keep_columns: Sequence[str] = (),
+) -> ray.data.Dataset:
+    """Explode each page into one row per ``href="..."`` occurrence.
+
+    Output: ``(url, href[, link_url, link_host], *keep_columns)`` — one row
+    per extracted attribute value, in document order. With ``resolve=True``
+    each href is resolved against the page URL into ``link_url`` (absolute,
+    fragment dropped) and ``link_host``; unresolvable hrefs (mailto:,
+    javascript:, fragment-only, empty) are dropped.
+
+    Vectorized: two Arrow ``split_pattern`` passes, zero per-row regex.
+    Byte-exact contract: an href is everything between ``href="`` and the
+    next ``"`` (unterminated attributes at end-of-document are dropped),
+    matching the SQL oracle's ``regexp_extract_all(html, 'href="([^"]*)"')``.
+    """
+    keep_columns = list(keep_columns)
+
+    def emit(t: pa.Table) -> pa.Table:
+        html = t[html_column].combine_chunks()
+        if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+            html = html.cast(pa.string())
+        segs = pc.split_pattern(html, pattern='href="')
+        offsets = np.asarray(segs.offsets, dtype=np.int64)
+        flat = segs.values
+        counts = np.diff(offsets)
+        # position of each flat segment within its document; segment 0 is
+        # the prefix before the first href
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        is_href = idx > 0
+        # value = text before the closing quote; max_splits=1 keeps it O(n)
+        closed = pc.split_pattern(flat, pattern='"', max_splits=1)
+        # segments with no closing quote (unterminated attr) yield a
+        # 1-element list -> exclude them
+        has_close = np.asarray(pc.list_value_length(closed)) == 2
+        take = is_href & has_close
+        href = pc.list_element(closed, 0).filter(pa.array(take))
+        doc_pos = np.nonzero(take)[0]
+        doc_idx = np.searchsorted(offsets[1:], doc_pos, side="right")
+        cols = {
+            url_column: t[url_column].combine_chunks().take(pa.array(doc_idx)),
+            "href": href,
+        }
+        for c in keep_columns:
+            cols[c] = t[c].combine_chunks().take(pa.array(doc_idx))
+        return pa.table(cols)
+
+    links = ds.map_batches(emit, batch_format="pyarrow")
+    if resolve:
+        links = resolve_hrefs(links, url_column=url_column)
+    return links
+
+
+def resolve_hrefs(
+    links: ray.data.Dataset,
+    *,
+    url_column: str = "url",
+    href_column: str = "href",
+) -> ray.data.Dataset:
+    """Add ``link_url`` (href resolved against the page URL, fragment
+    dropped) and ``link_host``; rows whose href cannot become a fetchable
+    http(s) URL are filtered out.
+
+    Resolution rules (the practical subset of RFC 3986 §5 a crawler needs,
+    mirrored exactly by the host_pagerank/extract_links SQL oracles):
+
+    - ``http://`` / ``https://``-absolute: used as-is
+    - ``//host/path``: page scheme prepended
+    - ``/path``: page ``scheme://host`` prepended
+    - anything else: joined to the page URL's directory (path up to the
+      last ``/``)
+    - empty, fragment-only, and ``mailto:/javascript:/tel:/data:`` dropped
+    """
+    from mismo_ray.lib.url import parse_url_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        base = parse_url_batch(t[url_column].combine_chunks())
+        href = t[href_column].combine_chunks().to_pandas().astype("object")
+        href = href.fillna("")
+        # strip fragments from the href itself first
+        href = href.str.split("#").str[0]
+        scheme = base["scheme"].to_pandas().astype("object").fillna("https")
+        host = base["host"].to_pandas().astype("object").fillna("")
+        path = base["path"].to_pandas().astype("object").fillna("/")
+        pdir = path.str.rsplit("/", n=1).str[0] + "/"
+
+        low = href.str.lower()
+        absolute = low.str.startswith(("http://", "https://"))
+        proto_rel = href.str.startswith("//") & ~absolute
+        root_rel = href.str.startswith("/") & ~proto_rel & ~absolute
+        skip = (href == "") | low.str.startswith(_SKIP_PREFIXES)
+        other_scheme = low.str.match(r"^[a-z][a-z0-9+.\-]*:") & ~absolute
+        skip |= other_scheme
+        relative = ~(absolute | proto_rel | root_rel | skip)
+
+        out = pd.Series("", index=href.index, dtype="object")
+        out[absolute] = href[absolute]
+        out[proto_rel] = scheme[proto_rel] + ":" + href[proto_rel]
+        out[root_rel] = scheme[root_rel] + "://" + host[root_rel] + href[root_rel]
+        out[relative] = (
+            scheme[relative] + "://" + host[relative] + pdir[relative] + href[relative]
+        )
+        out[skip] = None
+
+        keep_mask = pa.array(out.notna().to_numpy())
+        resolved = pa.array(out, type=pa.string())
+        lhost = parse_url_batch(resolved)["host"]
+        t = t.append_column("link_url", resolved).append_column(
+            "link_host", lhost
+        )
+        return t.filter(keep_mask)
+
+    return links.map_batches(fn, batch_format="pyarrow")
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Fixed-point PageRank over (src, dst) edges -> (node, rank) with
+    integer ranks summing to <= ``scale``.
+
+    Exact integer semantics (bit-identical at any parallelism, SQL-oracle
+    reproducible):
+
+    - ``n`` = distinct nodes (union of src and dst); ``r0 = scale // n``
+    - each iteration: every node sends ``rank // out_degree`` along each
+      outgoing edge (multigraph: parallel edges each carry a share);
+      ``rank' = ((den - num) * r0 + num * incoming_sum) // den``
+    - nodes with no incoming edges hold the teleport share
+      ``((den - num) * r0) // den``; dangling mass is dropped (see module
+      docstring).
+
+    ``edges`` is materialized once up front (it is consumed every
+    iteration) with the out-degree pre-attached, so each iteration is one
+    hash-join of the compact (node, rank) table onto edges by ``src``, one
+    groupby-sum over ``dst``, and one left-join back onto the node table.
+    Ranks are materialized each round to keep the plan depth bounded (same
+    pattern as cluster/_connected_components).
+    """
+    from mismo_ray._joins import default_num_partitions, distinct, hash_join
+
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    num, den = damping
+    B = num_partitions or default_num_partitions()
+
+    edges = edges.map_batches(
+        lambda t: pa.table({"src": t[src], "dst": t[dst]}), batch_format="pyarrow"
+    ).materialize()
+    src, dst = "src", "dst"
+    srcs = edges.map_batches(
+        lambda t: pa.table({"node": t[src]}), batch_format="pyarrow"
+    )
+    dsts = edges.map_batches(
+        lambda t: pa.table({"node": t[dst]}), batch_format="pyarrow"
+    )
+    nodes = distinct(srcs.union(dsts), "node").materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], "rank": pa.array([], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    r0 = scale // n
+    base = ((den - num) * r0) // den
+
+    from ray.data.aggregate import Count, Sum
+
+    out_deg = (
+        edges.map_batches(lambda t: pa.table({"node": t[src]}), batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="out_deg"))
+    )
+    node_schema = nodes.schema().base_schema
+    node_type = node_schema.field("node").type
+    deg_schema = pa.schema(
+        [pa.field("node", node_type), pa.field("out_deg", pa.int64())]
+    )
+    # (src, dst, out_deg): consumed every iteration -> join + pin once
+    edges_deg = hash_join(
+        edges,
+        out_deg,
+        on=src,
+        right_on="node",
+        how="inner",
+        num_partitions=B,
+        left_schema=pa.schema(
+            [pa.field(src, node_type), pa.field(dst, node_type)]
+        ),
+        right_schema=deg_schema,
+    ).materialize()
+    edges_deg_schema = edges_deg.schema().base_schema
+
+    def with_rank(rank_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "rank": pa.array(
+                        np.full(len(t), rank_val, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    ranks = nodes.map_batches(with_rank(r0), batch_format="pyarrow").materialize()
+    rank_schema = pa.schema([pa.field("node", node_type), pa.field("rank", pa.int64())])
+
+    for _ in range(iterations):
+        # per-edge share = src rank // src out-degree, summed over dst
+        incoming = (
+            hash_join(
+                edges_deg,
+                ranks,
+                on=src,
+                right_on="node",
+                how="inner",
+                num_partitions=B,
+                left_schema=edges_deg_schema,
+                right_schema=rank_schema,
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t[dst],
+                        "share": pa.array(
+                            np.asarray(t["rank"], dtype=np.int64)
+                            // np.asarray(t["out_deg"], dtype=np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("share", alias_name="incoming"))
+        )
+        incoming_schema = pa.schema(
+            [pa.field("node", node_type), pa.field("incoming", pa.int64())]
+        )
+        ranks = (
+            hash_join(
+                nodes,
+                incoming,
+                on="node",
+                how="left_outer",
+                num_partitions=B,
+                left_schema=node_schema,
+                right_schema=incoming_schema,
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "rank": pa.array(
+                            base
+                            + (
+                                np.uint64(num)
+                                * np.asarray(
+                                    pc.fill_null(t["incoming"], 0), dtype=np.int64
+                                ).astype(np.uint64)
+                            ).astype(np.int64)
+                            // den
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return ranks

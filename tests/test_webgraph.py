@@ -1,0 +1,116 @@
+"""webgraph: href extraction, URL resolution, fixed-point PageRank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _pages():
+    rows = [
+        (
+            "https://a.example.com/en/idx/1",
+            b'<html><a href="https://b.example.com/x">x</a>'
+            b'<a href="/root/y">y</a>'
+            b'<a href="rel/z#frag">z</a>'
+            b'<a href="//cdn.example.net/lib.js">j</a>'
+            b'<a href="mailto:a@b.c">m</a>'
+            b'<a href="#sec">s</a>'
+            b'<a href="broken',  # unterminated -> dropped
+        ),
+        ("https://c.example.com/p", b"<html>no links here</html>"),
+        ("https://d.example.com/q/", b'<a href="">empty</a><a href="javascript:void(0)">v</a>'),
+    ]
+    t = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(2)
+
+
+def test_extract_links_resolution(ray_session):
+    from mismo_ray.webgraph import extract_links
+
+    out = (
+        extract_links(_pages(), keep_columns=["doc_id"])
+        .to_pandas()
+        .sort_values(["doc_id", "link_url"])
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 0, 0, 0]
+    assert sorted(out["link_url"]) == [
+        "https://a.example.com/en/idx/rel/z",
+        "https://a.example.com/root/y",
+        "https://b.example.com/x",
+        "https://cdn.example.net/lib.js",
+    ]
+    assert sorted(out["link_host"]) == [
+        "a.example.com",
+        "a.example.com",
+        "b.example.com",
+        "cdn.example.net",
+    ]
+
+
+def test_extract_links_unresolved_keeps_all_hrefs(ray_session):
+    from mismo_ray.webgraph import extract_links
+
+    out = extract_links(_pages(), resolve=False).to_pandas()
+    # every quoted href (incl. mailto/js/fragment/empty), excl. unterminated
+    assert len(out) == 8
+
+
+def _brute_pagerank(edges, iterations=3, num=85, den=100, scale=10**12):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    r0 = scale // n
+    base = ((den - num) * r0) // den
+    rank = {v: r0 for v in nodes}
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    for _ in range(iterations):
+        incoming = {v: 0 for v in nodes}
+        for s, d in edges:
+            incoming[d] += rank[s] // out_deg[s]
+        rank = {v: base + (num * incoming[v]) // den for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_brute_force(ray_session):
+    from mismo_ray.webgraph import pagerank
+
+    rng = np.random.default_rng(7)
+    edges = [
+        (f"h{int(rng.integers(0, 12))}", f"h{int(rng.integers(0, 12))}")
+        for _ in range(120)
+    ]
+    t = pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = pagerank(ds, iterations=3).to_pandas()
+    want = _brute_pagerank(edges)
+    got_m = dict(zip(got["node"], got["rank"]))
+    assert got_m == want
+    # a hub everyone points at outranks a leaf nobody points at
+    hub_edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")]
+    t2 = pa.table({"src": [e[0] for e in hub_edges], "dst": [e[1] for e in hub_edges]})
+    r2 = pagerank(ray.data.from_arrow(t2), iterations=5).to_pandas()
+    m2 = dict(zip(r2["node"], r2["rank"]))
+    assert m2["hub"] > m2["b"]
+
+
+def test_pagerank_deterministic_across_partitioning(ray_session):
+    from mismo_ray.webgraph import pagerank
+
+    edges = [(f"s{i % 5}", f"s{(i * 3 + 1) % 7}") for i in range(60)]
+    t = pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    a = pagerank(ray.data.from_arrow(t).repartition(1), iterations=2).to_pandas()
+    b = pagerank(ray.data.from_arrow(t).repartition(8), iterations=2).to_pandas()
+    am = dict(zip(a["node"], a["rank"]))
+    bm = dict(zip(b["node"], b["rank"]))
+    assert am == bm
