@@ -1308,6 +1308,52 @@ def q_extract_links(sf_dir: str):
     )
 
 
+def q_read_warc(sf_dir: str):
+    """WARC source round-trip (rows-only: the oracle views are parquet, a
+    WARC container is outside SQL's reach): documents -> spec-correct
+    .warc.gz segments under /tmp (sources.warc.write_warc) -> read_warc ->
+    canonical page table. Verifies the 100 TB ingest path end to end:
+    per-segment parallel read, gzip members, warcinfo filtering, byte-exact
+    html payloads (n_bytes = utf8 length of the source text + wrapper)."""
+    import os
+    import tempfile
+
+    from mismo_ray.pipelines._webpages import render_html
+    from mismo_ray.sources.warc import read_warc, write_warc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    tmp = tempfile.mkdtemp(prefix="mismo_warc_", dir="/tmp")
+    import datetime as dt
+
+    paths = []
+    for shard in range(4):
+        part = docs[docs["doc_id"] % 4 == shard]
+        pages = [
+            {
+                "url": f"https://w{int(r.doc_id) % 11}.example.org/d/{int(r.doc_id)}",
+                "warc_ts": dt.datetime(2024, 1, 1)
+                + dt.timedelta(seconds=int(r.doc_id) % 86400),
+                "html": render_html(f"d{int(r.doc_id)}", r.text or ""),
+            }
+            for r in part.itertuples()
+        ]
+        p = os.path.join(tmp, f"seg-{shard}.warc.gz")
+        write_warc(p, pages)
+        paths.append(p)
+    out = read_warc(paths)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "record_type": t["record_type"],
+                "n_bytes": pc.binary_length(t["html"]),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_host_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (webgraph.pagerank, 3 iterations,
     damping 85/100, scale 1e12) over a deterministic host graph synthesized
@@ -1867,6 +1913,7 @@ QUERIES = {
     "canonical_url": q_canonical_url,
     "extract_links": q_extract_links,
     "host_pagerank": q_host_pagerank,
+    "read_warc": q_read_warc,
     "redact_pii": q_redact_pii,
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
