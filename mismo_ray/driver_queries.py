@@ -1308,6 +1308,91 @@ def q_extract_links(sf_dir: str):
     )
 
 
+def q_host_stats(sf_dir: str):
+    """Per-host curation table (the RefinedWeb/CCNet-style host prior):
+    compose URL parsing + token stats + a two-level distinct count into
+    (host, n_pages, n_distinct_texts, n_tokens_sum, n_chars_sum). The
+    distinct-text count goes through a 128-bit content hash (two seeded
+    hash64s) so only 16 B/doc crosses the extra shuffle — the 100 TB path;
+    the SQL oracle counts DISTINCT text directly (collision probability
+    ~n^2/2^129, negligible)."""
+    from ray.data.aggregate import Count, Sum
+
+    from mismo_ray._joins import distinct
+    from mismo_ray._util import hash64
+    from mismo_ray.lib.url import add_url_parts
+    from mismo_ray.textstats import add_token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did_s = pd.Series(np.asarray(t["doc_id"], dtype=np.int64)).astype(str)
+        source = pd.Series(t["source"].to_pylist(), dtype="object")
+        url = "https://" + source + ".example.org/d/" + did_s
+        return pa.table(
+            {"url": pa.array(url, type=pa.string()), "text": t["text"]}
+        )
+
+    pages = add_token_stats(
+        add_url_parts(docs.map_batches(synth, batch_format="pyarrow"), "url"),
+        "text",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks()
+        return pa.table(
+            {
+                "host": t["url_host"],
+                "n_tokens": t["n_tokens"],
+                "n_chars": t["n_chars"],
+                "h1": pa.array(hash64(texts, seed=11).astype(np.int64)),
+                "h2": pa.array(hash64(texts, seed=23).astype(np.int64)),
+            }
+        )
+
+    slim = pages.map_batches(project, batch_format="pyarrow")
+    agg = (
+        slim.groupby("host")
+        .aggregate(
+            Count(alias_name="n_pages"),
+            Sum("n_tokens", alias_name="n_tokens_sum"),
+            Sum("n_chars", alias_name="n_chars_sum"),
+        )
+    )
+    ndist = (
+        distinct(slim, ["host", "h1", "h2"])
+        .groupby("host")
+        .aggregate(Count(alias_name="n_distinct_texts"))
+    )
+    from mismo_ray._joins import hash_join
+
+    out = hash_join(
+        agg,
+        ndist,
+        on="host",
+        how="inner",
+        left_schema=pa.schema(
+            [
+                pa.field("host", pa.string()),
+                pa.field("n_pages", pa.int64()),
+                pa.field("n_tokens_sum", pa.int64()),
+                pa.field("n_chars_sum", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [pa.field("host", pa.string()), pa.field("n_distinct_texts", pa.int64())]
+        ),
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["host", "n_pages", "n_distinct_texts", "n_tokens_sum", "n_chars_sum"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_read_warc(sf_dir: str):
     """WARC source round-trip (rows-only: the oracle views are parquet, a
     WARC container is outside SQL's reach): documents -> spec-correct
@@ -1914,6 +1999,7 @@ QUERIES = {
     "extract_links": q_extract_links,
     "host_pagerank": q_host_pagerank,
     "read_warc": q_read_warc,
+    "host_stats": q_host_stats,
     "redact_pii": q_redact_pii,
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
@@ -2564,6 +2650,18 @@ ORACLE_SQL = {
         " FROM kept GROUP BY doc_id) "
         "SELECT t.doc_id, coalesce(c.txt2, '') AS text_clean "
         "FROM t LEFT JOIN clean c USING (doc_id)"
+    ),
+    "host_stats": (
+        # same host synthesis; n_tokens via the shared token expression;
+        # DISTINCT text directly (the Ray side counts via 128-bit hashes)
+        "WITH t AS (SELECT source || '.example.org' AS host, text, "
+        " string_split_regex(trim(text), '\\s+') AS toks "
+        " FROM documents WHERE text IS NOT NULL) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+        " CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts, "
+        " CAST(sum(len(toks)) AS BIGINT) AS n_tokens_sum, "
+        " CAST(sum(length(text)) AS BIGINT) AS n_chars_sum "
+        "FROM t GROUP BY host"
     ),
     "extract_links": (
         # identical html synthesis (|| and CASE on doc_id), href extraction
