@@ -83,3 +83,36 @@ def test_gzip_multi_member(tmp_path):
     )
     recs = parse_warc_bytes(blob)
     assert sum(r["record_type"] == "response" for r in recs) == 4
+
+
+def test_warc_feeds_flagship_er_byte_identical(ray_session, tmp_path):
+    """The ingest contract end to end: pages written as WARC, read back via
+    read_warc, extracted — per-url text byte-identical to the parquet path
+    (BASELINE.json input_hint invariant)."""
+    import ray.data
+
+    from mismo_ray.pipelines._webpages import (
+        add_extracted_text,
+        synth_pages,
+    )
+    from mismo_ray.sources.warc import read_warc, write_warc
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).limit(40)
+    pages = synth_pages(docs).to_pandas()
+
+    seg = str(tmp_path / "crawl.warc.gz")
+    write_warc(
+        seg,
+        [
+            {"url": r.url, "warc_ts": r.warc_ts.to_pydatetime(), "html": r.html}
+            for r in pages.itertuples()
+        ],
+    )
+    got = add_extracted_text(read_warc(seg)).to_pandas()
+    want = dict(zip(pages["url"], pages["text"]))
+    assert len(got) == len(pages)
+    for r in got.itertuples():
+        assert r.extracted_text == want[r.url]  # byte-identical per url
