@@ -35,11 +35,12 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     ap.add_argument(
         "--pipeline",
-        choices=["er", "crawl_clean"],
+        choices=["er", "crawl_clean", "linkgraph"],
         default="er",
         help="er = flagship entity resolution; crawl_clean = the webtext "
         "cleaning chain (canonical URL -> PII redact -> lang-ID + quality "
-        "gate -> line dedup -> exact dedupe)",
+        "gate -> line dedup -> exact dedupe); linkgraph = href extraction "
+        "-> host edges -> fixed-point PageRank",
     )
     ap.add_argument(
         "--multiplier", type=int, default=60, help="crawl_clean corpus amplification"
@@ -64,6 +65,26 @@ def main() -> None:
 
     from mismo_ray.cluster import pairwise_metrics_from_links
     from mismo_ray.pipelines import flagship
+
+    if args.pipeline == "linkgraph":
+        from mismo_ray.pipelines._linkgraph import linkgraph_pipeline
+
+        t0 = time.time()
+        counters = linkgraph_pipeline(
+            args.sf_dir, multiplier=args.multiplier, output_dir=args.output
+        )
+        summary = {
+            "pipeline": "linkgraph",
+            "seconds": round(time.time() - t0, 3),
+            "counters": counters,
+            "output": args.output,
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return
 
     if args.pipeline == "crawl_clean":
         from mismo_ray.pipelines._crawl import crawl_clean_pipeline
