@@ -168,7 +168,27 @@ class LangId:
     built once per actor in __init__; `map_batches(LangId, concurrency=N)`)."""
 
     def __init__(self, languages: dict[str, frozenset] | None = None):
+        import pandas as pd
+
         self.markers = languages or _LANG_MARKERS
+        # One-pass batch lookup structures (built once per actor): a unique
+        # marker-token index plus a CSR (indptr, lang-id) table mapping each
+        # marker token to every language that claims it. The batch path then
+        # needs ONE hash-probe pass (get_indexer) instead of one isin() scan
+        # per language — measured 11 isin passes = ~60% of the whole
+        # crawl_clean map chain.
+        lang_names = list(self.markers)
+        toks = sorted({t for s in self.markers.values() for t in s})
+        self._mtok_index = pd.Index(toks)
+        counts = np.zeros(len(toks) + 1, dtype=np.int64)
+        langs_flat: list[int] = []
+        for i, t in enumerate(toks):
+            for k, lang in enumerate(lang_names):
+                if t in self.markers[lang]:
+                    langs_flat.append(k)
+                    counts[i + 1] += 1
+        self._m_indptr = np.cumsum(counts)
+        self._m_langs = np.asarray(langs_flat, dtype=np.int64)
 
     def classify(self, text: str | None) -> tuple[str, float]:
         if not text:
@@ -238,10 +258,21 @@ class LangId:
             erows = ex.index.to_numpy(dtype=np.int64)
             m = len(idx)
             lang_names = list(self.markers)
-            mat = np.zeros((len(lang_names), m), dtype=np.int64)
-            for k, lang in enumerate(lang_names):
-                hit = ex.isin(self.markers[lang]).to_numpy()
-                mat[k] = np.bincount(erows[hit], minlength=m)
+            # one hash-probe pass over all tokens, then a CSR scatter into
+            # the (lang, row) count matrix — integer-identical to the
+            # previous per-language isin() loop
+            tid = self._mtok_index.get_indexer(ex.to_numpy())
+            hit = tid >= 0
+            th, rh = tid[hit], erows[hit]
+            reps = self._m_indptr[th + 1] - self._m_indptr[th]
+            total = int(reps.sum())
+            row_rep = np.repeat(rh, reps)
+            ends = np.cumsum(reps)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(ends - reps, reps)
+            lang_rep = self._m_langs[np.repeat(self._m_indptr[th], reps) + offs]
+            mat = np.bincount(
+                lang_rep * m + row_rep, minlength=len(lang_names) * m
+            ).reshape(len(lang_names), m)
             denom = np.maximum(tok_counts, 1).astype(np.float64)
             sc = mat / denom
             bk = sc.argmax(axis=0)
