@@ -87,7 +87,7 @@ def test_hash_split_rejects_null_int_ids(ray_session):
         pa.table({"record_id": pa.array([1, None, 3], type=pa.int64())})
     )
     out = hash_split(ds, {"train": 0.5, "test": 0.5})
-    with pytest.raises(Exception, match="null"):
+    with pytest.raises(Exception, match="id column contains nulls"):
         out.to_pandas()
 
 
@@ -104,6 +104,27 @@ def test_hash_split_negative_seed_and_dataset_split_names(ray_session):
     parts = hash_split_datasets(
         ds, {"o'brien": 0.5, "with space": 0.5}, seed=-7
     )
-    counts = {k: v.count() for k, v in parts.items()}
-    assert sum(counts.values()) == 200
-    assert all(c > 0 for c in counts.values())
+    ids = {k: set(v.to_pandas()["record_id"]) for k, v in parts.items()}
+    # disjoint, exhaustive, and labeled consistently with hash_split's
+    # assignment (not just count-preserving)
+    assert ids["o'brien"] | ids["with space"] == set(range(200))
+    assert not (ids["o'brien"] & ids["with space"])
+    assert all(len(s) > 0 for s in ids.values())
+    from mismo_ray.util_ops import hash_split
+
+    assigned = hash_split(
+        ds, {"o'brien": 0.5, "with space": 0.5}, seed=-7
+    ).to_pandas()
+    for name, s in ids.items():
+        want = set(assigned[assigned["split"] == name]["record_id"])
+        assert s == want
+    for d in parts.values():
+        assert "split" not in d.schema().names
+
+    # negative seed on the STRING-id path (hash64's masked-seed branch,
+    # _util.py:48-51) — the only other negative-seed code path
+    ds_str = ray.data.from_arrow(
+        pa.table({"record_id": pa.array([f"u{i}" for i in range(50)])})
+    )
+    parts_str = hash_split_datasets(ds_str, {"a": 0.5, "b": 0.5}, seed=-7)
+    assert sum(v.count() for v in parts_str.values()) == 50
