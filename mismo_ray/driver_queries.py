@@ -1107,6 +1107,33 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring (textstats.train_bigram_lm +
+    add_perplexity): fit an add-1 bigram LM on the documents corpus
+    distributed (map-side partial counts, one vocab-sized shuffle), then
+    score every doc's per-token log-perplexity through the broadcast model
+    in an actor pool. Self-trained so the oracle can re-derive the exact
+    counts; docs with < 2 tokens (no scorable pair) are filtered, matching
+    the oracle's inner joins."""
+    from mismo_ray.textstats import add_perplexity, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lm = train_bigram_lm(docs, "text")
+    out = add_perplexity(docs, lm, "text")
+    out = out.filter(expr="n_scored > 0")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_scored": t["n_scored"],
+                "logppl_e6": _e6(np.asarray(t["logppl"], dtype=np.float64)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_substring_dedupe(sf_dir: str):
     """Span-level exact-substring dedup (dedupe.substring_dup_stats): docs
     sharing any exact 40-char word-anchored window with >=2 distinct docs,
@@ -2003,6 +2030,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
+    "lm_perplexity": q_lm_perplexity,
     "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
     "mixture_sample": q_mixture_sample,
@@ -2460,6 +2488,21 @@ ORACLE_SQL = {
         " FROM labels GROUP BY comp) "
         "SELECT l.node AS keep_id, c.n_members "
         "FROM labels l JOIN counts c ON c.comp = l.comp WHERE l.node = l.comp"
+    ),
+    "lm_perplexity": (
+        # add-1 bigram LM self-trained on the corpus; logp term written as
+        # ln(cb+1) - ln(cu+V) to mirror the engine's np.log subtraction
+        "WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+        "pairs AS (SELECT doc_id, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS p FROM d WHERE len(toks) >= 2), "
+        "pw AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pairs), "
+        "uni AS (SELECT unnest(toks) AS w FROM d), "
+        "uc AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY w), "
+        "vocab AS (SELECT count(*)::DOUBLE AS v FROM uc), "
+        "bc AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM pw GROUP BY w1, w2) "
+        "SELECT pw.doc_id, count(*) AS n_scored, "
+        " CAST(round(-sum(ln(bc.c + 1.0) - ln(uc.c + vocab.v)) / count(*) * 1e6) AS BIGINT) AS logppl_e6 "
+        "FROM pw JOIN bc USING (w1, w2) JOIN uc ON pw.w1 = uc.w CROSS JOIN vocab "
+        "GROUP BY pw.doc_id"
     ),
     "repetition_stats": (
         # word n-grams by VALUE (space-joined — injective, words contain no

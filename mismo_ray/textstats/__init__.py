@@ -510,3 +510,11 @@ def add_compression_stats(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+from mismo_ray.textstats._lm import (  # noqa: E402
+    BigramLM,
+    PerplexityScorer,
+    add_perplexity,
+    train_bigram_lm,
+)
