@@ -1107,6 +1107,19 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_cap_per_host(sf_dir: str):
+    """Per-host quota sampling (util_ops.stratified_sample): keep a
+    deterministic cap of 10 docs per source, chosen by splitmix64(doc_id)
+    order — the standard crawl-curation move (bound any one host's share of
+    the corpus) as one bucketed shuffle. Bit-exact against the SQL window
+    oracle because integer ids rank by the SQL-reproducible mixer."""
+    from mismo_ray.util_ops import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = stratified_sample(docs, "source", 10, id_column="doc_id", seed=0)
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (textstats.train_bigram_lm +
     add_perplexity): fit an add-1 bigram LM on the documents corpus
@@ -2031,6 +2044,7 @@ QUERIES = {
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
     "lm_perplexity": q_lm_perplexity,
+    "cap_per_host": q_cap_per_host,
     "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
     "mixture_sample": q_mixture_sample,
@@ -2488,6 +2502,15 @@ ORACLE_SQL = {
         " FROM labels GROUP BY comp) "
         "SELECT l.node AS keep_id, c.n_members "
         "FROM labels l JOIN counts c ON c.comp = l.comp WHERE l.node = l.comp"
+    ),
+    "cap_per_host": (
+        # splitmix64(doc_id) rank within source, cap 10 (seed 0)
+        "WITH s1 AS (SELECT doc_id, source, CAST((CAST(CAST(doc_id AS UBIGINT) AS HUGEINT) + 11400714819323198485) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM documents), "
+        "s2 AS (SELECT doc_id, source, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+        "s3 AS (SELECT doc_id, source, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2) "
+        "SELECT doc_id, source FROM s3 "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY xor(z, z >> 31)) <= 10"
     ),
     "lm_perplexity": (
         # add-1 bigram LM self-trained on the corpus; logp term written as

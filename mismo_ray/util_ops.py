@@ -176,17 +176,22 @@ def stratified_sample(
     """Deterministic per-group sample: up to ``n_per_group`` rows per group,
     chosen by seeded hash order of ``id_column`` (stable across runs and
     partitionings — no runtime RNG). The training-data use case: balance a
-    corpus across languages/sources before expensive downstream stages.
+    corpus across languages/sources (cap pages per host) before expensive
+    downstream stages.
+
+    Integer ids rank by ``splitmix64(id + seed)`` — exactly reproducible in
+    SQL (same 128-bit modular arithmetic as the :func:`hash_split` oracle),
+    so the selection is auditable bit-for-bit; other id types hash through
+    siphash-based ``hash64``. Unique ids make the hash order a total order
+    (splitmix64 is a bijection) — no tie column needed.
 
     One bucketed shuffle via :func:`top_k_per_group` ordered by the hash.
     """
     import numpy as np
     import pyarrow as pa
 
-    from mismo_ray._util import hash64
-
     def add_rank(t: pa.Table) -> pa.Table:
-        h = hash64(t[id_column], seed=seed ^ 0x5A17).astype(np.int64)
+        h = _id_mix64(t[id_column], seed)  # uint64: order matches SQL UBIGINT
         return t.append_column("__sample_rank__", pa.array(h))
 
     out = top_k_per_group(
