@@ -779,12 +779,18 @@ def fuzzy_dedupe(
     max_pairs: int | None = 100_000,
     label_as: str = "component",
     with_counts: bool = False,
+    keep: str | tuple[str, str] = "min_id",
 ) -> ray.data.Dataset:
     """Corpus-level fuzzy dedupe: near-dup pairs -> connected components ->
-    ONE canonical survivor per duplicate cluster (the min-record_id member;
-    singletons survive unchanged). Returns the surviving rows of ``ds`` with
-    the cluster label attached (``label_as``; == record_id for survivors),
-    plus ``n_members`` when ``with_counts``.
+    ONE canonical survivor per duplicate cluster (singletons survive
+    unchanged). Returns the surviving rows of ``ds`` with the cluster label
+    attached (``label_as``), plus ``n_members`` when ``with_counts``.
+
+    ``keep`` picks the survivor: ``"min_id"`` (default) keeps the
+    min-record_id member; ``("max", col)`` / ``("min", col)`` keep the
+    member with the best value of a quality column (longest text, lowest
+    LM perplexity, highest pagerank — ties broken by min record_id), the
+    curation-grade choice when duplicates differ in quality.
 
     ``links``: pre-computed near-dup pairs (record_id_l / record_id_r) from
     any pair generator — ``minhash_lsh_pairs`` (the 100 TB path),
@@ -792,11 +798,14 @@ def fuzzy_dedupe(
     ``ngram_jaccard_pairs`` over ``column``.
 
     Cost: the pair-gen's shuffles + CC rounds + one stateless filter.
-    Survivor selection itself is FREE for integer record ids: component
+    ``min_id`` survivor selection is FREE for integer record ids: component
     labels ARE min member ids, so the survivor is the row whose record_id
     equals its label (no extra shuffle; the reference picks survivors with a
     separate groupby, mismo/cluster semantics). Non-integer ids get
     factorized labels, so survivors cost one groupby-min + one semi-join.
+    ``keep=(how, col)`` costs one bucketed top-1-per-label shuffle over the
+    projected (id, label, col) triple — the full rows never re-shuffle —
+    plus one semi-join back.
     """
     from mismo_ray.cluster import connected_components
 
@@ -807,7 +816,26 @@ def fuzzy_dedupe(
     labeled = connected_components(links=links, records=ds, label_as=label_as)
     _s = ds.schema()
     id_type = dict(zip(_s.names, _s.types))["record_id"]
-    if pa.types.is_integer(id_type):
+    if keep != "min_id":
+        how, qcol = keep
+        if how not in ("max", "min"):
+            raise ValueError(f"keep must be 'min_id', ('max', col) or ('min', col); got {keep!r}")
+        from mismo_ray._joins import hash_join
+        from mismo_ray.util_ops import top_k_per_group
+
+        best = top_k_per_group(
+            labeled.select_columns(["record_id", label_as, qcol]),
+            label_as,
+            [(qcol, "desc" if how == "max" else "asc"), ("record_id", "asc")],
+            1,
+        )
+        survivors = hash_join(
+            labeled,
+            best.select_columns(["record_id"]),
+            on=["record_id"],
+            how="left_semi",
+        )
+    elif pa.types.is_integer(id_type):
         survivors = labeled.map_batches(
             lambda t: t.filter(pc.equal(t["record_id"], t[label_as])),
             batch_format="pyarrow",

@@ -1107,6 +1107,46 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_fuzzy_dedupe_best(sf_dir: str):
+    """fuzzy_dedupe with quality-based survivor selection: same near-dup
+    clusters as q_fuzzy_dedupe, but the survivor is the LONGEST member
+    (keep=("max", n80), ties to min doc_id) instead of the min-id member —
+    the curation-grade choice. Oracle re-derives the clusters and picks the
+    same argmax via a window function."""
+    from mismo_ray.dedupe import fuzzy_dedupe
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def trunc(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % 2 == 0))
+        idx = t.schema.get_field_index("text")
+        txt = pc.utf8_slice_codeunits(t["text"].combine_chunks(), 0, 80)
+        t = t.set_column(idx, "text", txt)
+        n80 = pc.fill_null(pc.utf8_length(txt).cast(pa.int64()), 0)
+        return t.append_column("n80", n80)
+
+    out = fuzzy_dedupe(
+        docs.map_batches(trunc, batch_format="pyarrow"),
+        "text",
+        n=3,
+        min_jaccard=0.8,
+        max_pairs=None,
+        with_counts=True,
+        keep=("max", "n80"),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "keep_id": t["record_id"],
+                "n80": t["n80"],
+                "n_members": t["n_members"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_cap_per_host(sf_dir: str):
     """Per-host quota sampling (util_ops.stratified_sample): keep a
     deterministic cap of 10 docs per source, chosen by splitmix64(doc_id)
@@ -2045,6 +2085,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "lm_perplexity": q_lm_perplexity,
     "cap_per_host": q_cap_per_host,
+    "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
     "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
     "mixture_sample": q_mixture_sample,
@@ -2502,6 +2543,35 @@ ORACLE_SQL = {
         " FROM labels GROUP BY comp) "
         "SELECT l.node AS keep_id, c.n_members "
         "FROM labels l JOIN counts c ON c.comp = l.comp WHERE l.node = l.comp"
+    ),
+    "fuzzy_dedupe_best": (
+        # clusters as in fuzzy_dedupe; survivor = longest member (ties: min id)
+        "WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 80) AS text FROM documents "
+        " WHERE text IS NOT NULL AND doc_id % 2 = 0 "
+        " AND length(substr(text, 1, 80)) >= 3), "
+        "g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram "
+        " FROM d, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)), "
+        "inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c "
+        " FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        " GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), "
+        "pairs AS (SELECT l, r FROM inter "
+        " JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r "
+        " WHERE c * 5 >= (sa.n + sb.n - c) * 4), "
+        "edges AS (SELECT l AS s, r AS t FROM pairs UNION SELECT r, l FROM pairs), "
+        "walk(node, comp) AS ("
+        " SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0"
+        " UNION "
+        " SELECT e.t, w.comp FROM walk w JOIN edges e ON e.s = w.node"
+        "), labels AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node), "
+        "counts AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members "
+        " FROM labels GROUP BY comp), "
+        "lens AS (SELECT l.node, l.comp, "
+        " CAST(coalesce(length(substr(dd.text, 1, 80)), 0) AS BIGINT) AS n80 "
+        " FROM labels l LEFT JOIN documents dd ON dd.doc_id = l.node) "
+        "SELECT node AS keep_id, n80, c.n_members "
+        "FROM lens JOIN counts c USING (comp) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n80 DESC, node ASC) = 1"
     ),
     "cap_per_host": (
         # splitmix64(doc_id) rank within source, cap 10 (seed 0)

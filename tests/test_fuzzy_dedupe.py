@@ -61,3 +61,51 @@ def test_fuzzy_dedupe_precomputed_links_minhash(ray_session):
     # cluster representatives only; 1/2 and 4 are deduped away
     assert 0 in keep and 3 in keep and 5 in keep
     assert not ({1, 2, 4} & set(keep))
+
+
+def test_fuzzy_dedupe_keep_best_quality(ray_session):
+    """keep=("max", col): the survivor is the best-quality member (tie ->
+    min id), not the min-id member."""
+    from mismo_ray.dedupe import fuzzy_dedupe
+
+    quality = [1.0, 9.0, 2.0, 5.0, 5.0, 3.0]  # doc1 beats doc0; 3/4 tie
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": list(range(len(TEXTS))),
+                "text": TEXTS,
+                "q": quality,
+            }
+        )
+    )
+    out = fuzzy_dedupe(
+        ds,
+        "text",
+        min_jaccard=0.7,
+        max_pairs=None,
+        with_counts=True,
+        keep=("max", "q"),
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["record_id"])
+    got = [(r["record_id"], r["component"], r["n_members"]) for r in rows]
+    # cluster {0,1,2}: argmax q = 1; cluster {3,4}: tie 5.0 -> min id 3
+    assert got == [(1, 0, 3), (3, 3, 2), (5, 5, 1)]
+
+    # keep=("min", col): lowest-q member survives (doc 0 in the big cluster)
+    out2 = fuzzy_dedupe(
+        ds, "text", min_jaccard=0.7, max_pairs=None, keep=("min", "q")
+    )
+    ids2 = sorted(r["record_id"] for r in out2.take_all())
+    assert ids2 == [0, 3, 5]
+
+
+def test_fuzzy_dedupe_keep_rejects_bad_mode(ray_session):
+    import pytest
+
+    from mismo_ray.dedupe import fuzzy_dedupe
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": [0, 1], "text": TEXTS[:2], "q": [1.0, 2.0]})
+    )
+    with pytest.raises(ValueError, match="keep must be"):
+        fuzzy_dedupe(ds, "text", max_pairs=None, keep=("argmax", "q"))
