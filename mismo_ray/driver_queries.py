@@ -1147,6 +1147,36 @@ def q_fuzzy_dedupe_best(sf_dir: str):
     )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split: self-trained bigram-LM
+    perplexity per doc (as lm_perplexity), quantized to e6 ints, then
+    bucketed at the EXACT global terciles via the distributed quantiles op
+    (quantile_disc semantics — boundaries are actual data values).
+    Quantizing before bucketing makes the cut decision integer-exact on
+    both engines (see perplexity_buckets tie note)."""
+    from mismo_ray.textstats import add_perplexity, perplexity_buckets, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lm = train_bigram_lm(docs, "text")
+    scored = add_perplexity(docs, lm, "text").filter(expr="n_scored > 0")
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lgq_e6": _e6(np.asarray(t["logppl"], dtype=np.float64)),
+            }
+        )
+
+    quantized = scored.map_batches(quantize, batch_format="pyarrow").materialize()
+    return perplexity_buckets(quantized, "lgq_e6").map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "bucket": t["ppl_bucket"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_cap_per_host(sf_dir: str):
     """Per-host quota sampling (util_ops.stratified_sample): keep a
     deterministic cap of 10 docs per source, chosen by splitmix64(doc_id)
@@ -2086,6 +2116,7 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "cap_per_host": q_cap_per_host,
     "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
+    "ccnet_buckets": q_ccnet_buckets,
     "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
     "mixture_sample": q_mixture_sample,
@@ -2581,6 +2612,23 @@ ORACLE_SQL = {
         "s3 AS (SELECT doc_id, source, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2) "
         "SELECT doc_id, source FROM s3 "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY xor(z, z >> 31)) <= 10"
+    ),
+    "ccnet_buckets": (
+        # lm_perplexity logic quantized to e6, tercile cuts via quantile_disc
+        "WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+        "pairs AS (SELECT doc_id, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS p FROM d WHERE len(toks) >= 2), "
+        "pw AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pairs), "
+        "uni AS (SELECT unnest(toks) AS w FROM d), "
+        "uc AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY w), "
+        "vocab AS (SELECT count(*)::DOUBLE AS v FROM uc), "
+        "bc AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM pw GROUP BY w1, w2), "
+        "ppl AS (SELECT pw.doc_id, "
+        " CAST(round(-sum(ln(bc.c + 1.0) - ln(uc.c + vocab.v)) / count(*) * 1e6) AS BIGINT) AS lgq "
+        " FROM pw JOIN bc USING (w1, w2) JOIN uc ON pw.w1 = uc.w CROSS JOIN vocab "
+        " GROUP BY pw.doc_id), "
+        "cuts AS (SELECT quantile_disc(lgq, [1.0/3.0, 2.0/3.0]) AS v FROM ppl) "
+        "SELECT doc_id, CASE WHEN lgq <= v[1] THEN 'head' "
+        " WHEN lgq <= v[2] THEN 'middle' ELSE 'tail' END AS bucket FROM ppl, cuts"
     ),
     "lm_perplexity": (
         # add-1 bigram LM self-trained on the corpus; logp term written as

@@ -516,5 +516,6 @@ from mismo_ray.textstats._lm import (  # noqa: E402
     BigramLM,
     PerplexityScorer,
     add_perplexity,
+    perplexity_buckets,
     train_bigram_lm,
 )

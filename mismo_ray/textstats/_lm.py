@@ -291,6 +291,63 @@ def add_perplexity(
     )
 
 
+def perplexity_buckets(
+    ds: ray.data.Dataset,
+    column: str = "logppl",
+    *,
+    qs=(1.0 / 3.0, 2.0 / 3.0),
+    labels=("head", "middle", "tail"),
+    label_as: str = "ppl_bucket",
+) -> ray.data.Dataset:
+    """CCNet-style perplexity bucketing: label every row by which side of
+    the EXACT global quantile cut-points of ``column`` it falls —
+    ``labels[i]`` when value <= cut[i] (first match), last label above all
+    cuts. CCNet keeps "head" (lowest perplexity) for training and samples
+    the rest.
+
+    Cut-points come from :func:`mismo_ray.util_ops.quantiles` — exact
+    distributed radix selection (quantile_disc semantics), so the
+    boundaries are actual data values, not sketch estimates. Cost: the
+    quantile histogram passes (driver holds n_bins ints, never values)
+    plus one stateless labeling map. Null/NaN rows get a null label.
+
+    Tie note: rows whose value EQUALS a cut-point land in the lower
+    bucket on both this and the SQL side; when ``column`` is a float
+    computed in parallel, quantize it (e.g. ``round(x * 1e6)``) before
+    bucketing if bit-exact cross-engine agreement at the boundary matters.
+    """
+    from mismo_ray.util_ops import quantiles
+
+    qs = [float(q) for q in qs]
+    if len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"need len(qs)+1 labels, got {len(labels)} labels for {len(qs)} cuts"
+        )
+    if sorted(qs) != qs:
+        raise ValueError("qs must be ascending")
+    cuts = quantiles(ds, column, qs)
+    thresholds = np.asarray([cuts[q] for q in qs], dtype=np.float64)
+    lab_arr = np.asarray(list(labels), dtype=object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnull = np.asarray(col.is_null())
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(isnull, np.inf, v)
+        isnull = isnull | np.isnan(v)
+        idx = np.searchsorted(thresholds, np.where(isnull, np.inf, v), side="left")
+        out = pa.array(
+            lab_arr[np.minimum(idx, len(labels) - 1)],
+            type=pa.string(),
+            mask=isnull,
+        )
+        return t.append_column(label_as, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def logppl_reference(docs: list[str | None], *, k: float = 1.0):
     """Pure-python reference implementation (tests only): returns
     (n_scored, logppl-or-None) per doc, self-trained on ``docs``."""

@@ -139,3 +139,43 @@ def test_quality_signal_direction(ray_session):
     clean_ppl = out["logppl"].iloc[0]
     noise_ppl = out["logppl"].iloc[-1]
     assert noise_ppl > clean_ppl
+
+
+def test_perplexity_buckets(ray_session):
+    from mismo_ray.textstats import perplexity_buckets
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, None]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(vals)), type=pa.int64()),
+                "logppl": pa.array(vals, type=pa.float64()),
+            }
+        )
+    ).repartition(2)
+    out = (
+        perplexity_buckets(ds, "logppl")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # quantile_disc cuts on [1..6]: q=1/3 -> rank ceil(2)-1=1 -> 2.0;
+    # q=2/3 -> rank ceil(4)-1=3 -> 4.0. value <= cut -> lower bucket.
+    assert list(out["ppl_bucket"])[:6] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    assert out["ppl_bucket"].iloc[6] is None or (
+        isinstance(out["ppl_bucket"].iloc[6], float)
+    )
+
+
+def test_perplexity_buckets_validation(ray_session):
+    from mismo_ray.textstats import perplexity_buckets
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0], "logppl": pa.array([1.0])})
+    )
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(ds, "logppl", qs=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="ascending"):
+        perplexity_buckets(ds, "logppl", qs=(0.7, 0.3), labels=("a", "b", "c"))
