@@ -72,9 +72,13 @@ def crawl_clean(
     min_tokens: int = 5,
     dedupe_min_docs: int = 2,
     output_dir: str | None = None,
+    return_dataset: bool = False,
 ) -> dict:
     """Run the full cleaning chain; returns summary counters (each one the
-    result of a streaming count/aggregate, not a driver materialization)."""
+    result of a streaming count/aggregate, not a driver materialization).
+    With ``return_dataset=True`` returns ``(counters, survivors)`` so a
+    downstream job (e.g. the pretrain shard export) can keep streaming from
+    the deduped corpus without re-reading parquet."""
     from mismo_ray.dedupe import drop_dup_lines, exact_dedupe
     from mismo_ray.lib.url import add_canonical_url
     from mismo_ray.textstats import add_lang_id, add_token_stats, redact_pii
@@ -127,7 +131,7 @@ def crawl_clean(
     n_chars_out = cleaned.map_batches(
         lambda t: text_len(t, "text"), batch_format="pyarrow"
     ).sum("c")
-    return {
+    counters = {
         "n_records": cleaned.count(),
         "n_distinct_clean": survivors.count(),
         "n_emails": int(n_pii["sum(n_emails)"]),
@@ -136,6 +140,20 @@ def crawl_clean(
         "n_chars_out": int(n_chars_out),
         "multiplier": multiplier,
     }
+    if return_dataset:
+        # exact_dedupe returns the keep-list (keep_id per distinct content);
+        # the surviving ROWS are the semi-join of the cleaned corpus on it
+        from mismo_ray._joins import hash_join
+
+        surviving_rows = hash_join(
+            cleaned,
+            survivors.select_columns(["keep_id"]),
+            on=["record_id"],
+            right_on=["keep_id"],
+            how="left_semi",
+        )
+        return counters, surviving_rows
+    return counters
 
 
 def crawl_clean_pipeline(

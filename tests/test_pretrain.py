@@ -1,0 +1,71 @@
+"""pretrain pipeline: crawl_clean -> CCNet LM gate -> hash split ->
+packed training shards, end to end with counter consistency and
+deterministic re-run."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from mismo_ray.pipelines._pretrain import pretrain_pipeline
+
+
+def test_pretrain_end_to_end(ray_session, tmp_path):
+    out1 = str(tmp_path / "run1")
+    c = pretrain_pipeline(
+        "/root/testdata/sf0.001",
+        out1,
+        multiplier=1,
+        seq_len=128,
+        seqs_per_shard=16,
+    )
+    # stage flow: every gate only shrinks the corpus
+    assert c["n_records"] > 0
+    assert 0 < c["n_after_lm_gate"] <= c["n_distinct_clean"] <= c["n_records"]
+    # tercile gate drops roughly a third (band allows ties at the cut;
+    # multiplier=1 keeps the synthetic texts varied — higher multipliers
+    # collapse post-dedupe text to identical structure and the gate
+    # correctly becomes a no-op on uniform perplexity)
+    frac = c["n_after_lm_gate"] / c["n_distinct_clean"]
+    assert 0.6 <= frac <= 0.75
+    assert c["n_train"] + c["n_val"] == c["n_after_lm_gate"]
+    assert c["n_seqs"] > 0 and c["n_shards"] > 0 and c["n_tokens"] > 0
+    # resumable export: _DONE marker + hive-partitioned shards
+    assert os.path.exists(os.path.join(out1, "_DONE"))
+    files = sorted(glob.glob(os.path.join(out1, "**", "*.parquet"), recursive=True))
+    assert files
+    t = pq.read_table(files[0])
+    for col in ("record_id", "n_bpe_tokens", "global_offset", "seq_id", "seq_pos"):
+        assert col in t.column_names
+
+    # deterministic: a fresh run reproduces identical counters
+    out2 = str(tmp_path / "run2")
+    c2 = pretrain_pipeline(
+        "/root/testdata/sf0.001",
+        out2,
+        multiplier=1,
+        seq_len=128,
+        seqs_per_shard=16,
+    )
+    for k in ("n_records", "n_after_lm_gate", "n_train", "n_val", "n_tokens", "n_seqs", "n_shards"):
+        assert c2[k] == c[k], k
+
+    # token-stream integrity: global offsets are a permutation-free prefix
+    # sum — every doc's offset equals the sum of tokens before it in
+    # (seq_id, seq_pos) order
+    import pyarrow as pa
+
+    full = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+    rows = sorted(
+        zip(
+            full["global_offset"].to_pylist(),
+            full["n_bpe_tokens"].to_pylist(),
+        )
+    )
+    acc = 0
+    for off, ntok in rows:
+        assert off == acc
+        acc += ntok
+    assert acc == c["n_tokens"]

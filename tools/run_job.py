@@ -35,12 +35,13 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     ap.add_argument(
         "--pipeline",
-        choices=["er", "crawl_clean", "linkgraph"],
+        choices=["er", "crawl_clean", "linkgraph", "pretrain"],
         default="er",
         help="er = flagship entity resolution; crawl_clean = the webtext "
         "cleaning chain (canonical URL -> PII redact -> lang-ID + quality "
         "gate -> line dedup -> exact dedupe); linkgraph = href extraction "
-        "-> host edges -> fixed-point PageRank",
+        "-> host edges -> fixed-point PageRank; pretrain = crawl_clean -> "
+        "CCNet LM gate -> hash split -> packed training shards",
     )
     ap.add_argument(
         "--multiplier", type=int, default=60, help="crawl_clean corpus amplification"
@@ -75,6 +76,28 @@ def main() -> None:
         )
         summary = {
             "pipeline": "linkgraph",
+            "seconds": round(time.time() - t0, 3),
+            "counters": counters,
+            "output": args.output,
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return
+
+    if args.pipeline == "pretrain":
+        from mismo_ray.pipelines._pretrain import pretrain_pipeline
+
+        t0 = time.time()
+        counters = pretrain_pipeline(
+            args.sf_dir,
+            os.path.join(args.output, "shards"),
+            multiplier=args.multiplier,
+        )
+        summary = {
+            "pipeline": "pretrain",
             "seconds": round(time.time() - t0, 3),
             "counters": counters,
             "output": args.output,
