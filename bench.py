@@ -108,6 +108,9 @@ def run_bench() -> dict:
         dq.q_pack_sequences(sf_dir).count()
     with timed("mixture_sample"):
         dq.q_mixture_sample(sf_dir).count()
+    with timed("lm_perplexity"):
+        # bigram-LM train (vocab shuffle + collect) + actor-pool scoring
+        dq.q_lm_perplexity(sf_dir).count()
 
     # ---- webtext cleaning chain (canonical URL -> PII redact -> lang-ID ->
     # quality gate -> C4 line dedup -> exact dedupe) over an amplified corpus.
