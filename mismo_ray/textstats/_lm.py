@@ -42,6 +42,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -157,15 +158,22 @@ def train_bigram_lm(
     *,
     k: float = 1.0,
     min_count: int = 1,
+    min_bigram_count: int = 1,
     max_broadcast: int = 5_000_000,
 ) -> BigramLM:
     """Fit the bigram LM distributed: map-side partial counts, one
     vocabulary-sized shuffle, one bounded collect.
 
-    ``min_count`` prunes unigrams below the threshold AFTER the global sum
-    (pruned words become OOV at scoring time: unigram count 0, and their
-    bigrams are dropped). V counts the kept vocabulary. Raises if the kept
-    model exceeds ``max_broadcast`` rows — raise ``min_count`` instead of
+    ``min_count`` prunes unigrams below the threshold (pruned words become
+    OOV at scoring time: unigram count 0, and their bigrams are dropped);
+    ``min_bigram_count`` prunes rare bigram entries (a pruned bigram scores
+    as unseen — count 0 — which slightly over-estimates the perplexity of
+    text containing it; the standard KenLM-style size/quality tradeoff).
+    Both prunes are pushed into the Dataset BEFORE the driver collect, so
+    on a raw web corpus — where hapax grams dominate the gram table — the
+    collect is bounded by the PRUNED model size, not the raw vocabulary.
+    V counts the kept vocabulary. Raises if the kept model still exceeds
+    ``max_broadcast`` rows — raise the prune thresholds instead of
     collecting an unbroadcastable model.
     """
     from ray.data.aggregate import Sum
@@ -204,11 +212,20 @@ def train_bigram_lm(
         .groupby(["w1", "w2"])
         .aggregate(Sum("c", alias_name="c"))
     )
+    if min_count > 1 or min_bigram_count > 1:
+        # prune distributed, BEFORE the collect: at web scale hapax grams
+        # are the bulk of the table and must never reach the driver
+        def prune(t: pa.Table) -> pa.Table:
+            is_uni = pc.equal(t["w2"], "")
+            bar = pc.if_else(is_uni, min_count, min_bigram_count)
+            return t.filter(pc.greater_equal(t["c"], bar))
+
+        counts = counts.map_batches(prune, batch_format="pyarrow")
     n = counts.count()
     if n > max_broadcast:
         raise ValueError(
             f"fitted LM has {n} gram rows > max_broadcast={max_broadcast}; "
-            "raise min_count to prune the vocabulary"
+            "raise min_count/min_bigram_count to prune harder"
         )
     tbl = pa.Table.from_pylist(counts.take_all())
     w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)

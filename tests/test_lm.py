@@ -179,3 +179,35 @@ def test_perplexity_buckets_validation(ray_session):
         perplexity_buckets(ds, "logppl", qs=(0.5,), labels=("a", "b", "c"))
     with pytest.raises(ValueError, match="ascending"):
         perplexity_buckets(ds, "logppl", qs=(0.7, 0.3), labels=("a", "b", "c"))
+
+
+def test_min_bigram_count_prunes_before_collect(ray_session):
+    # "a b" occurs 3x, every other bigram once
+    ds = _ds(["a b c", "a b d", "a b e"], parallelism=1)
+    full = train_bigram_lm(ds, "text")
+    pruned = train_bigram_lm(ds, "text", min_bigram_count=2)
+    assert set(pruned.vocab) == set(full.vocab)  # unigrams untouched
+    assert len(pruned.big_keys) == 1  # only (a,b) survives
+    assert len(full.big_keys) == 4  # (a,b) (b,c) (b,d) (b,e)
+    # pruned bigrams score as unseen (count 0) -> higher logppl
+    out_f = add_perplexity(_ds(["a b c"], 1), full, "text").to_pandas()
+    out_p = add_perplexity(_ds(["a b c"], 1), pruned, "text").to_pandas()
+    assert out_p["logppl"].iloc[0] > out_f["logppl"].iloc[0]
+
+
+def test_perplexity_buckets_uniform_values_all_head(ray_session):
+    # degenerate distribution (every value identical): both cuts equal the
+    # value, so everything lands in the lowest bucket and a downstream
+    # drop-tail gate is correctly a no-op
+    from mismo_ray.textstats import perplexity_buckets
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), type=pa.int64()),
+                "logppl": pa.array([3.25] * 12, type=pa.float64()),
+            }
+        )
+    ).repartition(3)
+    out = perplexity_buckets(ds, "logppl").to_pandas()
+    assert list(out["ppl_bucket"].unique()) == ["head"]
