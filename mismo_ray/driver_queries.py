@@ -1418,6 +1418,46 @@ def q_extract_links(sf_dir: str):
     )
 
 
+def q_extract_anchors(sf_dir: str):
+    """Anchor-text extraction (webgraph.extract_links with_anchor=True):
+    per href occurrence the visible link text — valid only as a plain
+    non-'<' run terminated by a literal '</a>' (nested markup -> null, the
+    link row survives). Synthesis covers a plain anchor, a nested-markup
+    anchor (null), an attribute-bearing tag, and an unterminated href
+    (dropped). Oracle mirrors the split semantics 1:1 with string
+    functions (string_split + strpos + substr)."""
+    from mismo_ray.webgraph import extract_links
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        ds_ = pd.Series(did).astype(str)
+        html = (
+            '<a href="https://ex.com/p/' + ds_ + '">a'
+            + pd.Series(did % 5).astype(str)
+            + '</a><a href="/local/' + pd.Series(did % 7).astype(str)
+            + '"><b>bold</b></a>'
+            + '<a href="/plain/' + pd.Series(did % 3).astype(str)
+            + '" class="x">text here</a><a href="broken'
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array("https://ex.com/p/" + ds_, type=pa.string()),
+                "html": pa.array(html, type=pa.string()).cast(pa.binary()),
+            }
+        )
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    out = extract_links(
+        pages, resolve=False, keep_columns=["doc_id"], with_anchor=True
+    )
+    return out.select_columns(["doc_id", "href", "anchor"])
+
+
 def q_host_stats(sf_dir: str):
     """Per-host curation table (the RefinedWeb/CCNet-style host prior):
     compose URL parsing + token stats + a two-level distinct count into
@@ -2107,6 +2147,7 @@ QUERIES = {
     "drop_dup_lines_domain": q_drop_dup_lines_domain,
     "canonical_url": q_canonical_url,
     "extract_links": q_extract_links,
+    "extract_anchors": q_extract_anchors,
     "host_pagerank": q_host_pagerank,
     "read_warc": q_read_warc,
     "host_stats": q_host_stats,
@@ -2846,6 +2887,29 @@ ORACLE_SQL = {
         " CAST(sum(len(toks)) AS BIGINT) AS n_tokens_sum, "
         " CAST(sum(length(text)) AS BIGINT) AS n_chars_sum "
         "FROM t GROUP BY host"
+    ),
+    "extract_anchors": (
+        # identical html synthesis; split semantics mirrored with string
+        # functions: segment per href=", closing-quote required, anchor =
+        # first '>'-to-'<' run iff followed by a literal '</a>'
+        "WITH h AS (SELECT doc_id, "
+        " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
+        " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
+        " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' AS html "
+        " FROM documents), "
+        "segs AS (SELECT doc_id, t.seg FROM h, LATERAL ("
+        " SELECT unnest(string_split(html, 'href=\"')) AS seg, "
+        "        unnest(generate_series(1, len(string_split(html, 'href=\"')))) AS i) AS t "
+        " WHERE t.i > 1), "
+        "parsed AS (SELECT doc_id, substr(seg, 1, strpos(seg, '\"') - 1) AS href, "
+        " substr(seg, strpos(seg, '\"') + 1) AS rest FROM segs WHERE strpos(seg, '\"') > 0), "
+        "anch AS (SELECT doc_id, href, "
+        " CASE WHEN strpos(rest, '>') > 0 THEN substr(rest, strpos(rest, '>') + 1) END AS after_gt FROM parsed) "
+        "SELECT doc_id, href, "
+        " CASE WHEN after_gt IS NOT NULL AND strpos(after_gt, '<') > 0 "
+        "  AND substr(after_gt, strpos(after_gt, '<'), 4) = '</a>' "
+        "  THEN substr(after_gt, 1, strpos(after_gt, '<') - 1) END AS anchor "
+        "FROM anch"
     ),
     "extract_links": (
         # identical html synthesis (|| and CASE on doc_id), href extraction

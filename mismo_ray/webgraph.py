@@ -57,6 +57,7 @@ def extract_links(
     url_column: str = "url",
     resolve: bool = True,
     keep_columns: Sequence[str] = (),
+    with_anchor: bool = False,
 ) -> ray.data.Dataset:
     """Explode each page into one row per ``href="..."`` occurrence.
 
@@ -66,7 +67,17 @@ def extract_links(
     fragment dropped) and ``link_host``; unresolvable hrefs (mailto:,
     javascript:, fragment-only, empty) are dropped.
 
-    Vectorized: two Arrow ``split_pattern`` passes, zero per-row regex.
+    ``with_anchor=True`` adds a nullable ``anchor`` column — the visible
+    link text, a classic ER/ranking signal (anchor text describes the
+    TARGET page). Byte-exact contract, mirrored 1:1 by string functions in
+    the SQL oracle: after the href's closing quote, skip to the first
+    ``>``; the anchor is the run of non-``<`` characters that follows,
+    valid only when terminated by a literal ``</a>`` (nested markup inside
+    the anchor, a missing ``>``, or a different closing tag -> null; the
+    link row itself is still emitted).
+
+    Vectorized: two Arrow ``split_pattern`` passes, zero per-row regex
+    (anchor extraction adds two more bounded ``max_splits=1`` passes).
     Byte-exact contract: an href is everything between ``href="`` and the
     next ``"`` (unterminated attributes at end-of-document are dropped),
     matching the SQL oracle's ``regexp_extract_all(html, 'href="([^"]*)"')``.
@@ -98,6 +109,31 @@ def extract_links(
             url_column: t[url_column].combine_chunks().take(pa.array(doc_idx)),
             "href": href,
         }
+        if with_anchor:
+            # remainder after the closing quote -> skip to first '>', take
+            # the non-'<' run, require a literal '</a>' terminator. A
+            # sentinel '>'/'<' appended per row guarantees both max_splits=1
+            # splits always yield 2 elements (rows where only the sentinel
+            # matched end with tail '' and fail the '</a>' check -> null).
+            # filter FIRST (kept rows are guaranteed a closing quote, i.e.
+            # a 2-element split), THEN take element 1
+            rest = pc.list_element(closed.filter(pa.array(take)), 1)
+            gt = pc.split_pattern(
+                pc.binary_join_element_wise(rest, ">", ""),
+                pattern=">",
+                max_splits=1,
+            )
+            after_gt = pc.list_element(gt, 1)
+            lt = pc.split_pattern(
+                pc.binary_join_element_wise(after_gt, "<", ""),
+                pattern="<",
+                max_splits=1,
+            )
+            candidate = pc.list_element(lt, 0)
+            ok = pc.starts_with(pc.list_element(lt, 1), "/a>")
+            cols["anchor"] = pc.if_else(
+                ok, candidate, pa.scalar(None, pa.string())
+            )
         for c in keep_columns:
             cols[c] = t[c].combine_chunks().take(pa.array(doc_idx))
         return pa.table(cols)

@@ -114,3 +114,42 @@ def test_pagerank_deterministic_across_partitioning(ray_session):
     am = dict(zip(a["node"], a["rank"]))
     bm = dict(zip(b["node"], b["rank"]))
     assert am == bm
+
+
+def test_extract_links_with_anchor(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.webgraph import extract_links
+
+    html = (
+        '<a href="https://t.com/a">plain anchor</a>'      # plain -> kept
+        '<a href="/x"><b>bold</b></a>'                    # nested -> null
+        '<a href="/y" class="c">attr ok</a>'              # attrs fine
+        '<a href="/empty"></a>'                           # empty anchor ""
+        '<a href="/wrong">text</span>'                    # wrong close -> null
+        '<a href="/nogt"'                                 # quote closed, no '>' -> link kept, anchor null
+        '<a href="untermin'                               # no closing quote -> dropped
+    )
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["https://t.com/page"],
+                "html": pa.array([html], type=pa.string()).cast(pa.binary()),
+            }
+        )
+    )
+    out = (
+        extract_links(pages, resolve=False, with_anchor=True)
+        .to_pandas()
+    )
+    got = list(zip(out["href"], [a if isinstance(a, str) else None for a in out["anchor"]]))
+    assert got == [
+        ("https://t.com/a", "plain anchor"),
+        ("/x", None),
+        ("/y", "attr ok"),
+        ("/empty", ""),
+        ("/wrong", None),
+        ("/nogt", None),
+        # 'untermin' has no closing quote -> dropped entirely
+    ]
