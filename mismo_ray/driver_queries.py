@@ -1458,6 +1458,45 @@ def q_extract_anchors(sf_dir: str):
     return out.select_columns(["doc_id", "href", "anchor"])
 
 
+def q_anchor_stats(sf_dir: str):
+    """Inbound anchor-text profile per link target (webgraph.anchor_stats):
+    n_links / n_anchored / most-frequent anchor with deterministic ties.
+    Same synthesized pages as extract_anchors; targets exercise unique
+    URLs (n=1), shared null-anchor targets (top_anchor null) and shared
+    real-anchor targets."""
+    from mismo_ray.webgraph import anchor_stats, extract_links
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        ds_ = pd.Series(did).astype(str)
+        html = (
+            '<a href="https://ex.com/p/' + ds_ + '">a'
+            + pd.Series(did % 5).astype(str)
+            + '</a><a href="/local/' + pd.Series(did % 7).astype(str)
+            + '"><b>bold</b></a>'
+            + '<a href="/plain/' + pd.Series(did % 3).astype(str)
+            + '" class="x">text here</a><a href="broken'
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array("https://ex.com/p/" + ds_, type=pa.string()),
+                "html": pa.array(html, type=pa.string()).cast(pa.binary()),
+            }
+        )
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    links = extract_links(pages, resolve=False, with_anchor=True)
+    out = anchor_stats(links, target_column="href")
+    return out.select_columns(
+        ["href", "n_links", "n_anchored", "top_anchor", "top_anchor_count"]
+    )
+
+
 def q_host_stats(sf_dir: str):
     """Per-host curation table (the RefinedWeb/CCNet-style host prior):
     compose URL parsing + token stats + a two-level distinct count into
@@ -2148,6 +2187,7 @@ QUERIES = {
     "canonical_url": q_canonical_url,
     "extract_links": q_extract_links,
     "extract_anchors": q_extract_anchors,
+    "anchor_stats": q_anchor_stats,
     "host_pagerank": q_host_pagerank,
     "read_warc": q_read_warc,
     "host_stats": q_host_stats,
@@ -2887,6 +2927,32 @@ ORACLE_SQL = {
         " CAST(sum(len(toks)) AS BIGINT) AS n_tokens_sum, "
         " CAST(sum(length(text)) AS BIGINT) AS n_chars_sum "
         "FROM t GROUP BY host"
+    ),
+    "anchor_stats": (
+        # extract_anchors base -> per-target totals + window-top-1 anchor
+        "WITH h AS (SELECT doc_id, "
+        " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
+        " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
+        " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' AS html "
+        " FROM documents), "
+        "segs AS (SELECT doc_id, t.seg FROM h, LATERAL ("
+        " SELECT unnest(string_split(html, 'href=\"')) AS seg, "
+        "        unnest(generate_series(1, len(string_split(html, 'href=\"')))) AS i) AS t "
+        " WHERE t.i > 1), "
+        "parsed AS (SELECT doc_id, substr(seg, 1, strpos(seg, '\"') - 1) AS href, "
+        " substr(seg, strpos(seg, '\"') + 1) AS rest FROM segs WHERE strpos(seg, '\"') > 0), "
+        "anch AS (SELECT doc_id, href, "
+        " CASE WHEN strpos(rest, '>') > 0 THEN substr(rest, strpos(rest, '>') + 1) END AS after_gt FROM parsed), "
+        "base AS (SELECT doc_id, href, "
+        " CASE WHEN after_gt IS NOT NULL AND strpos(after_gt, '<') > 0 "
+        "  AND substr(after_gt, strpos(after_gt, '<'), 4) = '</a>' "
+        "  THEN substr(after_gt, 1, strpos(after_gt, '<') - 1) END AS anchor FROM anch), "
+        "tot AS (SELECT href, count(*) AS n_links, count(anchor) AS n_anchored FROM base GROUP BY href), "
+        "cnt AS (SELECT href, anchor, count(*) AS c FROM base WHERE anchor IS NOT NULL GROUP BY href, anchor), "
+        "top AS (SELECT href, anchor AS top_anchor, c AS top_anchor_count FROM cnt "
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY href ORDER BY c DESC, anchor ASC) = 1) "
+        "SELECT t.href, t.n_links, t.n_anchored, top.top_anchor, top.top_anchor_count "
+        "FROM tot t LEFT JOIN top USING (href)"
     ),
     "extract_anchors": (
         # identical html synthesis; split semantics mirrored with string

@@ -45,7 +45,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["extract_links", "resolve_hrefs", "pagerank"]
+__all__ = ["extract_links", "resolve_hrefs", "pagerank", "anchor_stats"]
 
 _SKIP_PREFIXES = ("mailto:", "javascript:", "tel:", "data:")
 
@@ -383,3 +383,108 @@ def pagerank(
             .materialize()
         )
     return ranks
+
+
+def anchor_stats(
+    links: ray.data.Dataset,
+    *,
+    target_column: str = "link_url",
+    anchor_column: str = "anchor",
+) -> ray.data.Dataset:
+    """Inbound anchor-text profile per target URL: ``(link_url, n_links,
+    n_anchored, top_anchor, top_anchor_count)``.
+
+    Anchor text is how OTHER pages describe a target — the classic ER /
+    ranking signal (compare a page's own title against its inbound
+    anchors). ``top_anchor`` is the most frequent non-null anchor string
+    (ties broken by the lexicographically smallest anchor, so the result
+    is deterministic and SQL-reproducible).
+
+    Scale shape: one pre-aggregating count shuffle over (target, anchor)
+    — the anchor strings cross once, already deduplicated per batch by the
+    pandas value_counts combiner — then a top-1-per-target pass via the
+    bucketed ``top_k_per_group`` and one join against the per-target
+    totals. No full-text columns move; payload is (url, anchor, int).
+    """
+    from ray.data.aggregate import Sum
+
+    from mismo_ray._joins import hash_join
+    from mismo_ray.util_ops import top_k_per_group
+
+    def partial(t: pa.Table) -> pa.Table:
+        tgt = pd.Series(t[target_column].to_pylist(), dtype="object")
+        anc = pd.Series(t[anchor_column].to_pylist(), dtype="object")
+        n_anchored = anc.notna()
+        df = pd.DataFrame(
+            {"t": tgt, "a": anc.where(n_anchored, "")}
+        )
+        df["anchored"] = n_anchored.astype("int64")
+        g = (
+            df.groupby(["t", "a"], sort=False)
+            .agg(c=("a", "size"), anchored=("anchored", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                target_column: pa.array(g["t"], type=pa.string()),
+                "__anchor__": pa.array(g["a"], type=pa.string()),
+                "__c__": pa.array(g["c"].to_numpy(dtype=np.int64)),
+                "__anchored__": pa.array(g["anchored"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    counts = (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby([target_column, "__anchor__"])
+        .aggregate(
+            Sum("__c__", alias_name="__c__"),
+            Sum("__anchored__", alias_name="__anchored__"),
+        )
+    )
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                target_column: t[target_column],
+                "n_links": t["__c__"],
+                "n_anchored": t["__anchored__"],
+            }
+        )
+
+    totals = (
+        counts.map_batches(totals_partial, batch_format="pyarrow")
+        .groupby(target_column)
+        .aggregate(
+            Sum("n_links", alias_name="n_links"),
+            Sum("n_anchored", alias_name="n_anchored"),
+        )
+    )
+
+    # top non-null anchor. Null anchors share the "" sentinel group with
+    # any REAL empty-string anchors, so the true non-null count of a group
+    # is __anchored__ (== __c__ for every group except the sentinel one);
+    # rank by it and groups that are pure-null sentinels (__anchored__ = 0)
+    # drop out.
+    real = counts.filter(expr="__anchored__ > 0")
+    top = top_k_per_group(
+        real.select_columns([target_column, "__anchor__", "__anchored__"]),
+        target_column,
+        [("__anchored__", "desc"), ("__anchor__", "asc")],
+        1,
+    )
+
+    def rename_top(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                target_column: t[target_column],
+                "top_anchor": t["__anchor__"],
+                "top_anchor_count": t["__anchored__"],
+            }
+        )
+
+    return hash_join(
+        totals,
+        top.map_batches(rename_top, batch_format="pyarrow"),
+        on=[target_column],
+        how="left_outer",
+    )

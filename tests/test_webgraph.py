@@ -153,3 +153,37 @@ def test_extract_links_with_anchor(ray_session):
         ("/nogt", None),
         # 'untermin' has no closing quote -> dropped entirely
     ]
+
+
+def test_anchor_stats_edge_cases(ray_session):
+    """Sentinel-group correctness: a target with both null anchors and a
+    REAL empty-string anchor counts only the real one; pure-null targets
+    get a null top_anchor; ties break to the smaller anchor string."""
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.webgraph import anchor_stats
+
+    rows = [
+        # target A: "x" twice, "b" twice -> tie, top = "b"
+        ("A", "x"), ("A", "x"), ("A", "b"), ("A", "b"),
+        # target B: three nulls + one real "" -> top "", count 1, n_links 4
+        ("B", None), ("B", None), ("B", None), ("B", ""),
+        # target C: all null -> top null
+        ("C", None), ("C", None),
+    ]
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "link_url": pa.array([r[0] for r in rows]),
+                "anchor": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = anchor_stats(links).to_pandas().set_index("link_url").sort_index()
+    assert out.loc["A", "n_links"] == 4 and out.loc["A", "n_anchored"] == 4
+    assert out.loc["A", "top_anchor"] == "b" and out.loc["A", "top_anchor_count"] == 2
+    assert out.loc["B", "n_links"] == 4 and out.loc["B", "n_anchored"] == 1
+    assert out.loc["B", "top_anchor"] == "" and out.loc["B", "top_anchor_count"] == 1
+    assert out.loc["C", "n_links"] == 2 and out.loc["C", "n_anchored"] == 0
+    assert out.loc["C", "top_anchor"] is None or out.loc["C", "top_anchor"] != out.loc["C", "top_anchor"]
