@@ -817,9 +817,15 @@ def fuzzy_dedupe(
     _s = ds.schema()
     id_type = dict(zip(_s.names, _s.types))["record_id"]
     if keep != "min_id":
+        if (
+            not isinstance(keep, tuple)
+            or len(keep) != 2
+            or keep[0] not in ("max", "min")
+        ):
+            raise ValueError(
+                f"keep must be 'min_id', ('max', col) or ('min', col); got {keep!r}"
+            )
         how, qcol = keep
-        if how not in ("max", "min"):
-            raise ValueError(f"keep must be 'min_id', ('max', col) or ('min', col); got {keep!r}")
         from mismo_ray._joins import hash_join
         from mismo_ray.util_ops import top_k_per_group
 

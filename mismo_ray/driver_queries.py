@@ -1418,40 +1418,42 @@ def q_extract_links(sf_dir: str):
     )
 
 
+def _synth_anchor_pages(t: pa.Table) -> pa.Table:
+    """Deterministic anchor-test pages, shared by q_extract_anchors and
+    q_anchor_stats (and mirrored by _ANCHOR_BASE_SQL): a plain anchor, a
+    nested-markup anchor (null), an attribute-bearing tag, an unterminated
+    href (dropped)."""
+    import pandas as pd
+
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    ds_ = pd.Series(did).astype(str)
+    html = (
+        '<a href="https://ex.com/p/' + ds_ + '">a'
+        + pd.Series(did % 5).astype(str)
+        + '</a><a href="/local/' + pd.Series(did % 7).astype(str)
+        + '"><b>bold</b></a>'
+        + '<a href="/plain/' + pd.Series(did % 3).astype(str)
+        + '" class="x">text here</a><a href="broken'
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "url": pa.array("https://ex.com/p/" + ds_, type=pa.string()),
+            "html": pa.array(html, type=pa.string()).cast(pa.binary()),
+        }
+    )
+
+
 def q_extract_anchors(sf_dir: str):
     """Anchor-text extraction (webgraph.extract_links with_anchor=True):
     per href occurrence the visible link text — valid only as a plain
     non-'<' run terminated by a literal '</a>' (nested markup -> null, the
-    link row survives). Synthesis covers a plain anchor, a nested-markup
-    anchor (null), an attribute-bearing tag, and an unterminated href
-    (dropped). Oracle mirrors the split semantics 1:1 with string
+    link row survives). Oracle mirrors the split semantics 1:1 with string
     functions (string_split + strpos + substr)."""
     from mismo_ray.webgraph import extract_links
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-
-    def synth(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        did = np.asarray(t["doc_id"], dtype=np.int64)
-        ds_ = pd.Series(did).astype(str)
-        html = (
-            '<a href="https://ex.com/p/' + ds_ + '">a'
-            + pd.Series(did % 5).astype(str)
-            + '</a><a href="/local/' + pd.Series(did % 7).astype(str)
-            + '"><b>bold</b></a>'
-            + '<a href="/plain/' + pd.Series(did % 3).astype(str)
-            + '" class="x">text here</a><a href="broken'
-        )
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "url": pa.array("https://ex.com/p/" + ds_, type=pa.string()),
-                "html": pa.array(html, type=pa.string()).cast(pa.binary()),
-            }
-        )
-
-    pages = docs.map_batches(synth, batch_format="pyarrow")
+    pages = docs.map_batches(_synth_anchor_pages, batch_format="pyarrow")
     out = extract_links(
         pages, resolve=False, keep_columns=["doc_id"], with_anchor=True
     )
@@ -1467,29 +1469,7 @@ def q_anchor_stats(sf_dir: str):
     from mismo_ray.webgraph import anchor_stats, extract_links
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-
-    def synth(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        did = np.asarray(t["doc_id"], dtype=np.int64)
-        ds_ = pd.Series(did).astype(str)
-        html = (
-            '<a href="https://ex.com/p/' + ds_ + '">a'
-            + pd.Series(did % 5).astype(str)
-            + '</a><a href="/local/' + pd.Series(did % 7).astype(str)
-            + '"><b>bold</b></a>'
-            + '<a href="/plain/' + pd.Series(did % 3).astype(str)
-            + '" class="x">text here</a><a href="broken'
-        )
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "url": pa.array("https://ex.com/p/" + ds_, type=pa.string()),
-                "html": pa.array(html, type=pa.string()).cast(pa.binary()),
-            }
-        )
-
-    pages = docs.map_batches(synth, batch_format="pyarrow")
+    pages = docs.map_batches(_synth_anchor_pages, batch_format="pyarrow")
     links = extract_links(pages, resolve=False, with_anchor=True)
     out = anchor_stats(links, target_column="href")
     return out.select_columns(
@@ -2218,6 +2198,30 @@ from mismo_ray.textstats import STOPWORDS_EN as _STOPWORDS_EN
 
 _STOP_SQL = "'" + "','".join(sorted(_STOPWORDS_EN)) + "'"
 
+# SQL mirror of _synth_anchor_pages + extract_links(with_anchor=True) split
+# semantics: segment per href=", closing-quote required, anchor = first
+# '>'-to-'<' run iff followed by a literal '</a>'. Yields
+# base(doc_id, href, anchor); shared by extract_anchors and anchor_stats.
+_ANCHOR_BASE_SQL = (
+    "h AS (SELECT doc_id, "
+    " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
+    " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
+    " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' AS html "
+    " FROM documents), "
+    "segs AS (SELECT doc_id, t.seg FROM h, LATERAL ("
+    " SELECT unnest(string_split(html, 'href=\"')) AS seg, "
+    "        unnest(generate_series(1, len(string_split(html, 'href=\"')))) AS i) AS t "
+    " WHERE t.i > 1), "
+    "parsed AS (SELECT doc_id, substr(seg, 1, strpos(seg, '\"') - 1) AS href, "
+    " substr(seg, strpos(seg, '\"') + 1) AS rest FROM segs WHERE strpos(seg, '\"') > 0), "
+    "anch AS (SELECT doc_id, href, "
+    " CASE WHEN strpos(rest, '>') > 0 THEN substr(rest, strpos(rest, '>') + 1) END AS after_gt FROM parsed), "
+    "base AS (SELECT doc_id, href, "
+    " CASE WHEN after_gt IS NOT NULL AND strpos(after_gt, '<') > 0 "
+    "  AND substr(after_gt, strpos(after_gt, '<'), 4) = '</a>' "
+    "  THEN substr(after_gt, 1, strpos(after_gt, '<') - 1) END AS anchor FROM anch)"
+)
+
 ORACLE_SQL = {
     "key_counts": (
         "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, count(*) AS n FROM part GROUP BY p_brand, p_size"
@@ -2929,24 +2933,8 @@ ORACLE_SQL = {
         "FROM t GROUP BY host"
     ),
     "anchor_stats": (
-        # extract_anchors base -> per-target totals + window-top-1 anchor
-        "WITH h AS (SELECT doc_id, "
-        " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
-        " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
-        " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' AS html "
-        " FROM documents), "
-        "segs AS (SELECT doc_id, t.seg FROM h, LATERAL ("
-        " SELECT unnest(string_split(html, 'href=\"')) AS seg, "
-        "        unnest(generate_series(1, len(string_split(html, 'href=\"')))) AS i) AS t "
-        " WHERE t.i > 1), "
-        "parsed AS (SELECT doc_id, substr(seg, 1, strpos(seg, '\"') - 1) AS href, "
-        " substr(seg, strpos(seg, '\"') + 1) AS rest FROM segs WHERE strpos(seg, '\"') > 0), "
-        "anch AS (SELECT doc_id, href, "
-        " CASE WHEN strpos(rest, '>') > 0 THEN substr(rest, strpos(rest, '>') + 1) END AS after_gt FROM parsed), "
-        "base AS (SELECT doc_id, href, "
-        " CASE WHEN after_gt IS NOT NULL AND strpos(after_gt, '<') > 0 "
-        "  AND substr(after_gt, strpos(after_gt, '<'), 4) = '</a>' "
-        "  THEN substr(after_gt, 1, strpos(after_gt, '<') - 1) END AS anchor FROM anch), "
+        # shared anchor base -> per-target totals + window-top-1 anchor
+        f"WITH {_ANCHOR_BASE_SQL}, "
         "tot AS (SELECT href, count(*) AS n_links, count(anchor) AS n_anchored FROM base GROUP BY href), "
         "cnt AS (SELECT href, anchor, count(*) AS c FROM base WHERE anchor IS NOT NULL GROUP BY href, anchor), "
         "top AS (SELECT href, anchor AS top_anchor, c AS top_anchor_count FROM cnt "
@@ -2955,27 +2943,7 @@ ORACLE_SQL = {
         "FROM tot t LEFT JOIN top USING (href)"
     ),
     "extract_anchors": (
-        # identical html synthesis; split semantics mirrored with string
-        # functions: segment per href=", closing-quote required, anchor =
-        # first '>'-to-'<' run iff followed by a literal '</a>'
-        "WITH h AS (SELECT doc_id, "
-        " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
-        " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
-        " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' AS html "
-        " FROM documents), "
-        "segs AS (SELECT doc_id, t.seg FROM h, LATERAL ("
-        " SELECT unnest(string_split(html, 'href=\"')) AS seg, "
-        "        unnest(generate_series(1, len(string_split(html, 'href=\"')))) AS i) AS t "
-        " WHERE t.i > 1), "
-        "parsed AS (SELECT doc_id, substr(seg, 1, strpos(seg, '\"') - 1) AS href, "
-        " substr(seg, strpos(seg, '\"') + 1) AS rest FROM segs WHERE strpos(seg, '\"') > 0), "
-        "anch AS (SELECT doc_id, href, "
-        " CASE WHEN strpos(rest, '>') > 0 THEN substr(rest, strpos(rest, '>') + 1) END AS after_gt FROM parsed) "
-        "SELECT doc_id, href, "
-        " CASE WHEN after_gt IS NOT NULL AND strpos(after_gt, '<') > 0 "
-        "  AND substr(after_gt, strpos(after_gt, '<'), 4) = '</a>' "
-        "  THEN substr(after_gt, 1, strpos(after_gt, '<') - 1) END AS anchor "
-        "FROM anch"
+        f"WITH {_ANCHOR_BASE_SQL} SELECT doc_id, href, anchor FROM base"
     ),
     "extract_links": (
         # identical html synthesis (|| and CASE on doc_id), href extraction

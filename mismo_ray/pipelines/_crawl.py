@@ -73,7 +73,7 @@ def crawl_clean(
     dedupe_min_docs: int = 2,
     output_dir: str | None = None,
     return_dataset: bool = False,
-) -> dict:
+) -> "dict | tuple[dict, ray.data.Dataset]":
     """Run the full cleaning chain; returns summary counters (each one the
     result of a streaming count/aggregate, not a driver materialization).
     With ``return_dataset=True`` returns ``(counters, survivors)`` so a

@@ -44,7 +44,11 @@ def pretrain_data(
     seed: int = 0,
 ) -> dict:
     """Run the chain over the (to-be-amplified) documents table; returns
-    merged counters from every stage."""
+    merged counters from every stage. Output layout: packed train shards
+    under ``<output_dir>/shards`` (with the ``_DONE`` resume marker), the
+    held-out docs under ``<output_dir>/val``."""
+    import os
+
     from mismo_ray.packing import write_training_shards
     from mismo_ray.pipelines._crawl import crawl_clean
     from mismo_ray.textstats import (
@@ -56,6 +60,10 @@ def pretrain_data(
     from mismo_ray.util_ops import hash_split
 
     counters, clean = crawl_clean(docs, multiplier=multiplier, return_dataset=True)
+    # materialize the deduped corpus ONCE: LM training (count + collect)
+    # and scoring would otherwise each re-run the exact-dedupe groupby +
+    # semi-join lineage (at real scale: the write_parquet checkpoint)
+    clean = clean.materialize()
 
     # --- CCNet LM gate: self-trained bigram perplexity, drop the worst
     # tercile. Scored corpus is materialized once: the tercile cut-points
@@ -83,12 +91,16 @@ def pretrain_data(
         seed=seed,
     )
     train = split.filter(expr="split == 'train'").drop_columns(["split"])
+    # export the held-out docs next to the shards (they are the whole point
+    # of the split; without this a user would have to re-run the pipeline)
+    val = split.filter(expr="split == 'val'").drop_columns(["split"])
+    val.write_parquet(os.path.join(output_dir, "val"))
     train = add_token_count(train, "text")
 
     # --- pack + shard export (resumable; _DONE marker)
     shard_counters = write_training_shards(
         train,
-        output_dir,
+        os.path.join(output_dir, "shards"),
         tokens_column="n_bpe_tokens",
         budget=seq_len,
         seqs_per_shard=seqs_per_shard,

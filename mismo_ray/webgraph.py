@@ -404,7 +404,13 @@ def anchor_stats(
     — the anchor strings cross once, already deduplicated per batch by the
     pandas value_counts combiner — then a top-1-per-target pass via the
     bucketed ``top_k_per_group`` and one join against the per-target
-    totals. No full-text columns move; payload is (url, anchor, int).
+    totals. The counted table is materialized once (both the totals and
+    the top branch read it; it is the compact post-combine table, not the
+    links). No full-text columns move; payload is (url, anchor, int).
+
+    Rows with a null target are dropped up front (a link without a
+    resolvable target has no profile to contribute to); the count of
+    dropped rows is not surfaced — filter beforehand if it matters.
     """
     from ray.data.aggregate import Sum
 
@@ -412,6 +418,7 @@ def anchor_stats(
     from mismo_ray.util_ops import top_k_per_group
 
     def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t[target_column].combine_chunks().is_valid())
         tgt = pd.Series(t[target_column].to_pylist(), dtype="object")
         anc = pd.Series(t[anchor_column].to_pylist(), dtype="object")
         n_anchored = anc.notna()
@@ -440,6 +447,9 @@ def anchor_stats(
             Sum("__c__", alias_name="__c__"),
             Sum("__anchored__", alias_name="__anchored__"),
         )
+        # consumed by BOTH the totals and the top branch: materialize the
+        # compact post-combine table so the links lineage runs once
+        .materialize()
     )
 
     def totals_partial(t: pa.Table) -> pa.Table:

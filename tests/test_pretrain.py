@@ -30,9 +30,15 @@ def test_pretrain_end_to_end(ray_session, tmp_path):
     assert 0.6 <= frac <= 0.75
     assert c["n_train"] + c["n_val"] == c["n_after_lm_gate"]
     assert c["n_seqs"] > 0 and c["n_shards"] > 0 and c["n_tokens"] > 0
-    # resumable export: _DONE marker + hive-partitioned shards
-    assert os.path.exists(os.path.join(out1, "_DONE"))
-    files = sorted(glob.glob(os.path.join(out1, "**", "*.parquet"), recursive=True))
+    # resumable export: _DONE marker + hive-partitioned shards + val docs
+    assert os.path.exists(os.path.join(out1, "shards", "_DONE"))
+    val_files = glob.glob(os.path.join(out1, "val", "**", "*.parquet"), recursive=True)
+    assert val_files
+    n_val_rows = sum(len(pq.read_table(f)) for f in val_files)
+    assert n_val_rows == c["n_val"]
+    files = sorted(
+        glob.glob(os.path.join(out1, "shards", "**", "*.parquet"), recursive=True)
+    )
     assert files
     t = pq.read_table(files[0])
     for col in ("record_id", "n_bpe_tokens", "global_offset", "seq_id", "seq_pos"):

@@ -93,7 +93,7 @@ def main() -> None:
         t0 = time.time()
         counters = pretrain_pipeline(
             args.sf_dir,
-            os.path.join(args.output, "shards"),
+            args.output,  # writes <output>/shards + <output>/val
             multiplier=args.multiplier,
         )
         summary = {
