@@ -1460,6 +1460,33 @@ def q_extract_anchors(sf_dir: str):
     return out.select_columns(["doc_id", "href", "anchor"])
 
 
+def q_blocked_hosts(sf_dir: str):
+    """URL blocklist gate (lib.url.drop_blocked_hosts): drop docs whose
+    host (or any parent domain — UT1 subdomain semantics) is on the list.
+    Synthesis rotates hosts h0..h9.example.com plus a nested
+    sub.h3.example.com (caught via its parent); blocklist = h3/h7."""
+    from mismo_ray.lib.url import drop_blocked_hosts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        host = "h" + pd.Series(did % 10).astype(str) + ".example.com"
+        host = host.where(did % 4 != 0, "sub.h" + pd.Series(did % 10).astype(str) + ".example.com")
+        url = "https://" + host + "/p/" + pd.Series(did).astype(str)
+        return pa.table(
+            {"doc_id": t["doc_id"], "url": pa.array(url, type=pa.string())}
+        )
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    out = drop_blocked_hosts(
+        pages, ["h3.example.com", "h7.example.com"], id_column="doc_id"
+    )
+    return out.select_columns(["doc_id", "url"])
+
+
 def q_anchor_stats(sf_dir: str):
     """Inbound anchor-text profile per link target (webgraph.anchor_stats):
     n_links / n_anchored / most-frequent anchor with deterministic ties.
@@ -2168,6 +2195,7 @@ QUERIES = {
     "extract_links": q_extract_links,
     "extract_anchors": q_extract_anchors,
     "anchor_stats": q_anchor_stats,
+    "blocked_hosts": q_blocked_hosts,
     "host_pagerank": q_host_pagerank,
     "read_warc": q_read_warc,
     "host_stats": q_host_stats,
@@ -2931,6 +2959,17 @@ ORACLE_SQL = {
         " CAST(sum(len(toks)) AS BIGINT) AS n_tokens_sum, "
         " CAST(sum(length(text)) AS BIGINT) AS n_chars_sum "
         "FROM t GROUP BY host"
+    ),
+    "blocked_hosts": (
+        # same host synthesis; blocked iff host equals or is a subdomain of
+        # a blocklist entry
+        "WITH u AS (SELECT doc_id, "
+        " CASE WHEN doc_id % 4 = 0 THEN 'sub.' ELSE '' END || "
+        " 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host FROM documents), "
+        "b AS (SELECT unnest(['h3.example.com', 'h7.example.com']) AS bad) "
+        "SELECT doc_id, 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url "
+        "FROM u WHERE NOT EXISTS (SELECT 1 FROM b "
+        " WHERE u.host = b.bad OR suffix(u.host, '.' || b.bad))"
     ),
     "anchor_stats": (
         # shared anchor base -> per-target totals + window-top-1 anchor

@@ -139,3 +139,102 @@ def add_canonical_url(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def drop_blocked_hosts(
+    ds: ray.data.Dataset,
+    blocklist,
+    *,
+    url_column: str = "url",
+    id_column: str = "record_id",
+    include_subdomains: bool = True,
+    invert: bool = False,
+    max_broadcast: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Filter rows whose URL host is on a blocklist — the standard
+    C4/RefinedWeb curation gate (UT1-style category lists, spam domains).
+
+    ``blocklist``: an iterable of hostnames, or a Dataset with a ``host``
+    column. ``include_subdomains=True`` (UT1 semantics) also blocks any
+    host that ends with ``"." + blocked`` — ``ads.example.com`` matches an
+    ``example.com`` entry. ``invert=True`` KEEPS only blocked rows (audit
+    mode). Rows whose URL has no parseable host are kept.
+
+    Scale shape: a list blocklist (or a Dataset one that fits
+    ``max_broadcast``) ships once via ``ray.put`` as a frozenset; each
+    batch probes the set once per UNIQUE host (hosts repeat heavily in a
+    crawl) over every suffix of the host's label chain (<= ~10 probes).
+    A Dataset blocklist above the threshold takes the join path instead
+    (needs unique ``id_column``): each row's host explodes into its
+    label-chain suffixes (bounded fan-out, only (id, suffix) moves), one
+    semi join finds blocked ids, one anti join keeps the rest — no driver
+    collect of either side.
+    """
+    from mismo_ray._joins import distinct, hash_join
+
+    def _host_suffixes(host: str) -> list:
+        parts = host.split(".")
+        if not include_subdomains:
+            return [host]
+        return [".".join(parts[i:]) for i in range(len(parts) - 1)] or [host]
+
+    def _hosts_of(t: pa.Table) -> pd.Series:
+        return pd.Series(
+            np.asarray(parse_url_batch(t[url_column])["host"].to_pylist(), dtype=object)
+        )
+
+    if isinstance(blocklist, ray.data.Dataset):
+        n = blocklist.count()
+        if n > max_broadcast:
+            if invert:
+                raise ValueError(
+                    "invert=True needs the broadcast path; raise max_broadcast"
+                )
+
+            def explode(t: pa.Table) -> pa.Table:
+                hosts = _hosts_of(t)
+                ids = t[id_column].combine_chunks()
+                rows, sufs = [], []
+                for i, h in enumerate(hosts):
+                    if h is None:
+                        continue
+                    for s in _host_suffixes(h):
+                        rows.append(i)
+                        sufs.append(s)
+                return pa.table(
+                    {
+                        id_column: ids.take(pa.array(rows, type=pa.int64())),
+                        "__suffix__": pa.array(sufs, type=pa.string()),
+                    }
+                )
+
+            exploded = ds.map_batches(explode, batch_format="pyarrow")
+            blocked_ids = distinct(
+                hash_join(
+                    exploded,
+                    blocklist.select_columns(["host"]),
+                    on=["__suffix__"],
+                    right_on=["host"],
+                    how="left_semi",
+                ).select_columns([id_column]),
+                [id_column],
+            )
+            return hash_join(ds, blocked_ids, on=[id_column], how="left_anti")
+        blocked = frozenset(
+            r["host"] for r in blocklist.select_columns(["host"]).take_all()
+        )
+    else:
+        blocked = frozenset(blocklist)
+    ref = ray.put(blocked)
+
+    def fn(t: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        hosts = _hosts_of(t)
+        uniq = hosts.dropna().unique()
+        bad = {h for h in uniq if any(s in bl for s in _host_suffixes(h))}
+        mask = ~hosts.isin(bad).to_numpy()
+        if invert:
+            mask = ~mask
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

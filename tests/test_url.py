@@ -77,3 +77,50 @@ def test_add_canonical_url_dataset(ray_session):
         "http://b.org/y",
     ]
     assert list(out["url_host"]) == ["www.a.com", "b.org"]
+
+
+def test_drop_blocked_hosts_broadcast_and_join_paths(ray_session):
+    """Both paths (broadcast frozenset / suffix-explode anti-join) agree,
+    subdomains blocked per UT1 semantics, unparseable urls kept."""
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.lib.url import drop_blocked_hosts
+
+    urls = [
+        "https://ok.example.com/a",          # kept
+        "https://bad.org/x",                 # blocked exact
+        "https://ads.bad.org/y",             # blocked subdomain
+        "https://deep.ads.bad.org/z",        # blocked deeper subdomain
+        "https://notbad.org/w",              # kept (no dot boundary)
+        "not a url at all",                  # unparseable -> kept
+        "https://bad.org.evil.com/q",        # kept (suffix is evil.com)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(range(len(urls)), type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+    ).repartition(2)
+
+    kept = drop_blocked_hosts(ds, ["bad.org"]).to_pandas()
+    assert sorted(kept["record_id"]) == [0, 4, 5, 6]
+
+    # audit mode
+    hits = drop_blocked_hosts(ds, ["bad.org"], invert=True).to_pandas()
+    assert sorted(hits["record_id"]) == [1, 2, 3]
+
+    # Dataset blocklist, forced join path (max_broadcast=0)
+    bl = ray.data.from_arrow(pa.table({"host": ["bad.org"]}))
+    kept_join = drop_blocked_hosts(ds, bl, max_broadcast=0).to_pandas()
+    assert sorted(kept_join["record_id"]) == sorted(kept["record_id"])
+
+    # Dataset blocklist, broadcast path
+    kept_bc = drop_blocked_hosts(ds, bl).to_pandas()
+    assert sorted(kept_bc["record_id"]) == sorted(kept["record_id"])
+
+    # include_subdomains=False blocks only the exact host
+    exact = drop_blocked_hosts(ds, ["bad.org"], include_subdomains=False).to_pandas()
+    assert sorted(exact["record_id"]) == [0, 2, 3, 4, 5, 6]
