@@ -1190,6 +1190,38 @@ def q_cap_per_host(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher quality rules (textstats.add_gopher_stats +
+    gopher_quality_filter label_only): the canonical webtext document
+    filter, every signal an integer count and every ratio rule an integer
+    cross-multiplication — the oracle reproduces all nine counts and the
+    keep verdict bit-exactly. (Tokenization here is ASCII-whitespace;
+    the synthetic corpus is ASCII. Thresholds loosened to min_words=30 /
+    min_stop_words=1 so the verdict varies on this corpus — its ~20-word
+    database vocabulary contains only 'the' from the Gopher 8-list.)"""
+    from mismo_ray.textstats import gopher_quality_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_quality_filter(
+        docs, "text", label_only=True, min_words=30, min_stop_words=1
+    )
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "word_chars",
+            "n_alpha_words",
+            "n_stop8",
+            "n_hash",
+            "n_ellipsis",
+            "n_lines",
+            "n_bullet_lines",
+            "n_ellipsis_end_lines",
+            "gopher_keep",
+        ]
+    )
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (textstats.train_bigram_lm +
     add_perplexity): fit an add-1 bigram LM on the documents corpus
@@ -2203,6 +2235,7 @@ QUERIES = {
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
     "lm_perplexity": q_lm_perplexity,
+    "gopher_quality": q_gopher_quality,
     "cap_per_host": q_cap_per_host,
     "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
     "ccnet_buckets": q_ccnet_buckets,
@@ -2725,6 +2758,36 @@ ORACLE_SQL = {
         "s3 AS (SELECT doc_id, source, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2) "
         "SELECT doc_id, source FROM s3 "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY xor(z, z >> 31)) <= 10"
+    ),
+    "gopher_quality": (
+        # all nine Gopher counts + the keep verdict, integer-exact
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
+        "w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word FROM d), "
+        "wagg AS (SELECT doc_id, count(*) AS n_words, CAST(sum(length(word)) AS BIGINT) AS word_chars, "
+        " CAST(sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words, "
+        " CAST(count(DISTINCT CASE WHEN lower(word) IN ('the','be','to','of','and','that','have','with') THEN lower(word) END) AS BIGINT) AS n_stop8 "
+        " FROM w GROUP BY doc_id), "
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d), "
+        "lagg AS (SELECT doc_id, count(*) AS n_lines, "
+        " CAST(sum(CASE WHEN starts_with(line, '•') OR starts_with(line, '- ') THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines, "
+        " CAST(sum(CASE WHEN suffix(line, '...') OR suffix(line, '…') THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_end_lines "
+        " FROM l GROUP BY doc_id), "
+        "c AS (SELECT doc_id, "
+        " CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, "
+        " CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis "
+        " FROM d), "
+        "j AS (SELECT d.doc_id, coalesce(wagg.n_words, 0) AS n_words, coalesce(wagg.word_chars, 0) AS word_chars, "
+        " coalesce(wagg.n_alpha_words, 0) AS n_alpha_words, coalesce(wagg.n_stop8, 0) AS n_stop8, "
+        " c.n_hash, c.n_ellipsis, lagg.n_lines, lagg.n_bullet_lines, lagg.n_ellipsis_end_lines "
+        " FROM d LEFT JOIN wagg ON wagg.doc_id = d.doc_id "
+        " LEFT JOIN lagg ON lagg.doc_id = d.doc_id JOIN c ON c.doc_id = d.doc_id) "
+        "SELECT *, (n_words >= 30 AND n_words <= 100000 "
+        " AND word_chars * 1 >= n_words * 3 AND word_chars * 1 <= n_words * 10 "
+        " AND (n_hash + n_ellipsis) * 10 <= n_words * 1 "
+        " AND n_bullet_lines * 10 <= n_lines * 9 "
+        " AND n_ellipsis_end_lines * 10 <= n_lines * 3 "
+        " AND n_alpha_words * 5 >= n_words * 4 "
+        " AND n_stop8 >= 1) AS gopher_keep FROM j"
     ),
     "ccnet_buckets": (
         # lm_perplexity logic quantized to e6, tercile cuts via quantile_disc

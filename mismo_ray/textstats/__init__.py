@@ -519,3 +519,8 @@ from mismo_ray.textstats._lm import (  # noqa: E402
     perplexity_buckets,
     train_bigram_lm,
 )
+from mismo_ray.textstats._gopher import (  # noqa: E402
+    GOPHER_STOPWORDS,
+    add_gopher_stats,
+    gopher_quality_filter,
+)
