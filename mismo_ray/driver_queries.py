@@ -1476,6 +1476,43 @@ def _synth_anchor_pages(t: pa.Table) -> pa.Table:
     )
 
 
+def q_html_text(sf_dir: str):
+    """Generic html -> text (lib.html.add_text_from_html): tag strip +
+    common-entity decode (&amp; last) + whitespace collapse, on the shared
+    anchor-pages synthesis plus injected entities. Oracle chains the same
+    regexp_replace / replace calls in the same order."""
+    from mismo_ray.lib.html import add_text_from_html
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    pages = docs.map_batches(_synth_anchor_pages, batch_format="pyarrow")
+
+    def add_entities(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        extra = pd.Series(
+            np.where(
+                did % 2 == 0,
+                " Fish &amp; Chips &lt;tag&gt; &amp;lt;keep&amp;gt; &nbsp;end",
+                "  plain   spaced\ttext ",
+            )
+        )
+        html = pd.Series(
+            t["html"].combine_chunks().cast(pa.string()).to_pylist(), dtype="object"
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "html": pa.array(html + extra, type=pa.string()),
+            }
+        )
+
+    out = add_text_from_html(
+        pages.map_batches(add_entities, batch_format="pyarrow")
+    )
+    return out.select_columns(["doc_id", "text"])
+
+
 def q_extract_anchors(sf_dir: str):
     """Anchor-text extraction (webgraph.extract_links with_anchor=True):
     per href occurrence the visible link text — valid only as a plain
@@ -2228,6 +2265,7 @@ QUERIES = {
     "extract_anchors": q_extract_anchors,
     "anchor_stats": q_anchor_stats,
     "blocked_hosts": q_blocked_hosts,
+    "html_text": q_html_text,
     "host_pagerank": q_host_pagerank,
     "read_warc": q_read_warc,
     "host_stats": q_host_stats,
@@ -3022,6 +3060,20 @@ ORACLE_SQL = {
         " CAST(sum(len(toks)) AS BIGINT) AS n_tokens_sum, "
         " CAST(sum(length(text)) AS BIGINT) AS n_chars_sum "
         "FROM t GROUP BY host"
+    ),
+    "html_text": (
+        # anchor-pages html + injected entities -> tag strip, entity chain
+        # (&amp; last), whitespace collapse — same order as lib/html.py
+        "WITH h AS (SELECT doc_id, "
+        " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
+        " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
+        " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' || "
+        " CASE WHEN doc_id % 2 = 0 THEN ' Fish &amp; Chips &lt;tag&gt; &amp;lt;keep&amp;gt; &nbsp;end' "
+        "  ELSE '  plain   spaced' || chr(9) || 'text ' END AS html FROM documents), "
+        "s AS (SELECT doc_id, regexp_replace(html, '<[^>]*>', '', 'g') AS x FROM h), "
+        "e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x, "
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x FROM s) "
+        "SELECT doc_id, trim(regexp_replace(x, '\\s+', ' ', 'g')) AS text FROM e"
     ),
     "blocked_hosts": (
         # same host synthesis; blocked iff host equals or is a subdomain of
