@@ -1222,6 +1222,41 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_c4_clean(sf_dir: str):
+    """C4 line-level cleaning (textstats.c4_clean): terminal punctuation +
+    min-words + javascript line rules, lorem-ipsum/'{' document rules,
+    kept lines rejoined byte-exactly. Synthesized multi-line docs exercise
+    every rule; oracle re-derives the full rewritten text."""
+    from mismo_ray.textstats import c4_clean
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        ds_ = pd.Series(did).astype(str)
+        body = (
+            "This is sentence number " + ds_ + ".\n"
+            + "too short.\n"
+            + "Please enable javascript now please.\n"
+            + "Another good line with words!\n"
+            + "no terminal punctuation here\n"
+            + 'And a "quoted finale" number ' + pd.Series(did % 9).astype(str) + " works?"
+        )
+        body = body.where(pd.Series(did % 7 != 0), body + "\ncode { block.")
+        body = body.where(
+            pd.Series(did % 11 != 3), body + "\nSome Lorem Ipsum filler text."
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(body, type=pa.string())}
+        )
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    out = c4_clean(pages, "text")
+    return out.select_columns(["doc_id", "text"])
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (textstats.train_bigram_lm +
     add_perplexity): fit an add-1 bigram LM on the documents corpus
@@ -2274,6 +2309,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "lm_perplexity": q_lm_perplexity,
     "gopher_quality": q_gopher_quality,
+    "c4_clean": q_c4_clean,
     "cap_per_host": q_cap_per_host,
     "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
     "ccnet_buckets": q_ccnet_buckets,
@@ -2796,6 +2832,31 @@ ORACLE_SQL = {
         "s3 AS (SELECT doc_id, source, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2) "
         "SELECT doc_id, source FROM s3 "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY xor(z, z >> 31)) <= 10"
+    ),
+    "c4_clean": (
+        # identical synthesis; line rules + document rules + ordered rejoin
+        "WITH d AS (SELECT doc_id, "
+        " 'This is sentence number ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) || "
+        " 'too short.' || chr(10) || "
+        " 'Please enable javascript now please.' || chr(10) || "
+        " 'Another good line with words!' || chr(10) || "
+        " 'no terminal punctuation here' || chr(10) || "
+        " 'And a \"quoted finale\" number ' || CAST(doc_id % 9 AS VARCHAR) || ' works?' || "
+        " CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'code { block.' ELSE '' END || "
+        " CASE WHEN doc_id % 11 = 3 THEN chr(10) || 'Some Lorem Ipsum filler text.' ELSE '' END AS text "
+        " FROM documents), "
+        "ok AS (SELECT doc_id, text FROM d "
+        " WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')), "
+        "l AS (SELECT doc_id, t.line, t.i FROM ok, LATERAL ("
+        " SELECT unnest(string_split(text, chr(10))) AS line, "
+        "        unnest(generate_series(1, len(string_split(text, chr(10))))) AS i) AS t), "
+        "k AS (SELECT doc_id, line, i FROM l "
+        " WHERE substr(trim(line, ' ' || chr(9) || chr(13) || chr(12) || chr(11)), "
+        "   length(trim(line, ' ' || chr(9) || chr(13) || chr(12) || chr(11))), 1) IN ('.', '!', '?', '\"') "
+        " AND len(list_filter(regexp_split_to_array(line, '\\s+'), x -> x <> '')) >= 3 "
+        " AND NOT contains(lower(line), 'javascript')) "
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text "
+        "FROM k GROUP BY doc_id HAVING count(*) >= 3"
     ),
     "gopher_quality": (
         # all nine Gopher counts + the keep verdict, integer-exact

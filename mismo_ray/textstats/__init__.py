@@ -524,3 +524,4 @@ from mismo_ray.textstats._gopher import (  # noqa: E402
     add_gopher_stats,
     gopher_quality_filter,
 )
+from mismo_ray.textstats._c4 import c4_clean  # noqa: E402
