@@ -192,10 +192,18 @@ def run_scaling_worker() -> None:
     )
     ray.data.DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from mismo_ray.pipelines._webpages import scaling_pipeline
+    which = os.environ.get("GRAFT_SCALE_PIPELINE", "er")
+    if which == "crawl_clean":
+        from mismo_ray.pipelines._crawl import crawl_clean_pipeline
 
-    r = scaling_pipeline(sf_dir, multiplier=mult)
-    r.update({"num_cpus": num_cpus, "sf": sf_dir})
+        r = crawl_clean_pipeline(sf_dir, multiplier=mult)
+        # determinism witness for the assert in run_scaling
+        r["n_matches"] = r["n_distinct_clean"]
+    else:
+        from mismo_ray.pipelines._webpages import scaling_pipeline
+
+        r = scaling_pipeline(sf_dir, multiplier=mult)
+    r.update({"num_cpus": num_cpus, "sf": sf_dir, "pipeline": which})
     ray.shutdown()
     print(json.dumps(r))
 
@@ -206,7 +214,9 @@ def run_scaling() -> None:
     to 8 and 32 CPUs; override with GRAFT_SCALE_LO / GRAFT_SCALE_HI (any
     1:4 pair satisfies the N vs 4N rule — e.g. 4/16 keeps the measurement
     meaningful when a co-tenant caps the host's memory bandwidth, see
-    BASELINE.md host-condition calibration)."""
+    BASELINE.md host-condition calibration). GRAFT_SCALE_PIPELINE selects
+    the job: "er" (default, the ER scaling pipeline) or "crawl_clean"
+    (the webtext cleaning chain)."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -237,6 +247,7 @@ def run_scaling() -> None:
                 "multiplier": r_lo["multiplier"],
                 "num_cpus": [lo, hi],
                 "sf": r_lo["sf"],
+                "pipeline": r_lo.get("pipeline", "er"),
             }
         )
     )
