@@ -877,6 +877,111 @@ def fuzzy_dedupe(
     return survivors
 
 
+def dedupe_report(
+    ds: ray.data.Dataset,
+    column: str,
+    *,
+    links: ray.data.Dataset | None = None,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    max_pairs: int | None = 100_000,
+) -> ray.data.Dataset:
+    """Duplicate-cluster size distribution + dedupe savings — the curation
+    report behind a "dedupe removed X% of the corpus" number.
+
+    Output: one row per cluster size >= 2 with ``(cluster_size,
+    n_clusters, n_dup_docs, dup_chars)`` — ``n_dup_docs`` = docs that a
+    min-id dedupe would REMOVE (size-1 per cluster), ``dup_chars`` = their
+    total ``column`` length (the bytes dedupe saves). Singletons are not
+    reported (they cost nothing).
+
+    Same pair source contract as :func:`fuzzy_dedupe` (``links=`` or exact
+    ngram-jaccard default). Cost: the pair-gen + CC, then one labels-only
+    groupby (label, size, chars) and one tiny groupby over sizes — the
+    corpus text never re-shuffles; only (id, label, len) rows move.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from mismo_ray.cluster import connected_components
+
+    if links is None:
+        links = ngram_jaccard_pairs(
+            ds, column, n=n, min_jaccard=min_jaccard, max_pairs=max_pairs
+        ).links_ds
+
+    def project(t: pa.Table) -> pa.Table:
+        txt = t[column].combine_chunks()
+        return pa.table(
+            {
+                "record_id": t["record_id"],
+                "__len__": pc.fill_null(
+                    pc.utf8_length(txt).cast(pa.int64()), 0
+                ),
+            }
+        )
+
+    slim = ds.map_batches(project, batch_format="pyarrow")
+    # consumed by both the size-count and the survivor branch; 24 B/row
+    labeled = connected_components(
+        links=links, records=slim, label_as="__comp__"
+    ).materialize()
+
+    counts = (
+        labeled.groupby("__comp__")
+        .aggregate(
+            Count(alias_name="cluster_size"),
+            Sum("__len__", alias_name="__chars__"),
+        )
+    )
+    # chars of the SURVIVOR (the min-id member — what a min-id dedupe keeps)
+    # so dup_chars = total - survivor; one bucketed top-1 over (comp, id, len)
+    from mismo_ray.util_ops import top_k_per_group
+
+    survivor = top_k_per_group(
+        labeled.select_columns(["record_id", "__comp__", "__len__"]),
+        "__comp__",
+        [("record_id", "asc")],
+        1,
+    )
+
+    def surv_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__comp__": t["__comp__"], "__surv_chars__": t["__len__"]}
+        )
+
+    from mismo_ray._joins import hash_join
+
+    joined = hash_join(
+        counts,
+        survivor.map_batches(surv_cols, batch_format="pyarrow"),
+        on=["__comp__"],
+    )
+
+    def per_size(t: pa.Table) -> pa.Table:
+        size = np.asarray(t["cluster_size"], dtype=np.int64)
+        chars = np.asarray(t["__chars__"], dtype=np.int64)
+        surv = np.asarray(t["__surv_chars__"], dtype=np.int64)
+        keep = size >= 2
+        return pa.table(
+            {
+                "cluster_size": pa.array(size[keep]),
+                "n_clusters": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                "n_dup_docs": pa.array(size[keep] - 1),
+                "dup_chars": pa.array(chars[keep] - surv[keep]),
+            }
+        )
+
+    return (
+        joined.map_batches(per_size, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(
+            Sum("n_clusters", alias_name="n_clusters"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+            Sum("dup_chars", alias_name="dup_chars"),
+        )
+    )
+
+
 from mismo_ray.dedupe._decontam import (  # noqa: E402
     benchmark_grams,
     contamination_stats,

@@ -1177,6 +1177,36 @@ def q_ccnet_buckets(sf_dir: str):
     )
 
 
+def q_dedupe_report(sf_dir: str):
+    """Duplicate-cluster size distribution + savings (dedupe.dedupe_report):
+    per cluster size, how many clusters, how many docs a min-id dedupe
+    removes and how many chars that saves. Same corpus prep and clusters
+    as fuzzy_dedupe; oracle re-derives sizes and survivor chars via the
+    recursive-CTE components."""
+    from mismo_ray.dedupe import dedupe_report
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def trunc(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % 2 == 0))
+        idx = t.schema.get_field_index("text")
+        return t.set_column(
+            idx, "text", pc.utf8_slice_codeunits(t["text"].combine_chunks(), 0, 80)
+        )
+
+    out = dedupe_report(
+        docs.map_batches(trunc, batch_format="pyarrow"),
+        "text",
+        n=3,
+        min_jaccard=0.8,
+        max_pairs=None,
+    )
+    return out.select_columns(
+        ["cluster_size", "n_clusters", "n_dup_docs", "dup_chars"]
+    )
+
+
 def q_cap_per_host(sf_dir: str):
     """Per-host quota sampling (util_ops.stratified_sample): keep a
     deterministic cap of 10 docs per source, chosen by splitmix64(doc_id)
@@ -2312,6 +2342,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "cap_per_host": q_cap_per_host,
     "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
+    "dedupe_report": q_dedupe_report,
     "ccnet_buckets": q_ccnet_buckets,
     "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
@@ -2823,6 +2854,37 @@ ORACLE_SQL = {
         "SELECT node AS keep_id, n80, c.n_members "
         "FROM lens JOIN counts c USING (comp) "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n80 DESC, node ASC) = 1"
+    ),
+    "dedupe_report": (
+        # clusters as in fuzzy_dedupe -> per-size counts + survivor savings
+        "WITH RECURSIVE d AS (SELECT doc_id, substr(text, 1, 80) AS text FROM documents "
+        " WHERE text IS NOT NULL AND doc_id % 2 = 0 "
+        " AND length(substr(text, 1, 80)) >= 3), "
+        "g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram "
+        " FROM d, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)), "
+        "inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c "
+        " FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        " GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), "
+        "pairs AS (SELECT l, r FROM inter "
+        " JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r "
+        " WHERE c * 5 >= (sa.n + sb.n - c) * 4), "
+        "edges AS (SELECT l AS s, r AS t FROM pairs UNION SELECT r, l FROM pairs), "
+        "walk(node, comp) AS ("
+        " SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0"
+        " UNION "
+        " SELECT e.t, w.comp FROM walk w JOIN edges e ON e.s = w.node"
+        "), labels AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node), "
+        "lens AS (SELECT l.node, l.comp, "
+        " CAST(coalesce(length(substr(dd.text, 1, 80)), 0) AS BIGINT) AS len "
+        " FROM labels l LEFT JOIN documents dd ON dd.doc_id = l.node), "
+        "per_comp AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size, "
+        " CAST(sum(len) AS BIGINT) AS chars, "
+        " CAST(min_by(len, node) AS BIGINT) AS surv_chars FROM lens GROUP BY comp) "
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        " CAST(sum(cluster_size - 1) AS BIGINT) AS n_dup_docs, "
+        " CAST(sum(chars - surv_chars) AS BIGINT) AS dup_chars "
+        "FROM per_comp WHERE cluster_size >= 2 GROUP BY cluster_size"
     ),
     "cap_per_host": (
         # splitmix64(doc_id) rank within source, cap 10 (seed 0)

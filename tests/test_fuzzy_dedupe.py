@@ -109,3 +109,32 @@ def test_fuzzy_dedupe_keep_rejects_bad_mode(ray_session):
     )
     with pytest.raises(ValueError, match="keep must be"):
         fuzzy_dedupe(ds, "text", max_pairs=None, keep=("argmax", "q"))
+
+
+def test_dedupe_report_sizes_and_savings(ray_session):
+    from mismo_ray.dedupe import dedupe_report
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog tonight",   # cluster A
+        "the quick brown fox jumps over the lazy dog tonight!",  # A
+        "the quick brown fox jumps over the lazy dog toniight",  # A (size 3)
+        "completely different text about ray data pipelines",    # cluster B
+        "completely different text about ray data pipelines.",   # B (size 2)
+        "a unique singleton document with nothing similar here", # singleton
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": list(range(len(docs))), "text": docs})
+    ).repartition(2)
+    out = (
+        dedupe_report(ds, "text", min_jaccard=0.7, max_pairs=None)
+        .to_pandas()
+        .set_index("cluster_size")
+        .sort_index()
+    )
+    # sizes: one 3-cluster, one 2-cluster; singletons unreported
+    assert list(out.index) == [2, 3]
+    assert out.loc[2, "n_clusters"] == 1 and out.loc[2, "n_dup_docs"] == 1
+    assert out.loc[3, "n_clusters"] == 1 and out.loc[3, "n_dup_docs"] == 2
+    # savings: total member chars minus the min-id survivor's chars
+    assert out.loc[3, "dup_chars"] == len(docs[1]) + len(docs[2])
+    assert out.loc[2, "dup_chars"] == len(docs[4])
