@@ -1594,6 +1594,42 @@ def q_extract_anchors(sf_dir: str):
     return out.select_columns(["doc_id", "href", "anchor"])
 
 
+def q_registered_domain(sf_dir: str):
+    """eTLD+1 extraction (lib.url.add_registered_domain): hosts rotating
+    through plain TLDs, listed 2-label public suffixes (co.uk/com.au),
+    deep subdomains, bare suffix hosts, single labels and IPv4 literals.
+    Oracle mirrors the label-slice rules with string_split + CASE."""
+    from mismo_ray.lib.url import add_registered_domain
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        ds_ = pd.Series(did % 7).astype(str)
+        host = pd.Series(
+            np.select(
+                [did % 6 == 0, did % 6 == 1, did % 6 == 2, did % 6 == 3, did % 6 == 4],
+                [
+                    "www.site" + ds_ + ".example.com",
+                    "blog.site" + ds_ + ".co.uk",
+                    "a.b.site" + ds_ + ".com.au",
+                    "10.0.0." + ds_,
+                    "localhost",
+                ],
+                default="site" + ds_ + ".org",
+            )
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "host": pa.array(host, type=pa.string())}
+        )
+
+    hosts = docs.map_batches(synth, batch_format="pyarrow")
+    out = add_registered_domain(hosts)
+    return out.select_columns(["doc_id", "host", "domain"])
+
+
 def q_blocked_hosts(sf_dir: str):
     """URL blocklist gate (lib.url.drop_blocked_hosts): drop docs whose
     host (or any parent domain — UT1 subdomain semantics) is on the list.
@@ -2330,6 +2366,7 @@ QUERIES = {
     "extract_anchors": q_extract_anchors,
     "anchor_stats": q_anchor_stats,
     "blocked_hosts": q_blocked_hosts,
+    "registered_domain": q_registered_domain,
     "html_text": q_html_text,
     "host_pagerank": q_host_pagerank,
     "read_warc": q_read_warc,
@@ -2363,6 +2400,10 @@ QUERIES = {
 from mismo_ray.textstats import STOPWORDS_EN as _STOPWORDS_EN
 
 _STOP_SQL = "'" + "','".join(sorted(_STOPWORDS_EN)) + "'"
+
+from mismo_ray.lib.url import PUBLIC_SUFFIXES_2LABEL as _PSL  # noqa: E402
+
+_PSL_SQL = "'" + "','".join(sorted(_PSL)) + "'"
 
 # SQL mirror of _synth_anchor_pages + extract_links(with_anchor=True) split
 # semantics: segment per href=", closing-quote required, anchor = first
@@ -3197,6 +3238,26 @@ ORACLE_SQL = {
         "e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x, "
         " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x FROM s) "
         "SELECT doc_id, trim(regexp_replace(x, '\\s+', ' ', 'g')) AS text FROM e"
+    ),
+    "registered_domain": (
+        # same host synthesis; eTLD+1 label-slice rules with the bundled
+        # 2-label suffix list inlined (see _PSL_SQL)
+        "WITH h AS (SELECT doc_id, CASE "
+        " WHEN doc_id % 6 = 0 THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' "
+        " WHEN doc_id % 6 = 1 THEN 'blog.site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk' "
+        " WHEN doc_id % 6 = 2 THEN 'a.b.site' || CAST(doc_id % 7 AS VARCHAR) || '.com.au' "
+        " WHEN doc_id % 6 = 3 THEN '10.0.0.' || CAST(doc_id % 7 AS VARCHAR) "
+        " WHEN doc_id % 6 = 4 THEN 'localhost' "
+        " ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org' END AS host FROM documents), "
+        "p AS (SELECT doc_id, host, string_split(host, '.') AS parts, "
+        " len(string_split(host, '.')) AS n FROM h) "
+        "SELECT doc_id, host, CASE "
+        " WHEN regexp_matches(host, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') THEN host "
+        " WHEN n < 2 THEN host "
+        " WHEN parts[CAST(n - 1 AS INT)] || '.' || parts[CAST(n AS INT)] IN (" + _PSL_SQL + ") "
+        "  THEN CASE WHEN n >= 3 THEN parts[CAST(n - 2 AS INT)] || '.' || parts[CAST(n - 1 AS INT)] || '.' || parts[CAST(n AS INT)] ELSE host END "
+        " ELSE parts[CAST(n - 1 AS INT)] || '.' || parts[CAST(n AS INT)] END AS domain "
+        "FROM p"
     ),
     "blocked_hosts": (
         # same host synthesis; blocked iff host equals or is a subdomain of

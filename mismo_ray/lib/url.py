@@ -238,3 +238,90 @@ def drop_blocked_hosts(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# A deliberately SMALL bundled subset of the Mozilla Public Suffix List:
+# the multi-label suffixes common in web crawls. The full PSL is ~10k
+# entries and updates monthly — at production scale, load it and pass via
+# ``suffixes=``. Single-label TLDs need no listing (the default rule takes
+# the last two labels).
+PUBLIC_SUFFIXES_2LABEL = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+        "com.br", "net.br", "org.br", "gov.br",
+        "com.cn", "net.cn", "org.cn", "gov.cn",
+        "com.mx", "org.mx", "gob.mx",
+        "co.in", "net.in", "org.in", "gov.in",
+        "co.kr", "or.kr", "go.kr",
+        "com.tr", "org.tr", "gov.tr",
+        "com.ar", "org.ar", "gob.ar",
+        "co.za", "org.za", "gov.za",
+        "com.sg", "org.sg", "gov.sg",
+        "com.hk", "org.hk", "gov.hk",
+        "co.nz", "org.nz", "govt.nz",
+        "com.tw", "org.tw", "gov.tw",
+        "co.il", "org.il", "gov.il",
+        "com.my", "org.my", "gov.my",
+        "co.th", "or.th", "go.th",
+        "com.vn", "org.vn", "gov.vn",
+        "com.ph", "org.ph", "gov.ph",
+        "com.eg", "org.eg", "gov.eg",
+        "com.sa", "org.sa", "gov.sa",
+        "co.id", "or.id", "go.id",
+        "com.pk", "org.pk", "gov.pk",
+        "com.ng", "org.ng", "gov.ng",
+    }
+)
+
+_IPV4_RE = r"^\d+\.\d+\.\d+\.\d+$"
+
+
+def registered_domain_batch(
+    hosts: pa.Array | pa.ChunkedArray | pd.Series,
+    *,
+    suffixes: frozenset = PUBLIC_SUFFIXES_2LABEL,
+) -> pa.Array:
+    """eTLD+1 ("registered domain") per host — the right grouping key for
+    per-site curation (a quota or blocklist keyed on raw host treats
+    blog1.example.co.uk and blog2.example.co.uk as different sites).
+
+    Rules (vectorized, SQL-mirrorable):
+    - IPv4 literals and single-label hosts return unchanged;
+    - if the last TWO labels are a listed public suffix, the registered
+      domain is the last THREE labels (host itself if it has only two);
+    - otherwise the last two labels.
+
+    ``suffixes`` defaults to the bundled subset (see its note); nulls pass
+    through.
+    """
+    if isinstance(hosts, (pa.Array, pa.ChunkedArray)):
+        s = pd.Series(hosts.to_pylist(), dtype="object")
+    else:
+        s = hosts.astype("object")
+    last2 = s.str.extract(r"([^.]+\.[^.]+)$")[0]
+    last3 = s.str.extract(r"([^.]+\.[^.]+\.[^.]+)$")[0]
+    is_ip = s.str.match(_IPV4_RE).fillna(False)
+    on_list = last2.isin(suffixes).fillna(False)
+    out = last2.where(~on_list, last3.fillna(s))  # 2-label host == suffix
+    out = out.fillna(s)  # single-label hosts
+    out = out.where(~is_ip, s)
+    return pa.array(out.to_numpy(), type=pa.string())
+
+
+def add_registered_domain(
+    ds: ray.data.Dataset,
+    host_column: str = "host",
+    *,
+    out_column: str = "domain",
+    suffixes: frozenset = PUBLIC_SUFFIXES_2LABEL,
+) -> ray.data.Dataset:
+    """Append the eTLD+1 column (see :func:`registered_domain_batch`)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out_column, registered_domain_batch(t[host_column], suffixes=suffixes)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

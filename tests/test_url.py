@@ -124,3 +124,33 @@ def test_drop_blocked_hosts_broadcast_and_join_paths(ray_session):
     # include_subdomains=False blocks only the exact host
     exact = drop_blocked_hosts(ds, ["bad.org"], include_subdomains=False).to_pandas()
     assert sorted(exact["record_id"]) == [0, 2, 3, 4, 5, 6]
+
+
+def test_registered_domain_rules():
+    import pyarrow as pa
+
+    from mismo_ray.lib.url import registered_domain_batch
+
+    hosts = pa.array(
+        [
+            "www.example.com",        # default rule -> example.com
+            "a.b.example.co.uk",      # listed suffix -> example.co.uk
+            "example.co.uk",          # 3 labels, listed -> itself
+            "co.uk",                  # bare suffix (2 labels) -> itself
+            "localhost",              # single label -> itself
+            "10.0.0.7",               # IPv4 -> itself
+            "deep.sub.tree.site.org", # default -> site.org
+            None,
+        ]
+    )
+    got = registered_domain_batch(hosts).to_pylist()
+    assert got == [
+        "example.com",
+        "example.co.uk",
+        "example.co.uk",
+        "co.uk",
+        "localhost",
+        "10.0.0.7",
+        "site.org",
+        None,
+    ]
