@@ -421,3 +421,52 @@ def pr_curve_chart(curve) -> dict:
             ],
         },
     }
+
+
+def dedupe_report_chart(report) -> dict:
+    """Cluster-size histogram + savings from ``dedupe.dedupe_report``
+    output: bars of n_clusters per cluster_size, with the docs/chars a
+    min-id dedupe removes in the tooltip. Input: the report Dataset,
+    an Arrow table, or a list of row dicts (already tiny — one row per
+    distinct cluster size)."""
+    rows = _rows(report)
+    values = [
+        {
+            "cluster_size": int(r["cluster_size"]),
+            "n_clusters": int(r["n_clusters"]),
+            "n_dup_docs": int(r["n_dup_docs"]),
+            "dup_chars": int(r["dup_chars"]),
+        }
+        for r in rows
+    ]
+    values.sort(key=lambda v: v["cluster_size"])
+    n_docs = sum(v["n_dup_docs"] for v in values)
+    n_chars = sum(v["dup_chars"] for v in values)
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": [
+            "Duplicate-cluster sizes",
+            f"(dedupe removes {n_docs:_} docs / {n_chars:_} chars)",
+        ],
+        "data": {"values": values},
+        "mark": "bar",
+        "encoding": {
+            "x": {
+                "field": "cluster_size",
+                "type": "ordinal",
+                "title": "Cluster size",
+            },
+            "y": {
+                "field": "n_clusters",
+                "type": "quantitative",
+                "scale": {"type": "symlog"},
+                "title": "Number of clusters",
+            },
+            "tooltip": [
+                {"field": "cluster_size", "type": "ordinal"},
+                {"field": "n_clusters", "type": "quantitative"},
+                {"field": "n_dup_docs", "type": "quantitative"},
+                {"field": "dup_chars", "type": "quantitative"},
+            ],
+        },
+    }

@@ -143,3 +143,17 @@ def test_pr_curve_chart(ray_session):
     assert {v["threshold"] for v in vals} == {2.0, 6.0}
     for v in vals:
         assert 0 <= v["precision"] <= 1 and 0 <= v["recall"] <= 1
+
+
+def test_dedupe_report_chart():
+    from mismo_ray.viz import dedupe_report_chart
+
+    spec = dedupe_report_chart(
+        [
+            {"cluster_size": 3, "n_clusters": 1, "n_dup_docs": 2, "dup_chars": 100},
+            {"cluster_size": 2, "n_clusters": 4, "n_dup_docs": 4, "dup_chars": 50},
+        ]
+    )
+    assert spec["mark"] == "bar"
+    assert [v["cluster_size"] for v in spec["data"]["values"]] == [2, 3]
+    assert "6" in spec["title"][1] and "150" in spec["title"][1]
