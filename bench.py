@@ -170,6 +170,12 @@ def run_bench() -> dict:
         "scaled_pages_per_sec": round(
             scaled["n_source_docs"] * scaled["multiplier"] * 1.46 / scaled["seconds"]
         ),
+        # the north-rule headline at a meaningful scale: candidate pairs
+        # through LevelComparer+FS scoring per second in the scaled run
+        # (the tiny flagship's pairs_scored_per_sec is fixed-cost-dominated)
+        "scaled_pairs_scored_per_sec": round(
+            scaled.get("n_pairs_scored", 0) / scaled["seconds"]
+        ),
     }
     ray.shutdown()
     return out

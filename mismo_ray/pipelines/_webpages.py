@@ -675,15 +675,24 @@ def scaling_pipeline(
     weights = fixed_weights()
     scored = weights.compare_and_score(linkage.links_ds, sketch_comparers())
 
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["odds"], threshold_odds))
+    # ONE execution counts both candidates scored and threshold survivors
+    # (per-batch partial counts + a tiny sum — no second pass)
+    def tally(t: pa.Table) -> pa.Table:
+        m = pc.sum(pc.greater_equal(t["odds"], threshold_odds)).as_py() or 0
+        return pa.table(
+            {"n": pa.array([len(t)], type=pa.int64()),
+             "m": pa.array([int(m)], type=pa.int64())}
+        )
 
-    n_matches = scored.map_batches(keep, batch_format="pyarrow").count()
+    agg = scored.map_batches(tally, batch_format="pyarrow").sum(["n", "m"])
+    n_pairs_scored = int(agg["sum(n)"])
+    n_matches = int(agg["sum(m)"])
     elapsed = time.time() - t0
     n_docs = docs.count()
     return {
         "seconds": round(elapsed, 3),
         "n_matches": n_matches,
+        "n_pairs_scored": n_pairs_scored,
         "n_source_docs": n_docs,
         "multiplier": multiplier,
     }
