@@ -91,17 +91,11 @@ def crawl_clean(
     crawl = synth_crawl(docs, multiplier=multiplier).materialize()
     crawl = add_canonical_url(crawl, "url")
     crawl = redact_pii(crawl, "text", out_column="text")
-    # FIXED-size lang-ID pool = cluster CPUs: the actor pool absorbs the
-    # fused synth/url/pii/stats upstream (Ray fuses task maps into the
-    # downstream actor-pool operator), so the pool size IS the map stage's
-    # parallelism. The autoscaling default (2, n) was measured to plateau
-    # around ~16 actors at mult=400 — 32-CPU wall time equal to 16-CPU —
-    # because the autoscaler stops adding actors once the queue drains
-    # "fast enough"; a fixed pool starts at full width.
-    import ray as _ray
-
-    _n = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    crawl = add_lang_id(add_token_stats(crawl, "text"), concurrency=_n)
+    # lang-ID default = FIXED pool sized to cluster CPUs: the pool absorbs
+    # the fused synth/url/pii/stats upstream, so its size IS the map
+    # stage's parallelism (autoscaling pools plateaued short of the
+    # cluster here — measured in BASELINE.md)
+    crawl = add_lang_id(add_token_stats(crawl, "text"))
 
     def gate(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["n_tokens"], min_tokens))

@@ -304,15 +304,19 @@ def add_lang_id(
 ) -> ray.data.Dataset:
     """Language-ID actor-pool stage.
 
-    Default concurrency autoscales (2, cluster CPUs): Ray Data fuses
-    adjacent task maps INTO an actor-pool operator, so an undersized pool
-    caps the parallelism of the whole fused upstream chain, not just this
-    stage — size it to the cluster unless the caller knows better."""
+    Default concurrency is a FIXED pool of CPUs - 2: Ray Data fuses
+    adjacent task maps INTO an actor-pool operator, so the pool size IS
+    the parallelism of the whole fused upstream chain. Autoscaling pools
+    — even with a near-full minimum — were measured to run the 2M-doc
+    crawl chain 1.4-2x slower than a fixed pool (the executor does not
+    keep min actors busy from t=0; see BASELINE.md), while a fixed pool
+    equal to ALL cluster CPUs stalls small sessions (task operators
+    starve). CPUs - 2 fixed is the measured sweet spot at both ends."""
     if concurrency is None:
         import ray as _ray
 
         n = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        concurrency = (2, max(2, n))
+        concurrency = max(2, n - 2)
     return ds.map_batches(
         LangId, batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size
     )

@@ -294,10 +294,13 @@ def add_perplexity(
 ) -> ray.data.Dataset:
     """Append ``n_scored`` (pair count) and ``logppl`` (natural-log
     perplexity per token; null when the doc has < 2 tokens). The model is
-    shipped once (``ray.put``) and unpacked once per actor."""
+    shipped once (``ray.put``) and unpacked once per actor. Default pool
+    is FIXED at CPUs - 2 — fused upstream maps run inside the pool;
+    autoscaling pools run measurably slower and an all-CPUs fixed pool
+    starves task operators on small sessions (rationale in add_lang_id)."""
     if concurrency is None:
         n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (2, max(2, n))
+        concurrency = max(2, n - 2)
     lm_ref = ray.put(lm)
     return ds.map_batches(
         PerplexityScorer,
