@@ -932,13 +932,26 @@ def dedupe_report(
             Count(alias_name="cluster_size"),
             Sum("__len__", alias_name="__chars__"),
         )
+        # consumed twice (size>=2 filter branch + the final join)
+        .materialize()
     )
     # chars of the SURVIVOR (the min-id member — what a min-id dedupe keeps)
-    # so dup_chars = total - survivor; one bucketed top-1 over (comp, id, len)
+    # so dup_chars = total - survivor; one bucketed top-1 over (comp, id,
+    # len). Singletons (the overwhelming majority of a deduped corpus)
+    # never reach the top-1 stage: members are semi-joined on the
+    # size >= 2 components first.
+    from mismo_ray._joins import hash_join as _hj
     from mismo_ray.util_ops import top_k_per_group
 
-    survivor = top_k_per_group(
+    multi = counts.filter(expr="cluster_size >= 2").select_columns(["__comp__"])
+    members = _hj(
         labeled.select_columns(["record_id", "__comp__", "__len__"]),
+        multi,
+        on=["__comp__"],
+        how="left_semi",
+    )
+    survivor = top_k_per_group(
+        members,
         "__comp__",
         [("record_id", "asc")],
         1,

@@ -1081,7 +1081,9 @@ def q_lang_id(sf_dir: str):
     from mismo_ray.textstats import add_lang_id
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
+    # tiny corpus: a small explicit pool beats the corpus-scale CPUs-2
+    # default (30 actors of startup for a few thousand rows)
+    return add_lang_id(docs, concurrency=4).select_columns(["doc_id", "lang_pred"])
 
 
 def q_repetition_stats(sf_dir: str):
@@ -1158,7 +1160,9 @@ def q_ccnet_buckets(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     lm = train_bigram_lm(docs, "text")
-    scored = add_perplexity(docs, lm, "text").filter(expr="n_scored > 0")
+    scored = add_perplexity(docs, lm, "text", concurrency=4).filter(
+        expr="n_scored > 0"
+    )
 
     def quantize(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1299,7 +1303,7 @@ def q_lm_perplexity(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     lm = train_bigram_lm(docs, "text")
-    out = add_perplexity(docs, lm, "text")
+    out = add_perplexity(docs, lm, "text", concurrency=4)  # tiny corpus
     out = out.filter(expr="n_scored > 0")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2409,12 +2413,16 @@ _PSL_SQL = "'" + "','".join(sorted(_PSL)) + "'"
 # semantics: segment per href=", closing-quote required, anchor = first
 # '>'-to-'<' run iff followed by a literal '</a>'. Yields
 # base(doc_id, href, anchor); shared by extract_anchors and anchor_stats.
+# SQL expression for _synth_anchor_pages' html — the ONE synthesis contract;
+# used by the anchor base below AND the html_text oracle
+_ANCHOR_HTML_SQL = (
+    "'<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
+    "'</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
+    "'<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken'"
+)
+
 _ANCHOR_BASE_SQL = (
-    "h AS (SELECT doc_id, "
-    " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
-    " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
-    " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' AS html "
-    " FROM documents), "
+    f"h AS (SELECT doc_id, {_ANCHOR_HTML_SQL} AS html FROM documents), "
     "segs AS (SELECT doc_id, t.seg FROM h, LATERAL ("
     " SELECT unnest(string_split(html, 'href=\"')) AS seg, "
     "        unnest(generate_series(1, len(string_split(html, 'href=\"')))) AS i) AS t "
@@ -3226,12 +3234,10 @@ ORACLE_SQL = {
         "FROM t GROUP BY host"
     ),
     "html_text": (
-        # anchor-pages html + injected entities -> tag strip, entity chain
-        # (&amp; last), whitespace collapse — same order as lib/html.py
-        "WITH h AS (SELECT doc_id, "
-        " '<a href=\"https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '\">a' || CAST(doc_id % 5 AS VARCHAR) || "
-        " '</a><a href=\"/local/' || CAST(doc_id % 7 AS VARCHAR) || '\"><b>bold</b></a>' || "
-        " '<a href=\"/plain/' || CAST(doc_id % 3 AS VARCHAR) || '\" class=\"x\">text here</a><a href=\"broken' || "
+        # anchor-pages html (shared _ANCHOR_HTML_SQL) + injected entities ->
+        # tag strip, entity chain (&amp; last), whitespace collapse — same
+        # order as lib/html.py
+        f"WITH h AS (SELECT doc_id, {_ANCHOR_HTML_SQL} || "
         " CASE WHEN doc_id % 2 = 0 THEN ' Fish &amp; Chips &lt;tag&gt; &amp;lt;keep&amp;gt; &nbsp;end' "
         "  ELSE '  plain   spaced' || chr(9) || 'text ' END AS html FROM documents), "
         "s AS (SELECT doc_id, regexp_replace(html, '<[^>]*>', '', 'g') AS x FROM h), "

@@ -56,9 +56,11 @@ def strip_tags_batch(
         for ent, ch in _ENTITIES:
             out = out.str.replace(ent, ch, regex=False)
     if norm_space:
-        # explicit ASCII class: python \s is unicode-aware, RE2's is not —
-        # the explicit class keeps the contract engine-independent
-        out = out.str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip()
+        # EXACT RE2-\s class ([ \t\n\f\r] — no \v, no unicode spaces) and a
+        # matching explicit strip set: python \s / .strip() are
+        # unicode-aware and would diverge from the SQL mirror on \v or
+        # NBSP-bearing html
+        out = out.str.replace(r"[ \t\n\r\f]+", " ", regex=True).str.strip(" ")
     return pa.array(out.to_numpy(), type=pa.string())
 
 

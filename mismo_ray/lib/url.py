@@ -173,10 +173,13 @@ def drop_blocked_hosts(
     from mismo_ray._joins import distinct, hash_join
 
     def _host_suffixes(host: str) -> list:
+        # EVERY tail of the label chain, including the bare last label —
+        # a single-label blocklist entry (a whole TLD) must match, per the
+        # documented "host equals or ends with '.' + blocked" contract
         parts = host.split(".")
         if not include_subdomains:
             return [host]
-        return [".".join(parts[i:]) for i in range(len(parts) - 1)] or [host]
+        return [".".join(parts[i:]) for i in range(len(parts))]
 
     def _hosts_of(t: pa.Table) -> pd.Series:
         return pd.Series(
@@ -302,8 +305,8 @@ def registered_domain_batch(
         s = hosts.astype("object")
     last2 = s.str.extract(r"([^.]+\.[^.]+)$")[0]
     last3 = s.str.extract(r"([^.]+\.[^.]+\.[^.]+)$")[0]
-    is_ip = s.str.match(_IPV4_RE).fillna(False)
-    on_list = last2.isin(suffixes).fillna(False)
+    is_ip = s.str.match(_IPV4_RE, na=False)
+    on_list = last2.isin(suffixes)  # NaN -> False, no downcast warning
     out = last2.where(~on_list, last3.fillna(s))  # 2-label host == suffix
     out = out.fillna(s)  # single-label hosts
     out = out.where(~is_ip, s)

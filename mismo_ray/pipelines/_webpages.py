@@ -685,8 +685,9 @@ def scaling_pipeline(
         )
 
     agg = scored.map_batches(tally, batch_format="pyarrow").sum(["n", "m"])
-    n_pairs_scored = int(agg["sum(n)"])
-    n_matches = int(agg["sum(m)"])
+    # Dataset.sum() returns None on a zero-row dataset (no candidate pairs)
+    n_pairs_scored = int(agg["sum(n)"]) if agg else 0
+    n_matches = int(agg["sum(m)"]) if agg else 0
     elapsed = time.time() - t0
     n_docs = docs.count()
     return {

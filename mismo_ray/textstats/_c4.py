@@ -36,6 +36,8 @@ import pyarrow as pa
 import ray.data
 
 _TERMINALS = ('.', '!', '?', '"')
+# a word = a run of non-(ASCII-whitespace); RE2-\s parity (see _gopher)
+_WORD_RUN = r"[^ \t\n\r\f]+"
 
 
 def c4_clean(
@@ -69,8 +71,11 @@ def c4_clean(
         # character list) matches byte-for-byte
         stripped = vals.str.strip(" \t\r\f\v")
         ends_ok = stripped.str[-1:].isin(list(_TERMINALS)).to_numpy(dtype=bool)
+        # word count = runs of non-(ASCII-whitespace) — exact parity with
+        # the oracle's RE2 '\s+' split (python .split() is unicode-aware
+        # and would diverge on NBSP-bearing crawl text)
         word_ok = (
-            vals.str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+            vals.str.count(_WORD_RUN).fillna(0).to_numpy(dtype=np.int64)
             >= min_line_words
         )
         no_js = ~vals.str.lower().str.contains("javascript", regex=False).to_numpy(

@@ -44,6 +44,10 @@ import ray.data
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# a word = a run of non-(ASCII-whitespace); matches RE2 \s (no \v, no
+# unicode spaces) so python and the SQL oracle tokenize identically
+_WORD_RUN = r"[^ \t\n\r\f]+"
+
 
 def add_gopher_stats(
     ds: ray.data.Dataset, column: str = "text"
@@ -55,8 +59,11 @@ def add_gopher_stats(
         texts = pd.Series(t[column].to_pylist(), dtype="object")
         filled = texts.fillna("")
 
-        # --- word-level
-        toks = filled.str.split()
+        # --- word-level. Tokens are runs of non-(ASCII-whitespace): the
+        # explicit class pins parity with the SQL oracle's RE2 '\s+' split
+        # (python str.split() is unicode-aware — NBSP in crawl text would
+        # silently diverge); findall never emits empty tokens.
+        toks = filled.str.findall(_WORD_RUN)
         ex = toks.explode()
         ex = ex[ex.notna()]
         rows = ex.index.to_numpy(dtype=np.int64)

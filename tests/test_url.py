@@ -154,3 +154,29 @@ def test_registered_domain_rules():
         "site.org",
         None,
     ]
+
+
+def test_drop_blocked_hosts_tld_entry(ray_session):
+    """A single-label blocklist entry (a whole TLD) matches per the
+    'equals or ends with .entry' contract — regression for the suffix
+    chain omitting the bare last label."""
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.lib.url import drop_blocked_hosts
+
+    urls = ["https://video.xxx/a", "https://a.video.xxx/b", "https://ok.org/c"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(range(3), type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+    )
+    kept = drop_blocked_hosts(ds, ["xxx"]).to_pandas()
+    assert sorted(kept["record_id"]) == [2]
+    # join path agrees
+    bl = ray.data.from_arrow(pa.table({"host": ["xxx"]}))
+    kept_j = drop_blocked_hosts(ds, bl, max_broadcast=0).to_pandas()
+    assert sorted(kept_j["record_id"]) == [2]
