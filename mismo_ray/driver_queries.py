@@ -2307,97 +2307,107 @@ def q_flagship(sf_dir: str):
     )
 
 
+# Ordering contract: the driver's CORRECTNESS capture runs exactly the FIRST
+# 50 entries of this dict.  The first 50 therefore hold one representative of
+# every operator family — the webtext/LLM tier first (it is the round-3+
+# surface the capture previously missed), then the core ER families.  Entries
+# 51+ are family variants / redundant shapes; they stay fully exercised by
+# tools/check_queries.py (the 90-query local battery) and pytest.
 QUERIES = {
+    # --- flagship + webtext/LLM tier ---------------------------------------
+    "flagship_er": q_flagship,
+    "drop_dup_lines": q_drop_dup_lines,
+    "substring_dedupe": q_substring_dedupe,
+    "lm_perplexity": q_lm_perplexity,
+    "gopher_quality": q_gopher_quality,
+    "c4_clean": q_c4_clean,
+    "canonical_url": q_canonical_url,
+    "host_pagerank": q_host_pagerank,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "dup_line_stats": q_dup_line_stats,
+    "ccnet_buckets": q_ccnet_buckets,
+    "registered_domain": q_registered_domain,
+    "blocked_hosts": q_blocked_hosts,
+    "extract_links": q_extract_links,
+    "anchor_stats": q_anchor_stats,
+    "html_text": q_html_text,
+    "host_stats": q_host_stats,
+    "mixture_sample": q_mixture_sample,
+    "cap_per_host": q_cap_per_host,
+    "hash_split": q_hash_split,
+    "row_number": q_row_number,
+    "redact_pii": q_redact_pii,
+    "repetition_stats": q_repetition_stats,
+    "compression_stats": q_compression_stats,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    # --- dedupe family ------------------------------------------------------
+    "exact_dedupe": q_exact_dedupe,
+    "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "semdedup": q_semdedup,
+    "fuzzy_dedupe": q_fuzzy_dedupe,
+    "incremental_dedupe": q_incremental_dedupe,
+    "ann_topk": q_ann_topk,
+    "media_features": q_media_features,
+    "dedupe_report": q_dedupe_report,
+    # --- core ER families ---------------------------------------------------
+    "key_linker_pairs": q_key_linker_pairs,
+    "unnest_linker": q_unnest_linker,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "fs_score": q_fs_score,
+    "filter_links_best": q_filter_links_best,
+    "with_n_links": q_with_n_links,
+    "connected_components": q_connected_components,
+    "tf_lookup": q_tf_lookup,
+    "postal_parse": q_postal_parse,
+    "asof_join": q_asof_join,
+    "events_tumbling": q_events_tumbling,
+    "febrl_dedupe": q_febrl_dedupe,
+    # ------- entry 51+: family variants (local battery + pytest only) -------
     "key_counts": q_key_counts,
     "pair_counts": q_pair_counts,
-    "key_linker_pairs": q_key_linker_pairs,
     "key_linker_link": q_key_linker_link,
-    "unnest_linker": q_unnest_linker,
-    "exact_dedupe": q_exact_dedupe,
     "fingerprint": q_fingerprint,
-    "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "topk_per_group": q_topk_per_group,
     "token_count_bpe": q_token_count_bpe,
     "term_idf": q_term_idf,
     "document_counts": q_document_counts,
     "rare_terms": q_rare_terms,
-    "connected_components": q_connected_components,
     "connected_components_star": q_connected_components_star,
     "connected_components_str": q_connected_components_str,
-    "sorted_neighborhood": q_sorted_neighborhood,
-    "fs_score": q_fs_score,
-    "filter_links_best": q_filter_links_best,
-    "with_n_links": q_with_n_links,
     "link_counts": q_link_counts,
     "degree": q_degree,
-    "ann_topk": q_ann_topk,
-    "embedding_neardup": q_embedding_neardup,
-    "semdedup": q_semdedup,
-    "hash_split": q_hash_split,
     "groupby_agg": q_groupby_agg,
-    "tf_lookup": q_tf_lookup,
-    "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "keep_unambiguous": q_keep_unambiguous,
     "with_linked_values": q_with_linked_values,
     "keep_min_agreement": q_keep_min_agreement,
     "upset_counts": q_upset_counts,
-    "postal_parse": q_postal_parse,
-    "incremental_dedupe": q_incremental_dedupe,
-    "febrl_dedupe": q_febrl_dedupe,
     "playdata_patents": q_playdata_patents,
     "rldata_dedupe": q_rldata_dedupe,
-    "asof_join": q_asof_join,
     "range_join": q_range_join,
     "diff_updates": q_diff_updates,
-    "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     "minhash_lsh_link": q_minhash_lsh_link,
-    "ngram_jaccard": q_ngram_jaccard,
-    "fuzzy_dedupe": q_fuzzy_dedupe,
     "ivf_topk": q_ivf_topk,
-    "simhash_pairs": q_simhash_pairs,
-    "lang_id": q_lang_id,
-    "substring_dedupe": q_substring_dedupe,
     "substring_spans": q_substring_spans,
     "substring_strip": q_substring_strip,
-    "dup_line_stats": q_dup_line_stats,
-    "drop_dup_lines": q_drop_dup_lines,
     "drop_dup_lines_domain": q_drop_dup_lines_domain,
-    "canonical_url": q_canonical_url,
-    "extract_links": q_extract_links,
     "extract_anchors": q_extract_anchors,
-    "anchor_stats": q_anchor_stats,
-    "blocked_hosts": q_blocked_hosts,
-    "registered_domain": q_registered_domain,
-    "html_text": q_html_text,
-    "host_pagerank": q_host_pagerank,
     "read_warc": q_read_warc,
-    "host_stats": q_host_stats,
-    "redact_pii": q_redact_pii,
-    "media_features": q_media_features,
-    "repetition_stats": q_repetition_stats,
-    "lm_perplexity": q_lm_perplexity,
-    "gopher_quality": q_gopher_quality,
-    "c4_clean": q_c4_clean,
-    "cap_per_host": q_cap_per_host,
     "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
-    "dedupe_report": q_dedupe_report,
-    "ccnet_buckets": q_ccnet_buckets,
-    "decontaminate": q_decontaminate,
     "drop_contaminated": q_drop_contaminated,
-    "mixture_sample": q_mixture_sample,
-    "pack_sequences": q_pack_sequences,
     "affiliations_dedupe": q_affiliations_dedupe,
     "incremental_neardup": q_incremental_neardup,
     "febrl_link": q_febrl_link,
     "pr_curve": q_pr_curve,
     "quantiles": q_quantiles,
     "blocking_report": q_blocking_report,
-    "row_number": q_row_number,
-    "compression_stats": q_compression_stats,
-    "flagship_er": q_flagship,
 }
 
 
@@ -2964,7 +2974,7 @@ ORACLE_SQL = {
         "k AS (SELECT doc_id, line, i FROM l "
         " WHERE substr(trim(line, ' ' || chr(9) || chr(13) || chr(12) || chr(11)), "
         "   length(trim(line, ' ' || chr(9) || chr(13) || chr(12) || chr(11))), 1) IN ('.', '!', '?', '\"') "
-        " AND len(list_filter(regexp_split_to_array(line, '\\s+'), x -> x <> '')) >= 3 "
+        " AND len(list_filter(regexp_split_to_array(line, '\\s+'), x -> x <> '')) >= 5 "
         " AND NOT contains(lower(line), 'javascript')) "
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text "
         "FROM k GROUP BY doc_id HAVING count(*) >= 3"

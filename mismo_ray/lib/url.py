@@ -6,9 +6,10 @@ the natural exact-dedup and blocking key for a crawl (one groupby over
 ``url_canon`` or ``host``), the same role the cleaned email/phone play in
 the reference's person-record pipelines.
 
-Everything is vectorized: one compiled regex per batch via pandas
-``str.extract`` (C-speed loop), explode → filter → sort → rejoin for the
-query-param canonicalization. No per-row Python in the hot path.
+Everything is Arrow-native: compiled-RE2 ``pc.extract_regex`` /
+``pc.split_pattern`` kernels over zero-copy batches — no pandas
+object-dtype detour, no per-row Python. The query-param canonicalization
+is flatten → filter → one table sort → list-rebuild → ``pc.binary_join``.
 
 Canonicalization rules (applied by ``canonical_url_batch``):
 
@@ -30,87 +31,148 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
+# RE2 named-group patterns (pc.extract_regex). Two steps like RFC 3986
+# splitting: greedy authority first, then host:port within it — a single
+# combined pattern would let a lazy host group collapse to "" and the path
+# group swallow the authority.
 _URL_PATTERN = (
-    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<authority>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$"
 )
-_HOSTPORT_PATTERN = r"^(.*?)(?::(\d+))?$"
+# greedy "(?:.*@)?" strips userinfo to the LAST '@'; lazy host + anchored
+# optional ":digits" splits the port
+_HOSTPORT_PATTERN = r"^(?:.*@)?(?P<host>.*?)(?::(?P<port>\d+))?$"
 
 TRACKING_PARAMS = frozenset(
     {"fbclid", "gclid", "msclkid", "ref", "ref_src", "igshid", "mc_cid", "mc_eid"}
 )
 TRACKING_PREFIX = "utm_"
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+_TRACKING_SET = pa.array(sorted(TRACKING_PARAMS), type=pa.string())
+
+
+def _chunked(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def _empty_to_null(arr: pa.Array) -> pa.Array:
+    return pc.if_else(pc.equal(arr, ""), pa.scalar(None, pa.string()), arr)
 
 
 def parse_url_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
     """Split a string array of URLs into (scheme, host, port, path, query,
     fragment) columns; non-URL rows are all-null. Host is lowercased with
-    userinfo removed; everything else is byte-preserved."""
-    s = arr.to_pandas().astype("object")
-    parts = pd.Series(s).str.extract(_URL_PATTERN)
-    parts.columns = ["scheme", "authority", "path", "query", "fragment"]
-    # strip userinfo, then split host:port
-    hostport = parts["authority"].str.split("@").str[-1]
-    hp = hostport.str.extract(_HOSTPORT_PATTERN)
-    host = hp[0].str.lower()
+    userinfo removed; scheme lowercased; port/query/fragment are null when
+    absent OR empty (an empty component is semantically absent for every
+    downstream rule); path is byte-preserved ("" when the URL has none)."""
+    arr = _chunked(arr)
+    m = pc.extract_regex(arr, _URL_PATTERN)
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+    hp = pc.extract_regex(pc.struct_field(m, "authority"), _HOSTPORT_PATTERN)
     return pa.table(
         {
-            "scheme": pa.array(parts["scheme"].str.lower(), type=pa.string()),
-            "host": pa.array(host, type=pa.string()),
-            "port": pa.array(hp[1], type=pa.string()),
-            "path": pa.array(parts["path"], type=pa.string()),
-            "query": pa.array(parts["query"], type=pa.string()),
-            "fragment": pa.array(parts["fragment"], type=pa.string()),
+            "scheme": scheme,
+            "host": pc.utf8_lower(pc.struct_field(hp, "host")),
+            "port": _empty_to_null(pc.struct_field(hp, "port")),
+            "path": pc.struct_field(m, "path"),
+            "query": _empty_to_null(pc.struct_field(m, "query")),
+            "fragment": _empty_to_null(pc.struct_field(m, "fragment")),
         }
     )
 
 
-def _canonical_query(query: pd.Series) -> pd.Series:
+def _canonical_query(query: pa.Array) -> pa.Array:
     """Drop tracking params, sort survivors bytewise, rejoin with '&'.
-    Null/empty input -> null output; all-params-dropped -> null too."""
-    idx = np.arange(len(query))
-    df = pd.DataFrame({"i": idx, "q": query.to_numpy()})
-    df = df[df["q"].notna() & (df["q"] != "")]
-    if not len(df):
-        return pd.Series([None] * len(query), dtype="object")
-    ex = df.assign(p=df["q"].str.split("&")).explode("p")
-    ex = ex[ex["p"] != ""]
-    name = ex["p"].str.split("=").str[0]
-    keep = ~(name.str.startswith(TRACKING_PREFIX) | name.isin(TRACKING_PARAMS))
-    ex = ex[keep]
-    agg = ex.sort_values(["i", "p"], kind="mergesort").groupby("i")["p"].agg("&".join)
-    out = pd.Series([None] * len(query), dtype="object")
-    out.iloc[agg.index.to_numpy()] = agg.to_numpy()
-    return out
+    Null/empty input -> null output; all-params-dropped -> null too.
+
+    Arrow shape: split -> flatten with parent indices -> boolean-mask the
+    tracking params -> one (parent, param) table sort (UTF-8 byte order ==
+    code-point order, so the sort matches any engine's bytewise ORDER BY)
+    -> rebuild the list layout from bincount offsets -> binary_join.
+    """
+    n = len(query)
+    parts = pc.split_pattern(query, "&")
+    flat = pc.list_flatten(parts)
+    parent = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+    nonempty = pc.not_equal(flat, "")
+    name = pc.list_element(pc.split_pattern(flat, "=", max_splits=1), 0)
+    keep = pc.and_(
+        nonempty,
+        pc.and_(
+            pc.invert(pc.starts_with(name, TRACKING_PREFIX)),
+            pc.invert(pc.is_in(name, value_set=_TRACKING_SET)),
+        ),
+    )
+    keep_np = np.asarray(keep.fill_null(False))
+    flat = flat.filter(keep)
+    parent = parent[keep_np]
+    order = pa.table({"i": parent, "p": flat}).sort_by(
+        [("i", "ascending"), ("p", "ascending")]
+    )
+    counts = np.bincount(parent, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), order["p"].combine_chunks()
+    )
+    joined = pc.binary_join(lists, "&")
+    return pc.if_else(
+        pa.array(counts > 0), joined, pa.scalar(None, pa.string())
+    )
 
 
 def canonical_url_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Canonical form of a string array of URLs (rules in module
     docstring); rows that don't parse canonicalize to null."""
     parts = parse_url_batch(arr)
-    scheme = parts["scheme"].to_pandas()
-    host = parts["host"].to_pandas().str.replace(r"^www\.", "", regex=True)
-    port = parts["port"].to_pandas()
-    path = parts["path"].to_pandas()
-    q = _canonical_query(parts["query"].to_pandas())
-
-    default = scheme.map(_DEFAULT_PORTS)
-    keep_port = port.notna() & (port != default)
-    path2 = path.fillna("").str.rstrip("/")
-    path2 = path2.where(path2 != "", "/")
-
-    out = (
-        scheme
-        + "://"
-        + host
-        + np.where(keep_port, ":" + port.fillna(""), "")
-        + path2
-        + np.where(q.notna(), "?" + q.fillna(""), "")
+    scheme = parts["scheme"].combine_chunks()
+    host = pc.replace_substring_regex(
+        parts["host"].combine_chunks(), r"^www\.", "", max_replacements=1
     )
-    out = out.where(scheme.notna() & host.notna() & (host != ""), None)
-    return pa.array(out, type=pa.string())
+    port = parts["port"].combine_chunks()
+    path = parts["path"].combine_chunks()
+    q = _canonical_query(parts["query"].combine_chunks())
+
+    default = pc.if_else(
+        pc.equal(scheme, "http"),
+        pa.scalar("80", pa.string()),
+        pc.if_else(
+            pc.equal(scheme, "https"),
+            pa.scalar("443", pa.string()),
+            pa.scalar(None, pa.string()),
+        ),
+    )
+    # keep a present port unless it equals the scheme default (unknown
+    # scheme -> no default -> kept)
+    keep_port = pc.and_(
+        port.is_valid(),
+        pc.fill_null(pc.not_equal(port, default), True),
+    )
+    path2 = pc.replace_substring_regex(path.fill_null(""), r"/+$", "")
+    path2 = pc.if_else(pc.equal(path2, ""), pa.scalar("/", pa.string()), path2)
+
+    null_s = pa.scalar(None, pa.string())
+    port_part = pc.if_else(
+        keep_port,
+        pc.binary_join_element_wise(":", port.fill_null(""), ""),
+        "",
+    )
+    query_part = pc.fill_null(
+        pc.binary_join_element_wise("?", q, ""), ""
+    )
+    out = pc.binary_join_element_wise(
+        scheme, "://", host, port_part, path2, query_part, ""
+    )
+    ok = pc.and_(
+        pc.and_(scheme.is_valid(), host.is_valid()),
+        pc.fill_null(pc.not_equal(host, ""), False),
+    )
+    return pc.if_else(ok, out, null_s)
 
 
 def add_url_parts(
@@ -246,8 +308,10 @@ def drop_blocked_hosts(
 # A deliberately SMALL bundled subset of the Mozilla Public Suffix List:
 # the multi-label suffixes common in web crawls. The full PSL is ~10k
 # entries and updates monthly — at production scale, load it and pass via
-# ``suffixes=``. Single-label TLDs need no listing (the default rule takes
-# the last two labels).
+# ``suffixes=``; exact entries of 2 or 3 labels and wildcard rules
+# (``*.X``) are honored (PSL exception rules ``!host`` are not — the
+# handful of ``!`` entries need a pre-pass if they matter). Single-label
+# TLDs need no listing (the default rule takes the last two labels).
 PUBLIC_SUFFIXES_2LABEL = frozenset(
     {
         "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
@@ -290,27 +354,51 @@ def registered_domain_batch(
     per-site curation (a quota or blocklist keyed on raw host treats
     blog1.example.co.uk and blog2.example.co.uk as different sites).
 
-    Rules (vectorized, SQL-mirrorable):
+    Rules (vectorized Arrow kernels, SQL-mirrorable), longest match first:
     - IPv4 literals and single-label hosts return unchanged;
-    - if the last TWO labels are a listed public suffix, the registered
-      domain is the last THREE labels (host itself if it has only two);
+    - if the last THREE labels are a listed suffix, or ``"*." + last-two``
+      is a listed wildcard rule, the registered domain is the last FOUR
+      labels (host itself when it has only three);
+    - else if the last TWO labels are listed, or ``"*." + last-one`` is a
+      listed wildcard, the registered domain is the last THREE labels
+      (host itself when it has only two);
     - otherwise the last two labels.
 
-    ``suffixes`` defaults to the bundled subset (see its note); nulls pass
-    through.
+    ``suffixes`` defaults to the bundled subset (see its note) and accepts
+    full-PSL exact entries of 2-3 labels plus ``*.X`` wildcard rules; PSL
+    ``!`` exception rules are not interpreted. Nulls pass through.
     """
-    if isinstance(hosts, (pa.Array, pa.ChunkedArray)):
-        s = pd.Series(hosts.to_pylist(), dtype="object")
+    if isinstance(hosts, pd.Series):
+        arr = pa.array(hosts.astype("object"), type=pa.string())
     else:
-        s = hosts.astype("object")
-    last2 = s.str.extract(r"([^.]+\.[^.]+)$")[0]
-    last3 = s.str.extract(r"([^.]+\.[^.]+\.[^.]+)$")[0]
-    is_ip = s.str.match(_IPV4_RE, na=False)
-    on_list = last2.isin(suffixes)  # NaN -> False, no downcast warning
-    out = last2.where(~on_list, last3.fillna(s))  # 2-label host == suffix
-    out = out.fillna(s)  # single-label hosts
-    out = out.where(~is_ip, s)
-    return pa.array(out.to_numpy(), type=pa.string())
+        arr = _chunked(hosts)
+    suffix_set = pa.array(sorted(suffixes), type=pa.string())
+
+    def last_n(n: int) -> pa.Array:
+        pat = r"(?P<d>" + r"\.".join([r"[^.]+"] * n) + r")$"
+        return pc.struct_field(pc.extract_regex(arr, pat), "d")
+
+    last1, last2, last3, last4 = last_n(1), last_n(2), last_n(3), last_n(4)
+    is_ip = pc.fill_null(pc.match_substring_regex(arr, _IPV4_RE), False)
+
+    def listed(a: pa.Array) -> pa.Array:
+        return pc.is_in(a, value_set=suffix_set)
+
+    def wild(a: pa.Array) -> pa.Array:
+        # "*." + a matches a PSL wildcard rule (null a -> "" -> no match)
+        return pc.is_in(
+            pc.binary_join_element_wise("*.", pc.fill_null(a, ""), ""),
+            value_set=suffix_set,
+        )
+
+    sfx3 = pc.or_(listed(last3), wild(last2))
+    sfx2 = pc.or_(listed(last2), wild(last1))
+    out = pc.if_else(
+        sfx3,
+        pc.coalesce(last4, arr),
+        pc.if_else(sfx2, pc.coalesce(last3, arr), pc.coalesce(last2, arr)),
+    )
+    return pc.if_else(is_ip, arr, out)
 
 
 def add_registered_domain(

@@ -5,8 +5,9 @@ complementing the document-level Gopher rules.
 Line rules (a line is kept iff ALL hold):
 
 - ends in terminal punctuation: one of ``. ! ? "`` (C4's rule);
-- has at least ``min_line_words`` whitespace words (C4 uses 3 — the
-  published rule says "at least three words");
+- has at least ``min_line_words`` whitespace words (C4 uses 5 — Raffel
+  et al. §2.2: "only retained lines that contained at least 5 words";
+  the 3 in that section applies to *sentences per page*, not words);
 - does not contain the word ``javascript`` (case-insensitive) — C4 drops
   lines with it (cookie/JS boilerplate);
 - is not the literal boilerplate marker ``lorem ipsum`` carrier: C4 drops
@@ -44,7 +45,7 @@ def c4_clean(
     ds: ray.data.Dataset,
     column: str = "text",
     *,
-    min_line_words: int = 3,
+    min_line_words: int = 5,
     min_sentences: int = 3,
     out_column: str | None = None,
     label_only: bool = False,

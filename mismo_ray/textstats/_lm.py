@@ -221,12 +221,21 @@ def train_bigram_lm(
             return t.filter(pc.greater_equal(t["c"], bar))
 
         counts = counts.map_batches(prune, batch_format="pyarrow")
+    # materialize: count() and take_all() both consume this lineage, and the
+    # gram-count map + vocabulary shuffle is the expensive pass of training
+    counts = counts.materialize()
     n = counts.count()
     if n > max_broadcast:
         raise ValueError(
             f"fitted LM has {n} gram rows > max_broadcast={max_broadcast}; "
             "raise min_count/min_bigram_count to prune harder"
         )
+    if n == 0:
+        # empty/all-null corpus: a valid zero-vocabulary model (every pair
+        # scores as OOV) instead of a KeyError on the zero-column table
+        e = np.array([], dtype=object)
+        ei = np.array([], dtype=np.int64)
+        return BigramLM(e, ei.astype(np.float64), ei, ei.astype(np.float64), k=k)
     tbl = pa.Table.from_pylist(counts.take_all())
     w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)
     w2 = np.asarray(tbl["w2"].to_pylist(), dtype=object)
@@ -346,8 +355,20 @@ def perplexity_buckets(
     if sorted(qs) != qs:
         raise ValueError("qs must be ascending")
     cuts = quantiles(ds, column, qs)
-    thresholds = np.asarray([cuts[q] for q in qs], dtype=np.float64)
+    thresholds = np.asarray(
+        [float("nan") if cuts[q] is None else cuts[q] for q in qs],
+        dtype=np.float64,
+    )
     lab_arr = np.asarray(list(labels), dtype=object)
+    if np.isnan(thresholds).any():
+        # no non-null values to cut on (empty / all-null column): label
+        # every row null instead of bucketing against NaN thresholds
+        def null_label(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                label_as, pa.nulls(len(t), type=pa.string())
+            )
+
+        return ds.map_batches(null_label, batch_format="pyarrow")
 
     def fn(t: pa.Table) -> pa.Table:
         col = t[column]

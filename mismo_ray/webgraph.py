@@ -11,9 +11,9 @@ This module keeps the whole path Ray-Data-native:
   ``split_pattern`` kernel, attribute values recovered with a second
   ``max_splits=1`` split (no per-row regex loop; the html column never
   crosses a shuffle).
-- ``resolve_hrefs``: masked pandas string ops resolving each href against
-  its page URL (absolute / protocol-relative / root-relative / relative;
-  mailto:/javascript:/fragment-only dropped as nulls).
+- ``resolve_hrefs``: Arrow-native masked string kernels resolving each
+  href against its page URL (absolute / protocol-relative / root-relative
+  / relative; mailto:/javascript:/fragment-only dropped as nulls).
 - ``pagerank``: iterative PageRank over (src, dst) edges in *fixed-point
   int64 arithmetic* — each node's rank is an integer share of a global
   ``scale``; per-iteration shares are ``rank // out_degree`` and the damping
@@ -168,35 +168,52 @@ def resolve_hrefs(
 
     def fn(t: pa.Table) -> pa.Table:
         base = parse_url_batch(t[url_column].combine_chunks())
-        href = t[href_column].combine_chunks().to_pandas().astype("object")
-        href = href.fillna("")
+        href = t[href_column].combine_chunks().fill_null("")
         # strip fragments from the href itself first
-        href = href.str.split("#").str[0]
-        scheme = base["scheme"].to_pandas().astype("object").fillna("https")
-        host = base["host"].to_pandas().astype("object").fillna("")
-        path = base["path"].to_pandas().astype("object").fillna("/")
-        pdir = path.str.rsplit("/", n=1).str[0] + "/"
+        href = pc.list_element(pc.split_pattern(href, "#", max_splits=1), 0)
+        scheme = base["scheme"].combine_chunks().fill_null("https")
+        host = base["host"].combine_chunks().fill_null("")
+        path = base["path"].combine_chunks().fill_null("/")
+        # directory of the page path: everything up to (and incl.) the last
+        # '/'; a non-empty path always starts with '/', empty path -> '/'
+        path = pc.if_else(pc.equal(path, ""), pa.scalar("/", pa.string()), path)
+        pdir = pc.replace_substring_regex(path, r"[^/]*$", "")
 
-        low = href.str.lower()
-        absolute = low.str.startswith(("http://", "https://"))
-        proto_rel = href.str.startswith("//") & ~absolute
-        root_rel = href.str.startswith("/") & ~proto_rel & ~absolute
-        skip = (href == "") | low.str.startswith(_SKIP_PREFIXES)
-        other_scheme = low.str.match(r"^[a-z][a-z0-9+.\-]*:") & ~absolute
-        skip |= other_scheme
-        relative = ~(absolute | proto_rel | root_rel | skip)
-
-        out = pd.Series("", index=href.index, dtype="object")
-        out[absolute] = href[absolute]
-        out[proto_rel] = scheme[proto_rel] + ":" + href[proto_rel]
-        out[root_rel] = scheme[root_rel] + "://" + host[root_rel] + href[root_rel]
-        out[relative] = (
-            scheme[relative] + "://" + host[relative] + pdir[relative] + href[relative]
+        low = pc.utf8_lower(href)
+        absolute = pc.or_(
+            pc.starts_with(low, "http://"), pc.starts_with(low, "https://")
         )
-        out[skip] = None
+        not_abs = pc.invert(absolute)
+        proto_rel = pc.and_(pc.starts_with(href, "//"), not_abs)
+        root_rel = pc.and_(
+            pc.starts_with(href, "/"), pc.invert(pc.or_(proto_rel, absolute))
+        )
+        skip = pc.equal(href, "")
+        for p in _SKIP_PREFIXES:
+            skip = pc.or_(skip, pc.starts_with(low, p))
+        skip = pc.or_(
+            skip,
+            pc.and_(
+                pc.match_substring_regex(low, r"^[a-z][a-z0-9+.\-]*:"), not_abs
+            ),
+        )
 
-        keep_mask = pa.array(out.notna().to_numpy())
-        resolved = pa.array(out, type=pa.string())
+        j = pc.binary_join_element_wise
+        out = pc.if_else(
+            absolute,
+            href,
+            pc.if_else(
+                proto_rel,
+                j(scheme, ":", href, ""),
+                pc.if_else(
+                    root_rel,
+                    j(scheme, "://", host, href, ""),
+                    j(scheme, "://", host, pdir, href, ""),
+                ),
+            ),
+        )
+        resolved = pc.if_else(skip, pa.scalar(None, pa.string()), out)
+        keep_mask = resolved.is_valid()
         lhost = parse_url_batch(resolved)["host"]
         t = t.append_column("link_url", resolved).append_column(
             "link_host", lhost

@@ -7,7 +7,7 @@ from mismo_ray.textstats import c4_clean
 
 DOC_GOOD = (
     "This is a fine sentence.\n"
-    "too short.\n"                          # < 3 words
+    "too short.\n"                          # < 5 words
     "Please enable JavaScript to continue.\n"  # javascript
     "Another good line right here!\n"
     "no terminal punctuation at all\n"

@@ -211,3 +211,35 @@ def test_perplexity_buckets_uniform_values_all_head(ray_session):
     ).repartition(3)
     out = perplexity_buckets(ds, "logppl").to_pandas()
     assert list(out["ppl_bucket"].unique()) == ["head"]
+
+
+def test_empty_corpus_yields_empty_model_and_null_buckets(ray_session):
+    # ADVICE regression: all-null corpus used to KeyError on the
+    # zero-column collect; buckets used to crash on NaN cuts
+    from mismo_ray.textstats import perplexity_buckets
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array([None, None], type=pa.string()),
+            }
+        )
+    )
+    lm = train_bigram_lm(ds, "text")
+    assert lm.v == 0 and len(lm.big_keys) == 0
+    scored = add_perplexity(ds, lm, "text").to_pandas()
+    assert scored["logppl"].isna().all()
+    out = perplexity_buckets(
+        ray.data.from_arrow(
+            pa.table({"logppl": pa.array([], type=pa.float64())})
+        )
+    ).to_pandas()
+    assert len(out) == 0
+    # non-empty rows but all-null column -> every label null, no crash
+    out2 = perplexity_buckets(
+        ray.data.from_arrow(
+            pa.table({"logppl": pa.array([None, None], type=pa.float64())})
+        )
+    ).to_pandas()
+    assert out2["ppl_bucket"].isna().all()

@@ -78,7 +78,7 @@ def test_gopher_stats_property(ray_session, docs):
             assert int(out.loc[i, k]) == v, (k, d)
 
 
-def _c4_ref(doc, min_line_words=3, min_sentences=3):
+def _c4_ref(doc, min_line_words=5, min_sentences=3):
     if doc is None:
         doc = ""
     if "lorem ipsum" in doc.lower() or "{" in doc:

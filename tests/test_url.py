@@ -156,6 +156,38 @@ def test_registered_domain_rules():
     ]
 
 
+def test_registered_domain_full_psl_rules():
+    """3-label exact entries and '*.X' wildcard rules (full-PSL shapes)
+    are honored ahead of the 2-label fallback."""
+    import pyarrow as pa
+
+    from mismo_ray.lib.url import PUBLIC_SUFFIXES_2LABEL, registered_domain_batch
+
+    sfx = frozenset(PUBLIC_SUFFIXES_2LABEL | {"pref.hokkaido.jp", "*.ck"})
+    hosts = pa.array(
+        [
+            "city.pref.hokkaido.jp",      # 3-label suffix -> last 4 labels
+            "a.city.pref.hokkaido.jp",    # deeper -> still city.pref...
+            "pref.hokkaido.jp",           # host == 3-label suffix -> itself
+            "www.example.ck",             # wildcard *.ck: example.ck is a
+                                          # public suffix -> last 3 labels
+            "example.ck",                 # host == wildcard suffix -> itself
+            "b.example.co.uk",            # 2-label listed still works
+            "www.example.com",            # default rule untouched
+        ]
+    )
+    got = registered_domain_batch(hosts, suffixes=sfx).to_pylist()
+    assert got == [
+        "city.pref.hokkaido.jp",
+        "city.pref.hokkaido.jp",
+        "pref.hokkaido.jp",
+        "www.example.ck",
+        "example.ck",
+        "example.co.uk",
+        "example.com",
+    ]
+
+
 def test_drop_blocked_hosts_tld_entry(ray_session):
     """A single-label blocklist entry (a whole TLD) matches per the
     'equals or ends with .entry' contract — regression for the suffix
