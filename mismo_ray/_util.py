@@ -31,18 +31,24 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
-def hash64(values, seed: int = 0) -> np.ndarray:
-    """Deterministic 64-bit hash of an array of values -> uint64 ndarray.
-
-    Stable across processes and platforms (uses pandas' siphash-based
-    ``hash_array`` with a fixed key, then splitmix64 with the seed folded in).
-    Nulls hash to a fixed sentinel.
-    """
+def hash64_base(values) -> np.ndarray:
+    """The seed-independent (expensive) half of :func:`hash64`: pandas'
+    siphash over python objects. Call once, then fold any number of seeds
+    with :func:`hash64_fold` — multi-seed call sites (two line hashes, a
+    MinHash family) pay the object hashing once instead of per seed."""
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         # to_pylist, not to_pandas: pandas would coerce nullable int columns
         # to float (2 -> 2.0), changing the hash across sides of a join.
         values = values.to_pylist()
-    arr = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+    return pd.util.hash_array(
+        np.asarray(values, dtype=object), categorize=False
+    ).astype(np.uint64)
+
+
+def hash64_fold(base: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Fold a seed into a :func:`hash64_base` result (bit-identical to
+    ``hash64(values, seed)``)."""
+    arr = base
     if seed:
         with np.errstate(over="ignore"):
             # mask: negative seeds must not raise on NumPy 2.x
@@ -50,6 +56,16 @@ def hash64(values, seed: int = 0) -> np.ndarray:
                 np.full(1, np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
             )[0]
     return splitmix64(arr.astype(np.uint64))
+
+
+def hash64(values, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hash of an array of values -> uint64 ndarray.
+
+    Stable across processes and platforms (uses pandas' siphash-based
+    ``hash_array`` with a fixed key, then splitmix64 with the seed folded in).
+    Nulls hash to a fixed sentinel.
+    """
+    return hash64_fold(hash64_base(values), seed)
 
 
 def combine_hash_columns(table: pa.Table, columns: Sequence[str], seed: int = 0) -> np.ndarray:
@@ -110,3 +126,17 @@ def ensure_list(x) -> list:
     if isinstance(x, (list, tuple)):
         return list(x)
     return [x]
+
+
+def collect_table(ds) -> pa.Table:
+    """Driver-side collect of a SMALL (already size-gated) dataset as ONE
+    Arrow table. ``take_all()`` converts every row to a python dict —
+    pathologically slow on pandas-block datasets (~0.5 ms/row, i.e. tens
+    of seconds for a few 10k rows); zero-copy pyarrow batch iteration is
+    orders of magnitude faster and keeps the columnar layout. Callers must
+    size-gate first (this still moves every block to the driver). Returns
+    a zero-column empty table when the dataset has no blocks."""
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="permissive")

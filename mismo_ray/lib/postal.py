@@ -250,11 +250,56 @@ def fingerprint_address_array(arr) -> pa.Array:
     )
 
 
+def libpostal_tagger():
+    """Real-libpostal seam: returns a ``str|None -> dict|None`` tagger
+    backed by ``postal.parser.parse_address`` (reference _postal.py:26-76
+    semantics), mapping libpostal labels onto this module's 6-field
+    schema. Raises ImportError when pypostal is not installed (it is not
+    in this environment) — pass as ``AddressTagger(...,
+    model_loader=libpostal_tagger)`` where it exists, so the import and
+    model mmap happen once per actor."""
+    from postal.parser import parse_address  # optional dep
+
+    label_map = {
+        "unit": "street2",
+        "city": "city",
+        "suburb": "city",
+        "city_district": "city",
+        "state": "state",
+        "postcode": "postal_code",
+        "country": "country",
+    }
+
+    def tag(s):
+        if s is None or not str(s).strip():
+            return None
+        out = {k: None for k in
+               ("street1", "street2", "city", "state", "postal_code", "country")}
+        house, road = None, None
+        for value, label in parse_address(str(s)):
+            if label == "house_number" and house is None:
+                house = value
+            elif label == "road" and road is None:
+                road = value
+            else:
+                k = label_map.get(label)
+                if k is not None and out[k] is None:
+                    out[k] = value
+        out["street1"] = " ".join(x for x in (house, road) if x) or None
+        return out
+
+    return tag
+
+
 class AddressTagger:
     """Actor-pool stage: address string column -> parsed struct (+ optional
-    fingerprints). Rule setup happens once per actor in ``__init__`` — the
-    slot where a spaCy/libpostal-class model would load (reference
-    _spacy.py:13-60 pattern; the rules here are the pure-python stand-in).
+    fingerprints). Model setup happens once per actor in ``__init__`` — the
+    slot where a spaCy/libpostal-class model loads (reference
+    _spacy.py:13-60 pattern; the rules here are the pure-python default).
+    ``model_loader``: zero-arg callable returning a ``str|None ->
+    dict|None`` tagger over the 6-field schema (see
+    :func:`libpostal_tagger`); called in ``__init__`` so a real model is
+    imported/mmapped once per actor, never on the driver.
 
     Use: ``ds.map_batches(AddressTagger("addr"), concurrency=N,
     batch_format="pyarrow")``.
@@ -266,13 +311,19 @@ class AddressTagger:
         *,
         result_name: str = "address",
         fingerprints_as: str | None = None,
+        model_loader=None,
     ):
         self.column = column
         self.result_name = result_name
         self.fingerprints_as = fingerprints_as
+        self._tag = model_loader() if model_loader is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        parsed = tag_address_array(batch[self.column])
+        if self._tag is not None:
+            vals = batch[self.column].to_pylist()
+            parsed = pa.array([self._tag(v) for v in vals], type=ADDRESS_TYPE)
+        else:
+            parsed = tag_address_array(batch[self.column])
         batch = batch.append_column(self.result_name, parsed)
         if self.fingerprints_as is not None:
             batch = batch.append_column(

@@ -42,6 +42,23 @@ def _missing_decoder(kind: str):
     return decoder
 
 
+def pil_decoder():
+    """Real-codec seam: returns a ``bytes -> np.ndarray(H, W, 3)`` decoder
+    backed by Pillow (optional dep, not installed in this environment).
+    Call inside an actor's ``__init__`` (``ImageFeaturizer(decoder=
+    pil_decoder())`` constructed per actor via fn_constructor_kwargs) so
+    the import happens once per actor."""
+    import io
+
+    from PIL import Image  # optional dep
+
+    def decode(payload: bytes) -> np.ndarray:
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+    return decode
+
+
 def fake_image_decoder(payload: bytes) -> np.ndarray:
     """Deterministic stand-in decoder: bytes -> (8, 8, 3) uint8 'image'
     derived from a seeded hash of the payload. Lets tests exercise the whole

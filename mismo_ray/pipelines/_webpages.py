@@ -20,7 +20,6 @@ parallelism (SURVEY §4 determinism).
 
 from __future__ import annotations
 
-import datetime
 import html as html_mod
 import re
 
@@ -84,72 +83,175 @@ def synth_pages(
     """
 
     def gen(batch: pa.Table) -> pa.Table:
+        # fully vectorized (np.repeat / segment arithmetic / Arrow join +
+        # replace kernels): this synthesis sits inside the TIMED scaling
+        # pipeline, so a per-row python loop here would be measured as
+        # engine time. Output is bit-identical to the loop reference kept
+        # in tests/test_webpages_pipeline.py.
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "warc_ts": pa.array([], type=pa.timestamp("us")),
+                "html": pa.array([], type=pa.binary()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "label_true": pa.array([], type=pa.int64()),
+                "record_id": pa.array([], type=pa.int64()),
+            }
+        )
         base_doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        base_texts = batch["text"].to_pylist()
-        base_langs = batch["lang"].to_pylist()
-        base_sources = batch["source"].to_pylist()
         n0 = len(base_doc_ids)
+        if n0 == 0 or multiplier == 0:
+            return empty
+        # ---- doc level (after multiplier expansion): n = n0 * multiplier
         doc_ids = np.repeat(base_doc_ids * multiplier, multiplier) + np.tile(
             np.arange(multiplier, dtype=np.int64), n0
         )
-        texts = [t for t in base_texts for _ in range(multiplier)]
-        langs = [x for x in base_langs for _ in range(multiplier)]
-        sources = [x for x in base_sources for _ in range(multiplier)]
+        n = len(doc_ids)
+        base_idx = np.repeat(np.arange(n0, dtype=np.int64), multiplier)
+        texts = pd.Series(
+            np.repeat(np.asarray(batch["text"].to_pylist(), dtype=object), multiplier)
+        )
         h = _mix(doc_ids, seed)
-        out = {
-            "url": [],
-            "warc_ts": [],
-            "html": [],
-            "text": [],
-            "lang": [],
-            "label_true": [],
-        }
-        base_ts = datetime.datetime(2024, 1, 1)
-        for k in range(len(doc_ids)):
-            hv = int(h[k])
-            r = hv % 100
-            size = 1 if r < 70 else 2 if r < 90 else 3 if r < 98 else 6
-            if hv % 10 == 0:
-                domain = "portal.example.com"  # hot domain
-            else:
-                domain = f"site-{hv % 40}.example.org"
-            stem = f"d{hv % 1_000_000_000}"
-            toks = texts[k].split()
-            # interleave a doc-unique marker token every 6 tokens so texts of
-            # DIFFERENT documents are never near-duplicates (the raw corpus
-            # reuses phrasing heavily), while typo'd variants of the SAME
-            # document stay shingle-similar.
-            marked = []
-            for i, t in enumerate(toks):
-                if i % 6 == 0:
-                    marked.append(stem)
-                marked.append(t)
-            toks = marked
-            for v in range(size):
-                vtoks = list(toks)
-                if v > 0 and vtoks:
-                    i = (hv + v * 7) % len(vtoks)
-                    t = vtoks[i]
-                    vtoks[i] = (t[:-1] if len(t) > 2 and v % 2 else t + "x")
-                vtext = " ".join(vtoks)
-                url = f"https://{domain}/{sources[k]}/{stem}/v{v}"
-                title = f"{stem} {sources[k]}"
-                out["url"].append(url)
-                out["warc_ts"].append(
-                    base_ts + datetime.timedelta(seconds=(hv % 9_999_999) + v)
-                )
-                out["html"].append(render_html(title, vtext))
-                out["text"].append(vtext)
-                out["lang"].append(langs[k])
-                out["label_true"].append(int(doc_ids[k]))
+        r = h % np.uint64(100)
+        size = np.select(
+            [r < 70, r < 90, r < 98], [1, 2, 3], default=6
+        ).astype(np.int64)
+        hot = (h % np.uint64(10)) == 0
+        stem_num = (h % np.uint64(1_000_000_000)).astype(np.int64)
+
+        # ---- marked token stream: a doc-unique marker token before every
+        # 6th token, so texts of DIFFERENT documents are never
+        # near-duplicates while typo'd variants of the SAME doc stay
+        # shingle-similar. Each group of 6 tokens + its marker spans 7
+        # marked slots: marker m at slot 7m, token j at 7*(j//6)+1+(j%6).
+        toks = texts.str.split()
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        n_marks = -(-n_tok // 6)
+        seg_len = n_tok + n_marks
+        doc_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(seg_len, out=doc_off[1:])
+        flat = np.empty(doc_off[-1], dtype=object)
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        tok_doc = ex.index.to_numpy(dtype=np.int64)
+        tok_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=tok_starts[1:])
+        j = np.arange(len(ex), dtype=np.int64) - np.repeat(tok_starts[:-1], n_tok)
+        flat[doc_off[tok_doc] + 7 * (j // 6) + 1 + (j % 6)] = ex.to_numpy()
+        stems = pc.binary_join_element_wise(
+            "d", pc.cast(pa.array(stem_num), pa.string()), ""
+        )
+        stems_np = np.asarray(stems.to_pylist(), dtype=object)
+        mark_doc = np.repeat(np.arange(n, dtype=np.int64), n_marks)
+        mark_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_marks, out=mark_starts[1:])
+        m = np.arange(len(mark_doc), dtype=np.int64) - np.repeat(
+            mark_starts[:-1], n_marks
+        )
+        flat[doc_off[mark_doc] + 7 * m] = stems_np[mark_doc]
+
+        # ---- variant expansion (one row per cluster member)
+        var_doc = np.repeat(np.arange(n, dtype=np.int64), size)
+        var_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(size, out=var_starts[1:])
+        v = np.arange(len(var_doc), dtype=np.int64) - np.repeat(
+            var_starts[:-1], size
+        )
+        var_len = seg_len[var_doc]
+        var_off = np.zeros(len(var_doc) + 1, dtype=np.int64)
+        np.cumsum(var_len, out=var_off[1:])
+        idx_flat = (
+            np.arange(var_off[-1], dtype=np.int64)
+            - np.repeat(var_off[:-1], var_len)
+            + np.repeat(doc_off[var_doc], var_len)
+        )
+        var_vals = flat[idx_flat]
+
+        # ---- deterministic one-character typo for variants v > 0:
+        # token at (hv + 7v) mod L' loses its last char (odd v, len > 2)
+        # or gains an "x". (h mod L) + 7v never overflows, exactly
+        # matching arbitrary-precision hv + 7v mod L.
+        tmask = (v > 0) & (var_len > 0)
+        if tmask.any():
+            ln = var_len[tmask].astype(np.uint64)
+            tpos = (
+                (h[var_doc[tmask]] % ln + np.uint64(7) * v[tmask].astype(np.uint64))
+                % ln
+            ).astype(np.int64)
+            at = var_off[:-1][tmask] + tpos
+            tk = pd.Series(var_vals[at], dtype=object)
+            trunc = tk.str[:-1]
+            longer = (tk.str.len() > 2).to_numpy(dtype=bool)
+            odd = (v[tmask] % 2) == 1
+            var_vals[at] = np.where(
+                longer & odd, trunc.to_numpy(), (tk + "x").to_numpy()
+            )
+
+        # ---- per-variant strings, all Arrow kernels from here
+        vtext = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(var_off, type=pa.int64()),
+                pa.array(var_vals, type=pa.string()),
+            ),
+            " ",
+        )
+        join = pc.binary_join_element_wise
+        hot_v = pa.array(hot[var_doc])
+        domain = pc.if_else(
+            hot_v,
+            pa.scalar("portal.example.com", pa.string()),  # hot domain
+            join(
+                "site-",
+                pc.cast(pa.array((h % np.uint64(40)).astype(np.int64)[var_doc]), pa.string()),
+                ".example.org",
+                "",
+            ),
+        )
+        src_v = batch["source"].combine_chunks().take(
+            pa.array(base_idx[var_doc], type=pa.int64())
+        )
+        lang_v = batch["lang"].combine_chunks().take(
+            pa.array(base_idx[var_doc], type=pa.int64())
+        )
+        stems_v = stems.take(pa.array(var_doc, type=pa.int64()))
+        v_str = pc.cast(pa.array(v), pa.string())
+        url = join("https://", domain, "/", src_v, "/", stems_v, "/v", v_str, "")
+        title = join(stems_v, " ", src_v, "")
+
+        secs = (h % np.uint64(9_999_999)).astype(np.int64)[var_doc] + v
+        ts = (
+            np.datetime64("2024-01-01") + secs.astype("timedelta64[s]")
+        ).astype("datetime64[us]")
+
+        def esc(a):  # html.escape(quote=True), same replacement order
+            for pat, rep in (
+                ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                ('"', "&quot;"), ("'", "&#x27;"),
+            ):
+                a = pc.replace_substring(a, pattern=pat, replacement=rep)
+            return a
+
+        html_str = join(
+            '<!DOCTYPE html><html><head><meta charset="utf-8"><title>',
+            esc(title),
+            "</title></head><body>",
+            "<nav>deterministic boilerplate nav</nav>",
+            '<main id="content">',
+            esc(vtext),
+            "</main><footer>generated corpus</footer></body></html>",
+            "",
+        )
         tbl = pa.table(
             {
-                "url": pa.array(out["url"], type=pa.string()),
-                "warc_ts": pa.array(out["warc_ts"], type=pa.timestamp("us")),
-                "html": pa.array(out["html"], type=pa.binary()),
-                "text": pa.array(out["text"], type=pa.string()),
-                "lang": pa.array(out["lang"], type=pa.string()),
-                "label_true": pa.array(out["label_true"], type=pa.int64()),
+                "url": url,
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                "html": html_str.cast(pa.binary()),
+                "text": vtext,
+                "lang": lang_v,
+                "label_true": pa.array(doc_ids[var_doc]),
             }
         )
         rid = hash64(tbl["url"]).astype(np.int64)

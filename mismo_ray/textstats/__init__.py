@@ -165,11 +165,25 @@ def add_token_stats(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
 
 class LangId:
     """Marker-token language-ID heuristic — an actor-pool stage (token tables
-    built once per actor in __init__; `map_batches(LangId, concurrency=N)`)."""
+    built once per actor in __init__; `map_batches(LangId, concurrency=N)`).
 
-    def __init__(self, languages: dict[str, frozenset] | None = None):
+    ``model_loader`` is the real-model seam (reference _spacy.py loading
+    semantics: load once per actor, in __init__): a zero-arg callable
+    returning either a fastText-style object (``.predict(list[str]) ->
+    (labels, probs)``, ``__label__xx`` labels) or a plain callable
+    ``list[str] -> (langs, scores)``. When set, it replaces the heuristic;
+    the bundled heuristic remains the no-dependency default (fasttext is
+    not installed in this environment — inject it where it exists)."""
+
+    def __init__(
+        self,
+        languages: dict[str, frozenset] | None = None,
+        *,
+        model_loader=None,
+    ):
         import pandas as pd
 
+        self._model = model_loader() if model_loader is not None else None
         self.markers = languages or _LANG_MARKERS
         # One-pass batch lookup structures (built once per actor): a unique
         # marker-token index plus a CSR (indptr, lang-id) table mapping each
@@ -284,12 +298,40 @@ class LangId:
             scores[idx] = np.where(decided, bs, 0.0)
         return langs, scores
 
+    def _model_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """Classify through an injected model (see class docstring)."""
+        clean = ["" if t is None else str(t).replace("\n", " ") for t in texts]
+        if hasattr(self._model, "predict"):  # fastText protocol
+            labels, probs = self._model.predict(clean)
+            langs = np.array(
+                [
+                    (ls[0].replace("__label__", "") if ls else "und")
+                    for ls in labels
+                ],
+                dtype=object,
+            )
+            scores = np.array(
+                [float(ps[0]) if len(ps) else 0.0 for ps in probs],
+                dtype=np.float64,
+            )
+        else:  # plain callable
+            langs, scores = self._model(clean)
+            langs = np.asarray(langs, dtype=object)
+            scores = np.asarray(scores, dtype=np.float64)
+        empty = np.array([t == "" for t in clean], dtype=bool)
+        langs[empty] = "und"
+        scores[empty] = 0.0
+        return langs, scores
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         col = "text" if "text" in batch.column_names else batch.column_names[0]
         texts = pd.Series(batch[col].to_pylist(), dtype="object")
-        langs, scores = self._classify_batch(texts)
+        if self._model is not None:
+            langs, scores = self._model_batch(texts)
+        else:
+            langs, scores = self._classify_batch(texts)
         batch = batch.append_column(
             "lang_pred", pa.array(langs, type=pa.string())
         )
@@ -301,6 +343,7 @@ def add_lang_id(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 4096,
+    model_loader=None,
 ) -> ray.data.Dataset:
     """Language-ID actor-pool stage.
 
@@ -317,8 +360,15 @@ def add_lang_id(
 
         n = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
         concurrency = max(2, n - 2)
+    kwargs = {}
+    if model_loader is not None:  # real-model seam, loads once per actor
+        kwargs["fn_constructor_kwargs"] = {"model_loader": model_loader}
     return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size
+        LangId,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        **kwargs,
     )
 
 

@@ -236,7 +236,9 @@ def train_bigram_lm(
         e = np.array([], dtype=object)
         ei = np.array([], dtype=np.int64)
         return BigramLM(e, ei.astype(np.float64), ei, ei.astype(np.float64), k=k)
-    tbl = pa.Table.from_pylist(counts.take_all())
+    from mismo_ray._util import collect_table
+
+    tbl = collect_table(counts)
     w1 = np.asarray(tbl["w1"].to_pylist(), dtype=object)
     w2 = np.asarray(tbl["w2"].to_pylist(), dtype=object)
     c = np.asarray(tbl["c"], dtype=np.int64)
@@ -260,10 +262,16 @@ def train_bigram_lm(
 
 
 class PerplexityScorer:
-    """Actor-pool scoring stage: hashtables built once per actor."""
+    """Actor-pool scoring stage: hashtables built once per actor.
+    ``lm_ref`` may be an ObjectRef, a BigramLM, or a checkpoint path
+    (``BigramLM.to_parquet`` dir) — a path loads once per actor, the
+    production seam when the model artifact lives on shared storage."""
 
     def __init__(self, lm_ref, column: str, prefix: str):
-        lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        if isinstance(lm_ref, str):
+            lm = BigramLM.from_parquet(lm_ref)
+        else:
+            lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
         self._lm = lm
         self._vi = pd.Index(lm.vocab)
         self._column = column
@@ -294,7 +302,7 @@ class PerplexityScorer:
 
 def add_perplexity(
     ds: ray.data.Dataset,
-    lm: BigramLM,
+    lm: "BigramLM | str",
     column: str = "text",
     *,
     prefix: str = "",
@@ -310,7 +318,9 @@ def add_perplexity(
     if concurrency is None:
         n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = max(2, n - 2)
-    lm_ref = ray.put(lm)
+    # a checkpoint PATH ships as-is (each actor loads it in __init__);
+    # a fitted model ships once through the object store
+    lm_ref = lm if isinstance(lm, str) else ray.put(lm)
     return ds.map_batches(
         PerplexityScorer,
         fn_constructor_args=(lm_ref, column, prefix),

@@ -132,3 +132,55 @@ def test_drop_dup_lines_scoped(ray_session):
 
     stats = dup_line_stats(ds, "text", scope_column="domain").to_pandas()
     assert sorted(stats["record_id"]) == [0, 1]
+
+
+def test_drop_dup_lines_join_path_parity(ray_session):
+    """max_broadcast=0 forces the hash-join path; it must agree with the
+    broadcast path on rewrite output, keep_first survivor and stats."""
+    from mismo_ray.dedupe import drop_dup_lines, dup_line_stats
+
+    texts = [
+        "nav\nbody zero\nfooter",
+        "nav\nbody one\nfooter",
+        "nav\nbody two",
+        "unique page\nnav",      # intra-list dup of "nav" at a later idx
+        "solo content here",
+    ]
+    t = pa.table(
+        {
+            "record_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3).materialize()
+
+    for kw in ({}, {"keep_first": True}):
+        bc = (
+            drop_dup_lines(ds, "text", out_column="c", **kw)
+            .to_pandas().sort_values("record_id").reset_index(drop=True)
+        )
+        jn = (
+            drop_dup_lines(ds, "text", out_column="c", max_broadcast=0, **kw)
+            .to_pandas().sort_values("record_id").reset_index(drop=True)
+        )
+        assert list(bc["c"]) == list(jn["c"]), kw
+    # keep_first survivor is the smallest (doc, idx): doc 0 keeps its nav
+    kf = (
+        drop_dup_lines(ds, "text", out_column="c", keep_first=True)
+        .to_pandas().sort_values("record_id")
+    )
+    assert list(kf["c"]) == [
+        "nav\nbody zero\nfooter",
+        "body one",
+        "body two",
+        "unique page",
+        "solo content here",
+    ]
+
+    sb = dup_line_stats(ds, "text").to_pandas().sort_values("record_id")
+    sj = (
+        dup_line_stats(ds, "text", max_broadcast=0)
+        .to_pandas().sort_values("record_id")
+    )
+    assert list(sb["n_dup_lines"]) == list(sj["n_dup_lines"])
+    assert list(sb["dup_line_chars"]) == list(sj["dup_line_chars"])

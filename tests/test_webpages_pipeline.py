@@ -155,3 +155,107 @@ def test_partition_level_resume(ray_session, pages, tmp_path):
         ).take_all()
     }
     assert s1 == s2
+
+
+def test_synth_pages_matches_loop_reference(ray_session):
+    """The vectorized synth_pages must be BIT-identical to the original
+    per-row loop (this reference) — the corpus hash anchors every
+    F1/blocking/bench number across rounds."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+
+    from mismo_ray._util import hash64, splitmix64
+    from mismo_ray.pipelines import render_html
+    from mismo_ray.pipelines._webpages import synth_pages
+
+    def reference(batch, seed, multiplier):
+        base_doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        base_texts = batch["text"].to_pylist()
+        base_langs = batch["lang"].to_pylist()
+        base_sources = batch["source"].to_pylist()
+        n0 = len(base_doc_ids)
+        doc_ids = np.repeat(base_doc_ids * multiplier, multiplier) + np.tile(
+            np.arange(multiplier, dtype=np.int64), n0
+        )
+        texts = [t for t in base_texts for _ in range(multiplier)]
+        langs = [x for x in base_langs for _ in range(multiplier)]
+        sources = [x for x in base_sources for _ in range(multiplier)]
+        with np.errstate(over="ignore"):
+            h = splitmix64(doc_ids.astype(np.uint64) ^ np.uint64(seed))
+        out = {k: [] for k in ("url", "warc_ts", "html", "text", "lang", "label_true")}
+        base_ts = datetime.datetime(2024, 1, 1)
+        for k in range(len(doc_ids)):
+            hv = int(h[k])
+            r = hv % 100
+            size = 1 if r < 70 else 2 if r < 90 else 3 if r < 98 else 6
+            domain = (
+                "portal.example.com" if hv % 10 == 0 else f"site-{hv % 40}.example.org"
+            )
+            stem = f"d{hv % 1_000_000_000}"
+            toks = texts[k].split()
+            marked = []
+            for i, t in enumerate(toks):
+                if i % 6 == 0:
+                    marked.append(stem)
+                marked.append(t)
+            toks = marked
+            for v in range(size):
+                vtoks = list(toks)
+                if v > 0 and vtoks:
+                    i = (hv + v * 7) % len(vtoks)
+                    t = vtoks[i]
+                    vtoks[i] = t[:-1] if len(t) > 2 and v % 2 else t + "x"
+                vtext = " ".join(vtoks)
+                out["url"].append(f"https://{domain}/{sources[k]}/{stem}/v{v}")
+                out["warc_ts"].append(
+                    base_ts + datetime.timedelta(seconds=(hv % 9_999_999) + v)
+                )
+                out["html"].append(render_html(f"{stem} {sources[k]}", vtext))
+                out["text"].append(vtext)
+                out["lang"].append(langs[k])
+                out["label_true"].append(int(doc_ids[k]))
+        tbl = pa.table(
+            {
+                "url": pa.array(out["url"], type=pa.string()),
+                "warc_ts": pa.array(out["warc_ts"], type=pa.timestamp("us")),
+                "html": pa.array(out["html"], type=pa.binary()),
+                "text": pa.array(out["text"], type=pa.string()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "label_true": pa.array(out["label_true"], type=pa.int64()),
+            }
+        )
+        rid = hash64(tbl["url"]).astype(np.int64)
+        return tbl.append_column("record_id", pa.array(rid))
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    batch = pa.concat_tables(
+        docs.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    # add edge-case docs: empty text, 1 token, exactly 6, 7 tokens
+    extra = pa.table(
+        {
+            "doc_id": pa.array([900001, 900002, 900003, 900004], type=pa.int64()),
+            "text": ["", "xy", "a b c d e f", "a b c d e f g"],
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+        }
+    )
+    batch = pa.concat_tables([batch.select(extra.column_names), extra])
+    for mult in (1, 3):
+        ref = reference(batch, 42, mult)
+        got = pa.concat_tables(
+            synth_pages(
+                ray.data.from_arrow(batch), seed=42, multiplier=mult
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        got = got.select(ref.column_names)
+        # order within one input batch is deterministic on both sides
+        assert ref.num_rows == got.num_rows, mult
+        for col in ref.column_names:
+            assert ref[col].combine_chunks().equals(
+                got[col].combine_chunks()
+            ), (col, mult)
