@@ -112,6 +112,14 @@ def run_bench() -> dict:
         # bigram-LM train (vocab shuffle + collect) + actor-pool scoring
         dq.q_lm_perplexity(sf_dir).count()
 
+    # ---- EM-at-scale anchor: unsupervised FS training on the mult=100
+    # amplified corpus (two seeds; cross-seed log-odds spread = estimator
+    # stability). The reference trains EM only on a 2.4k-row sample.
+    from mismo_ray.pipelines._webpages import train_em_at_scale
+
+    with timed("train_em_scaled"):
+        em = train_em_at_scale(sf_dir, multiplier=100, seeds=(0, 1))
+
     # ---- webtext cleaning chain (canonical URL -> PII redact -> lang-ID ->
     # quality gate -> C4 line dedup -> exact dedupe) over an amplified corpus.
     # Deliberately LAST: dozens of prior executions age the Ray session and
@@ -166,6 +174,12 @@ def run_bench() -> dict:
         "pair_count_300k_pairs": n_pairs_300k,
         "scaled_er": scaled,
         "crawl_clean": crawl,
+        "train_em_scaled": {
+            "n_pages": em["n_pages"],
+            "seconds_corpus": em["seconds_corpus"],
+            "seconds_per_seed": [r["seconds"] for r in em["per_seed"]],
+            "max_log_odds_spread": em["max_log_odds_spread"],
+        },
         "crawl_docs_per_sec": round(crawl["n_records"] / crawl["seconds"]),
         "scaled_pages_per_sec": round(
             scaled["n_source_docs"] * scaled["multiplier"] * 1.46 / scaled["seconds"]

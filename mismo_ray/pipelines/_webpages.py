@@ -21,7 +21,9 @@ parallelism (SURVEY §4 determinism).
 from __future__ import annotations
 
 import html as html_mod
+import math
 import re
+from collections.abc import Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -798,4 +800,76 @@ def scaling_pipeline(
         "n_pairs_scored": n_pairs_scored,
         "n_source_docs": n_docs,
         "multiplier": multiplier,
+    }
+
+
+def train_em_at_scale(
+    sf_dir: str,
+    *,
+    multiplier: int = 100,
+    max_pairs: int = 200_000,
+    seeds: Sequence[int] = (0, 1),
+    n_blocks: int = 96,
+) -> dict:
+    """Unsupervised-EM training anchor at amplified-corpus scale.
+
+    The reference trains EM only on the ~2.4k-row patents sample
+    (mismo/fs/tests/test_train.py:127-157, bounds-only assertions); this
+    anchor fits the same 5-iteration EM (fs/_train_em.py) on the
+    multiplier-amplified web-page corpus and reports, per seed, the wall
+    time and the converged per-level odds, plus a cross-seed stability
+    figure: the max |log(odds_a / odds_b)| spread across seeds over all
+    finite-odds levels. EM's pair sample is (seed, record_id)-hash driven,
+    so different seeds draw genuinely different ~sqrt(max_pairs) record
+    samples — the spread measures estimator variance at this corpus scale,
+    not RNG noise.
+
+    The featurized corpus is built ONCE and materialized: every seed's
+    sample pass re-reads it (sampling is a cheap hash-filter map; the
+    expensive synth/extract/featurize lineage must not re-run per seed).
+    """
+    import time
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    ).repartition(n_blocks)
+    pages = featurize(
+        add_extracted_text(synth_pages(docs, multiplier=multiplier))
+    ).materialize()
+    n_pages = pages.count()
+    t_corpus = time.time() - t0
+
+    comparers = webpage_comparers()
+    per_seed: list[dict] = []
+    odds_by_level: dict[str, list[float]] = {}
+    for seed in seeds:
+        t1 = time.time()
+        w = train_using_em(
+            comparers, pages, pages, max_pairs=max_pairs, seed=seed,
+            columns=PAIR_COLUMNS,
+        )
+        dt = time.time() - t1
+        odds = {
+            f"{cw.name}/{lw.name}": lw.odds for cw in w for lw in cw
+        }
+        for k, v in odds.items():
+            odds_by_level.setdefault(k, []).append(v)
+        per_seed.append({"seed": seed, "seconds": round(dt, 3), "odds": odds})
+
+    spread = 0.0
+    for vals in odds_by_level.values():
+        finite = [v for v in vals if 0.0 < v < float("inf")]
+        if len(finite) == len(vals) and len(finite) > 1:
+            spread = max(
+                spread, abs(math.log(max(finite)) - math.log(min(finite)))
+            )
+    return {
+        "seconds": round(time.time() - t0, 3),
+        "seconds_corpus": round(t_corpus, 3),
+        "n_pages": n_pages,
+        "max_pairs": max_pairs,
+        "multiplier": multiplier,
+        "per_seed": per_seed,
+        "max_log_odds_spread": round(spread, 4),
     }
