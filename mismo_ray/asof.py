@@ -151,6 +151,10 @@ def asof_join(
         return pa.table({c: col(merged[c], out_types[c]) for c in out_names})
 
     return (
+        # batch_format="pandas" audit: pandas.merge_asof is the only
+        # sorted-asof kernel in the stack (no Arrow equivalent); the bucket
+        # groups it sees carry just the join keys + carried output columns,
+        # already pruned upstream of the bucket shuffle.
         tagged.groupby("__bkt__")
         .map_groups(
             lambda g: merge_bucket(g.drop(columns=["__bkt__"])),

@@ -164,6 +164,10 @@ def sessionize(
         return agg[[key, "session_id", "session_start_s", "session_end_s", "n_events"]]
 
     return (
+        # batch_format="pandas" audit: only (key, ts) — two scalar columns —
+        # ever reach the pandas conversion (select_columns runs FIRST), and
+        # the gap/cumsum session logic is a pandas-only kernel. Payload
+        # columns (text etc.) never convert.
         events.select_columns([key, ts])
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("__sbkt__")
