@@ -755,6 +755,13 @@ def connected_components(
     """
     edges = links.select_columns(["record_id_l", "record_id_r"])
     if mode == "auto":
+        # Materialize the pruned 2-col edge set BEFORE the routing count:
+        # count() would otherwise execute the full upstream pair-gen lineage
+        # (ngram/LSH shuffles) once for the count and AGAIN for the chosen
+        # CC path. Both distributed paths materialize edges internally
+        # anyway (they iterate the edge set over rounds), so this only
+        # moves the pin earlier; 16 B/edge, spills past the store budget.
+        edges = edges.materialize()
         mode = "driver" if edges.count() <= driver_threshold else "distributed"
 
     id_type = edges.schema().base_schema.field("record_id_l").type
