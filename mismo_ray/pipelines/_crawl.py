@@ -91,32 +91,53 @@ def crawl_clean(
     crawl = synth_crawl(docs, multiplier=multiplier).materialize()
     crawl = add_canonical_url(crawl, "url")
     crawl = redact_pii(crawl, "text", out_column="text")
-    # lang-ID default = FIXED pool sized to cluster CPUs: the pool absorbs
-    # the fused synth/url/pii/stats upstream, so its size IS the map
-    # stage's parallelism (autoscaling pools plateaued short of the
-    # cluster here — measured in BASELINE.md)
-    crawl = add_lang_id(add_token_stats(crawl, "text"))
+    crawl = add_token_stats(crawl, "text")
 
     def gate(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n_tokens"], min_tokens))
+        t = t.filter(pc.greater_equal(t["n_tokens"], min_tokens))
+        # pre-dedupe char count rides along as an int64 column (8 B/row) so
+        # the counters pass below never has to re-scan the gated corpus
+        return t.append_column(
+            "__chars_in__", pc.utf8_length(t["text"]).cast(pa.int64())
+        )
+
+    # Quality gate BEFORE lang-ID: don't run the model on docs we drop —
+    # and, just as important here, keep the lang-ID ACTOR pool the LAST
+    # map of the chain. Ray Data fuses upstream task maps INTO the
+    # actor-pool operator, but a task map DOWNSTREAM of the pool runs as
+    # its own operator competing for the 2 CPU slots the CPUs-2 pool
+    # leaves free — the old gate stage cost 21.8 s of wall (96 trivial
+    # filter tasks through 2 slots) at 32 CPUs.
+    crawl = crawl.map_batches(gate, batch_format="pyarrow")
+    # lang-ID default = FIXED pool sized to cluster CPUs: the pool absorbs
+    # the fused synth/url/pii/stats/gate upstream, so its size IS the map
+    # stage's parallelism (autoscaling pools plateaued short of the
+    # cluster here — measured in BASELINE.md)
+    crawl = add_lang_id(crawl)
 
     # drop_dup_lines consumes its input twice (the line-hits pass and the
     # rewrite join's document side) — materialize the gated corpus so the
     # synth/url/pii/lang chain executes once, not twice (at real scale this
     # checkpoint would be the natural write_parquet boundary)
     gated = (
-        crawl.map_batches(gate, batch_format="pyarrow")
-        .select_columns(
-            ["record_id", "url_canon", "lang_pred", "text", "n_emails", "n_ips"]
+        crawl.select_columns(
+            [
+                "record_id",
+                "url_canon",
+                "lang_pred",
+                "text",
+                "n_emails",
+                "n_ips",
+                "__chars_in__",
+            ]
         )
         .materialize()
     )
     cleaned = drop_dup_lines(gated, "text", min_docs=dedupe_min_docs)
-    # ONE execution of the chain; the cheap counters below read the
-    # materialized blocks (at real scale this would be write_parquet and
-    # the counters would come from the write's lineage counters instead)
+    # ONE execution of the chain; the counters below read the materialized
+    # blocks (at real scale this would be write_parquet and the counters
+    # would come from the write's lineage counters instead)
     cleaned = cleaned.materialize()
-    n_pii = cleaned.sum(["n_emails", "n_ips"])
     survivors = exact_dedupe(cleaned, "text")
     if output_dir:
         import os
@@ -124,22 +145,39 @@ def crawl_clean(
         survivors = survivors.materialize()
         survivors.write_parquet(os.path.join(output_dir, "clean"))
 
-    def text_len(t: pa.Table, col: str) -> pa.Table:
-        return pa.table({"c": pc.utf8_length(t[col]).cast(pa.int64())})
+    # ONE pass over the cleaned corpus computes every corpus counter as
+    # per-block partials (<= n_blocks tiny rows to the driver) — the
+    # 100 TB-correct alternative to one full scan per counter (this block
+    # was 3 scans of cleaned + 1 of gated before; measured 23.8 s of the
+    # 62.9 s 32-CPU mult=400 run)
+    def partials(t: pa.Table) -> pa.Table:
+        def s(col: pa.ChunkedArray | pa.Array) -> int:
+            v = pc.sum(col).as_py()
+            return int(v) if v is not None else 0
 
-    n_chars_in = gated.map_batches(
-        lambda t: text_len(t, "text"), batch_format="pyarrow"
-    ).sum("c")
-    n_chars_out = cleaned.map_batches(
-        lambda t: text_len(t, "text"), batch_format="pyarrow"
-    ).sum("c")
+        return pa.table(
+            {
+                "n_rows": pa.array([len(t)], type=pa.int64()),
+                "n_emails": pa.array([s(t["n_emails"])], type=pa.int64()),
+                "n_ips": pa.array([s(t["n_ips"])], type=pa.int64()),
+                "n_chars_in": pa.array([s(t["__chars_in__"])], type=pa.int64()),
+                "n_chars_out": pa.array(
+                    [s(pc.utf8_length(t["text"]).cast(pa.int64()))],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    agg = pa.Table.from_pylist(
+        cleaned.map_batches(partials, batch_format="pyarrow").take_all()
+    )
     counters = {
-        "n_records": cleaned.count(),
+        "n_records": int(pc.sum(agg["n_rows"]).as_py() or 0),
         "n_distinct_clean": survivors.count(),
-        "n_emails": int(n_pii["sum(n_emails)"]),
-        "n_ips": int(n_pii["sum(n_ips)"]),
-        "n_chars_in": int(n_chars_in),
-        "n_chars_out": int(n_chars_out),
+        "n_emails": int(pc.sum(agg["n_emails"]).as_py() or 0),
+        "n_ips": int(pc.sum(agg["n_ips"]).as_py() or 0),
+        "n_chars_in": int(pc.sum(agg["n_chars_in"]).as_py() or 0),
+        "n_chars_out": int(pc.sum(agg["n_chars_out"]).as_py() or 0),
         "multiplier": multiplier,
     }
     if return_dataset:
@@ -148,7 +186,7 @@ def crawl_clean(
         from mismo_ray._joins import hash_join
 
         surviving_rows = hash_join(
-            cleaned,
+            cleaned.drop_columns(["__chars_in__"]),
             survivors.select_columns(["keep_id"]),
             on=["record_id"],
             right_on=["keep_id"],
@@ -169,9 +207,15 @@ def crawl_clean_pipeline(
 
     t0 = time.time()
     os.environ.setdefault("MISMO_RAY_NUM_PARTITIONS", "64")
+    # override_num_blocks makes the READ produce the fixed layout directly
+    # (ReadParquet->SplitBlocks) instead of a repartition exchange after it
+    # — the repartition op cost ~3 s of fixed driver/1-task time at every
+    # parallelism level on this tiny source table
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).repartition(int(os.environ.get("GRAFT_SCALE_BLOCKS", "96")))
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=int(os.environ.get("GRAFT_SCALE_BLOCKS", "96")),
+    )
     out = crawl_clean(docs, multiplier=multiplier, output_dir=output_dir)
     out["seconds"] = round(time.time() - t0, 3)
     return out
