@@ -78,6 +78,13 @@ def run_bench() -> dict:
     with timed("scaled_er"):
         scaled = scaling_pipeline(sf_dir, multiplier=100)
 
+    # ---- skew stress: same pipeline with 1/178 of the corpus rerouted onto
+    # ONE mirror-domain blocking key (~4k rows -> ~8M extra pairs, ~20x the
+    # unskewed pair load), absorbed by count-prepass salting into bounded
+    # sub-block tasks (north star: "explicit salting for hot blocking keys")
+    with timed("skewed_er"):
+        skewed = scaling_pipeline(sf_dir, multiplier=100, hot_mod=178)
+
     # ---- representative operator benchmarks
     from mismo_ray import driver_queries as dq
 
@@ -173,6 +180,7 @@ def run_bench() -> dict:
         "pairs_scored_per_sec": round(n_pairs / headline, 1) if headline else None,
         "pair_count_300k_pairs": n_pairs_300k,
         "scaled_er": scaled,
+        "skewed_er": skewed,
         "crawl_clean": crawl,
         "train_em_scaled": {
             "n_pages": em["n_pages"],

@@ -731,11 +731,49 @@ def sketch_comparers() -> list[LevelComparer]:
 SKETCH_PAIR_COLUMNS = ["fp", "sig", "path", "path_stem", "domain", "lang"]
 
 
+def reroute_hot_domain(
+    pages: ray.data.Dataset,
+    hot_mod: int,
+    *,
+    domain: str = "mirror.example.net",
+    path_stem: str = "m",
+) -> ray.data.Dataset:
+    """Reroute a deterministic 1/hot_mod of pages onto ONE (domain,
+    path_stem) blocking key — a synthetic mirror host concentrating a
+    quadratic share of candidate pairs on a single hot key, the skew the
+    north star calls out ("high-frequency domains"). Selection hashes off
+    record_id, so the hot set is identical at any parallelism level; paths
+    stay per-page, so the scoring work over hot pairs is the real JW
+    kernel, not a degenerate equal-string fast path."""
+
+    def reroute(t: pa.Table) -> pa.Table:
+        rid = np.asarray(t["record_id"], dtype=np.int64)
+        hot = (rid & np.int64(0x7FFFFFFFFFFFFFFF)) % hot_mod == 0
+        dom = np.asarray(t["domain"].to_pylist(), dtype=object)
+        stem = np.asarray(t["path_stem"].to_pylist(), dtype=object)
+        dom[hot] = domain
+        stem[hot] = path_stem
+        t = t.set_column(
+            t.schema.get_field_index("domain"),
+            "domain",
+            pa.array(dom, type=pa.string()),
+        )
+        return t.set_column(
+            t.schema.get_field_index("path_stem"),
+            "path_stem",
+            pa.array(stem, type=pa.string()),
+        )
+
+    return pages.map_batches(reroute, batch_format="pyarrow")
+
+
 def scaling_pipeline(
     sf_dir: str,
     *,
     multiplier: int = 100,
     threshold_odds: float = 10.0,
+    hot_mod: int = 0,
+    salt_rows: int = 2048,
 ) -> dict:
     """Compute-bound end-to-end ER for the two-cluster-size scaling benchmark.
 
@@ -747,7 +785,14 @@ def scaling_pipeline(
     fixed-weight FS scoring -> threshold -> count. Training and driver-side
     clustering are excluded so the measured time is the distributed
     map + shuffle work that actually scales with cluster size.
-    """
+
+    ``hot_mod`` > 0 switches on the SKEW-STRESS variant: 1/hot_mod of the
+    corpus is rerouted onto one mirror-domain blocking key
+    (``reroute_hot_domain``), and the linker runs with ``salt_rows`` so the
+    hot key's quadratic pair load is salted into bounded sub-block tasks
+    (~salt_rows^2/2 pairs each) instead of one monster task — the explicit
+    skew handling the north star requires for high-frequency domains. The
+    returned counters then include ``salted_keys`` / ``n_hot_rows``."""
     import os
     import time
 
@@ -770,9 +815,14 @@ def scaling_pipeline(
     pages = add_sketches(
         featurize(add_extracted_text(synth_pages(docs, multiplier=multiplier)))
     )
+    if hot_mod:
+        pages = reroute_hot_domain(pages, hot_mod)
     linker = KeyLinker(
         ["domain", "path_stem"],
-        salt_rows=None,
+        # skew-stress mode pays the count pre-pass to salt the hot key;
+        # the plain benchmark's group sizes are bounded <= 6 by
+        # construction and skip both the pre-pass and salting
+        salt_rows=salt_rows if hot_mod else None,
         carry=SKETCH_PAIR_COLUMNS,
     )
     linkage = linker(pages, pages)
@@ -794,13 +844,18 @@ def scaling_pipeline(
     n_matches = int(agg["sum(m)"]) if agg else 0
     elapsed = time.time() - t0
     n_docs = docs.count()
-    return {
+    out = {
         "seconds": round(elapsed, 3),
         "n_matches": n_matches,
         "n_pairs_scored": n_pairs_scored,
         "n_source_docs": n_docs,
         "multiplier": multiplier,
     }
+    if hot_mod:
+        out["hot_mod"] = hot_mod
+        out["salt_rows"] = salt_rows
+        out["salted_keys"] = int(linker.last_counters.get("salted_keys", 0))
+    return out
 
 
 def train_em_at_scale(

@@ -259,3 +259,37 @@ def test_synth_pages_matches_loop_reference(ray_session):
             assert ref[col].combine_chunks().equals(
                 got[col].combine_chunks()
             ), (col, mult)
+
+
+def test_skew_stress_salted_hot_domain(ray_session):
+    """Skew-stress mode (north star: "explicit salting for hot blocking
+    keys (e.g. high-frequency domains)"): reroute 1/3 of the corpus onto
+    ONE mirror-domain key and verify the salted pair enumeration is EXACT —
+    n_pairs_scored equals the per-group triangle sum computed brute-force
+    in pandas — and that the hot key really went through the salt path."""
+    import numpy as np
+
+    from mismo_ray.pipelines._webpages import (
+        add_extracted_text,
+        reroute_hot_domain,
+        scaling_pipeline,
+        synth_pages,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    pages = reroute_hot_domain(
+        featurize(add_extracted_text(synth_pages(docs, multiplier=4))), 3
+    )
+    pdf = pages.select_columns(["domain", "path_stem"]).to_pandas()
+    sizes = pdf.groupby(["domain", "path_stem"]).size().to_numpy(np.int64)
+    expected_pairs = int((sizes * (sizes - 1) // 2).sum())
+    hot_rows = int(pdf["domain"].eq("mirror.example.net").sum())
+    assert hot_rows > 64  # the hot key must overflow salt_rows below
+
+    r = scaling_pipeline(SF_DIR, multiplier=4, hot_mod=3, salt_rows=64)
+    assert r["n_pairs_scored"] == expected_pairs
+    assert r["salted_keys"] == 1
+    assert r["n_matches"] <= r["n_pairs_scored"]
