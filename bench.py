@@ -198,6 +198,11 @@ def run_bench() -> dict:
         "scaled_pairs_scored_per_sec": round(
             scaled.get("n_pairs_scored", 0) / scaled["seconds"]
         ),
+        # skew leg pushes ~20x the pair load through the same scorer — its
+        # throughput is the better "pairs scored/sec" ceiling estimate
+        "skewed_pairs_scored_per_sec": round(
+            skewed.get("n_pairs_scored", 0) / skewed["seconds"]
+        ),
     }
     ray.shutdown()
     return out
