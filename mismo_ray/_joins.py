@@ -111,8 +111,27 @@ def hash_join(
         raise ValueError(f"how must be one of {sorted(_HOW_TO_ARROW)}")
     B = num_partitions or default_num_partitions()
 
-    lschema = left_schema or left.schema().base_schema
-    rschema = right_schema or right.schema().base_schema
+    _ls = left_schema or left.schema(fetch_if_missing=True)
+    if _ls is None:
+        # empty left (zero blocks, schema unobservable): every supported join
+        # flavor produces zero rows from an empty left side, and downstream
+        # map UDFs never execute on zero blocks, so the empty input IS the
+        # correct (and only constructible) result.
+        return left
+    _rs = right_schema or right.schema(fetch_if_missing=True)
+    if _rs is None:
+        if how in ("inner", "left_semi"):
+            return right  # empty right: no keys can match -> empty result
+        if how == "left_anti":
+            return left  # nothing to subtract
+        # left_outer with a non-empty left needs right's column names/types
+        # to append null columns — unknowable here; fail with intent.
+        raise ValueError(
+            "hash_join: right side is empty with unknown schema; pass "
+            "right_schema= to left_outer-join against a derived empty dataset"
+        )
+    lschema = _ls if isinstance(_ls, pa.Schema) else _ls.base_schema
+    rschema = _rs if isinstance(_rs, pa.Schema) else _rs.base_schema
     lvals = [c for c in lschema.names if c not in on]
     rvals = [c for c in rschema.names if c not in right_on]
     semi = how in ("left_semi", "left_anti")

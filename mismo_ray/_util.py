@@ -115,6 +115,38 @@ def empty_table(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
 
 
+def base_schema_or(ds, fallback: pa.Schema | None = None) -> pa.Schema:
+    """``ds.schema().base_schema``, robust to empty datasets.
+
+    Ray Data returns ``None`` from ``Dataset.schema()`` when a dataset is
+    empty downstream of a map stage (zero blocks — the UDF never ran, so the
+    output schema is unobservable). That only ever happens for datasets with
+    no rows, so any consistent ``fallback`` schema is semantically safe:
+    there is no data for the types to disagree with. Operators pass the
+    minimal schema they need (id/key fields); with no fallback this raises a
+    clear error instead of ``NoneType has no attribute base_schema``.
+    """
+    s = ds.schema(fetch_if_missing=True)
+    if s is None:
+        if fallback is not None:
+            return fallback
+        raise ValueError(
+            "dataset is empty and its schema cannot be inferred; the "
+            "operator cannot derive its output schema from it"
+        )
+    return s.base_schema
+
+
+def linker_fallback_schema(carry: Sequence[str] = ()) -> pa.Schema:
+    """Fallback record schema for linkers on empty-with-unknown-schema input:
+    int64 record ids, null-typed carry columns (zero rows, so the types never
+    meet real data)."""
+    return pa.schema(
+        [pa.field("record_id", pa.int64())]
+        + [pa.field(c, pa.null()) for c in carry]
+    )
+
+
 EMPTY_LINKS_SCHEMA = pa.schema(
     [pa.field("record_id_l", pa.int64()), pa.field("record_id_r", pa.int64())]
 )

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data
 
 from mismo_ray._joins import default_num_partitions
-from mismo_ray._util import hash64
+from mismo_ray._util import base_schema_or, hash64
 
 
 def _check_suffix_collisions(
@@ -68,8 +68,11 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     B = default_num_partitions()
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    _ls = left.schema(fetch_if_missing=True)
+    if _ls is None:
+        return left  # empty left: left-join result is empty
+    lschema = _ls.base_schema
+    rschema = base_schema_or(right)
     rvals = [c for c in rschema.names if c not in (by, on)]
     _check_suffix_collisions(lschema.names, rvals + [on], right_suffix)
     out_names = list(lschema.names) + [f"{c}{right_suffix}" for c in rvals] + [
@@ -183,8 +186,11 @@ def interval_join(
     """
     B_hash = default_num_partitions()
     w = float(bucket_width)
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    _ls = left.schema(fetch_if_missing=True)
+    if _ls is None:
+        return left  # empty left: no bands, empty result
+    lschema = _ls.base_schema
+    rschema = base_schema_or(right)
     rcols = list(rschema.names)
     _check_suffix_collisions(lschema.names, rcols, right_suffix)
     out_names = list(lschema.names) + [f"{c}{right_suffix}" for c in rcols]

@@ -181,7 +181,10 @@ class Factorizer:
         broadcast_threshold: int = 2_000_000,
     ):
         self.n_buckets = n_buckets
-        schema = ids_ds.schema().base_schema
+        _s = ids_ds.schema(fetch_if_missing=True)
+        schema = _s.base_schema if _s is not None else pa.schema(
+            [pa.field("record_id", pa.int64())]  # empty ids: type is moot
+        )
         self.id_type = schema.field("record_id").type
         self.is_int = pa.types.is_integer(self.id_type)
         self.mapping = None
@@ -764,7 +767,10 @@ def connected_components(
         edges = edges.materialize()
         mode = "driver" if edges.count() <= driver_threshold else "distributed"
 
-    id_type = edges.schema().base_schema.field("record_id_l").type
+    _es = edges.schema(fetch_if_missing=True)
+    # empty edge set (zero blocks): any id type is consistent; int64 keeps
+    # the singleton-labeling path typed
+    id_type = _es.base_schema.field("record_id_l").type if _es is not None else pa.int64()
     int_ids = pa.types.is_integer(id_type)
 
     if mode == "driver":
@@ -872,7 +878,11 @@ def connected_components(
         )
     if labels.count() <= driver_threshold:
         pdf = labels.to_pandas()
-        labels_map = dict(zip(pdf["record_id"].map(_hashable), pdf["component"]))
+        labels_map = (
+            dict(zip(pdf["record_id"].map(_hashable), pdf["component"]))
+            if len(pdf)
+            else {}  # no labeled records: every record is a singleton
+        )
         return _attach_labels_broadcast(records, labels_map, label_as)
     return _attach_labels_join(records, labels, label_as)
 
@@ -966,7 +976,10 @@ def _attach_labels_broadcast(
     max_label = max(labels_map.values(), default=-1)
     ref = ray.put(labels_map)
 
-    id_type = records.schema().base_schema.field("record_id").type
+    _rs = records.schema(fetch_if_missing=True)
+    id_type = (
+        _rs.base_schema.field("record_id").type if _rs is not None else pa.int64()
+    )  # empty records: type is moot
     int_ids = pa.types.is_integer(id_type)
 
     def fn(t: pa.Table) -> pa.Table:

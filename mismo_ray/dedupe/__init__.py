@@ -836,7 +836,9 @@ def fuzzy_dedupe(
             ds, column, n=n, min_jaccard=min_jaccard, max_pairs=max_pairs
         ).links_ds
     labeled = connected_components(links=links, records=ds, label_as=label_as)
-    _s = ds.schema()
+    _s = ds.schema(fetch_if_missing=True)
+    if _s is None:
+        return labeled  # empty corpus: nothing to keep/drop
     id_type = dict(zip(_s.names, _s.types))["record_id"]
     if keep != "min_id":
         if (

@@ -204,13 +204,19 @@ def contamination_stats(
     bg = benchmark_grams(benchmark, column, n=n).materialize()
     n_bm = bg.count()
     if n_bm <= max_broadcast_grams:
-        bm = bg.to_pandas()
-        bm_ref = ray.put(
-            (
-                bm["__h1__"].to_numpy().astype(np.uint64),
-                bm["__h2__"].to_numpy().astype(np.uint64),
+        if n_bm == 0:
+            # empty benchmark: zero gram hashes, every doc uncontaminated
+            bm_ref = ray.put(
+                (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64))
             )
-        )
+        else:
+            bm = bg.to_pandas()
+            bm_ref = ray.put(
+                (
+                    bm["__h1__"].to_numpy().astype(np.uint64),
+                    bm["__h2__"].to_numpy().astype(np.uint64),
+                )
+            )
         return ds.map_batches(
             _Contaminator,
             fn_constructor_args=(bm_ref, column, id_column, n),
@@ -370,11 +376,14 @@ def drop_contaminated(
 
     # ids to drop: small side in every realistic run, but stay join-based
     bad = stats.map_batches(pick_bad, batch_format="pyarrow")
+    in_schema = ds.schema(fetch_if_missing=True)
+    if in_schema is None:
+        return ds  # empty corpus: nothing to drop
     return hash_join(
         ds,
         bad,
         on=id_column,
         how="left_anti",
-        left_schema=ds.schema().base_schema,
+        left_schema=in_schema.base_schema,
         right_schema=pa.schema([pa.field(id_column, pa.int64())]),
     )

@@ -390,12 +390,16 @@ def drop_dup_lines(
             lambda g: pack(g.drop_columns(["__dbkt__"])), batch_format="pyarrow"
         )
     )
+    in_schema = ds.schema(fetch_if_missing=True)
+    if in_schema is None:
+        # empty input (zero blocks -> schema unobservable): nothing to rewrite
+        return ds
     joined = hash_join(
         ds,
         packed,
         on=id_column,
         how="left_outer",
-        left_schema=ds.schema().base_schema,
+        left_schema=in_schema.base_schema,
         right_schema=pa.schema(
             [pa.field(id_column, pa.int64()), pa.field("__drop__", pa.string())]
         ),

@@ -486,6 +486,14 @@ def q_ann_topk(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = emb.filter(expr="vec_id < 20").to_pandas()
+    if len(head) == 0:  # empty input: no query vectors, empty result
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
     queries = np.stack(head["embedding"].to_numpy())
     qids = head["vec_id"].to_numpy()
     out = brute_force_topk(
@@ -589,8 +597,12 @@ def q_tf_lookup(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     counts = cust.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
     pdf = counts.to_pandas()
-    n_total = int(pdf["n"].sum())
-    freq = {s: int(c) for s, c in zip(pdf["c_mktsegment"], pdf["n"])}
+    n_total = int(pdf["n"].sum()) if len(pdf) else 0
+    freq = (
+        {s: int(c) for s, c in zip(pdf["c_mktsegment"], pdf["n"])}
+        if len(pdf)
+        else {}
+    )
     import ray
 
     ref = ray.put(freq)
@@ -994,6 +1006,14 @@ def q_ivf_topk(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = emb.filter(expr="vec_id < 20").to_pandas()
+    if len(head) == 0:  # empty input: no query vectors, empty result
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
     queries = np.stack(head["embedding"].to_numpy())
     qids = head["vec_id"].to_numpy()
     out = ivf_topk(
@@ -1777,6 +1797,14 @@ def q_read_warc(sf_dir: str):
     from mismo_ray.sources.warc import read_warc, write_warc
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    if len(docs) == 0:  # empty input: no WARC shards to write or read back
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "record_type": pa.array([], pa.string()),
+                "n_bytes": pa.array([], pa.int64()),
+            }
+        )
     tmp = tempfile.mkdtemp(prefix="mismo_warc_", dir="/tmp")
     import datetime as dt
 

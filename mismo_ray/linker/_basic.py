@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
+from mismo_ray._util import base_schema_or, linker_fallback_schema
 from mismo_ray.keys import KeySpec
 from mismo_ray.linker._common import Task, infer_task
 from mismo_ray.linker._pairgen import generate_pairs
@@ -32,8 +33,9 @@ class FullLinker:
         links, _ = generate_pairs(
             left, right, [_const_key()], task=task, salt_rows=self.salt_rows
         )
-        lbase = left.schema().base_schema
-        rbase = right.schema().base_schema if task == "link" else lbase
+        fallback = linker_fallback_schema()
+        lbase = base_schema_or(left, fallback)
+        rbase = base_schema_or(right, fallback) if task == "link" else lbase
         schema = pa.schema(
             [
                 pa.field("record_id_l", lbase.field("record_id").type),
@@ -47,7 +49,7 @@ class EmptyLinker:
     """No pairs."""
 
     def __call__(self, left: ray.data.Dataset, right: ray.data.Dataset) -> Linkage:
-        rid_t = left.schema().base_schema.field("record_id").type
+        rid_t = base_schema_or(left, linker_fallback_schema()).field("record_id").type
         schema = pa.schema(
             [pa.field("record_id_l", rid_t), pa.field("record_id_r", rid_t)]
         )

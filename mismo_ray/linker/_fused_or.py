@@ -32,7 +32,7 @@ import ray
 import ray.data
 
 from mismo_ray._joins import distinct
-from mismo_ray._util import hash64, splitmix64
+from mismo_ray._util import base_schema_or, hash64, linker_fallback_schema, splitmix64
 from mismo_ray.keys import KeySpec, resolve_keys
 from mismo_ray.linker._common import infer_task
 from mismo_ray.linker._pairgen import (
@@ -159,7 +159,7 @@ class FusedOrLinker:
         ]
         links = distinct(links, out_cols)
         self.last_counters = counters
-        lbase = left.schema().base_schema
+        lbase = base_schema_or(left, linker_fallback_schema(carry))
         schema_fields = [
             pa.field("record_id_l", pa.int64()),
             pa.field("record_id_r", pa.int64()),
@@ -182,8 +182,9 @@ class FusedOrLinker:
         max_pairs, salt_rows = self.max_pairs, self.salt_rows
         count_prepass = self.count_prepass
         counters: dict = {"task": "link", "n_rules": len(rules)}
-        lbase = left.schema().base_schema
-        rbase = right.schema().base_schema
+        fb = linker_fallback_schema(carry)
+        lbase = base_schema_or(left, fb)
+        rbase = base_schema_or(right, fb)
         ltypes = {f.name: f.type for f in lbase}
         rtypes = {f.name: f.type for f in rbase}
 

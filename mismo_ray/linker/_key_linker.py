@@ -26,6 +26,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from mismo_ray._joins import hash_join
+from mismo_ray._util import base_schema_or, linker_fallback_schema
 from mismo_ray.keys import KeySpec, resolve_keys
 from mismo_ray.linker._common import Task, infer_task
 from mismo_ray.linker._pairgen import generate_pairs, project_keyed
@@ -99,8 +100,9 @@ class KeyLinker:
                 count_prepass=self.count_prepass,
             )
         self.last_counters = counters
-        lbase = left.schema().base_schema
-        rbase = right.schema().base_schema if task == "link" else lbase
+        fallback = linker_fallback_schema(self.carry)
+        lbase = base_schema_or(left, fallback)
+        rbase = base_schema_or(right, fallback) if task == "link" else lbase
         fields = [
             pa.field("record_id_l", lbase.field("record_id").type),
             pa.field("record_id_r", rbase.field("record_id").type),

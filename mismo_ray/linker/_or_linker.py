@@ -16,6 +16,7 @@ import pyarrow as pa
 import ray.data
 
 from mismo_ray._joins import distinct
+from mismo_ray._util import base_schema_or, linker_fallback_schema
 from mismo_ray.linker._common import Linker
 from mismo_ray.types import Linkage
 
@@ -42,8 +43,9 @@ class OrLinker:
         for other in links_list[1:]:
             unioned = unioned.union(other)
         deduped = distinct(unioned, ["record_id_l", "record_id_r"])
-        lbase = left.schema().base_schema
-        rbase = right.schema().base_schema
+        fallback = linker_fallback_schema()
+        lbase = base_schema_or(left, fallback)
+        rbase = base_schema_or(right, fallback)
         schema = pa.schema(
             [
                 pa.field("record_id_l", lbase.field("record_id").type),

@@ -43,7 +43,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count
 
-from mismo_ray._util import hash64, splitmix64
+from mismo_ray._util import base_schema_or, hash64, linker_fallback_schema, splitmix64
 from mismo_ray.keys import KeySpec
 
 _ROLE_BOTH = 0  # unsalted dedupe group: triangle among all rows
@@ -431,8 +431,9 @@ def generate_pairs(
             keyed_r = keyed_r.materialize()
         # carried-column arrow types, needed to fill nulls on the other side
         # so the two tagged projections union with one schema
-        ltypes = {f.name: f.type for f in left.schema().base_schema}
-        rtypes = {f.name: f.type for f in right.schema().base_schema}
+        _fb = linker_fallback_schema([*carry_l, *carry_r])
+        ltypes = {f.name: f.type for f in base_schema_or(left, _fb)}
+        rtypes = {f.name: f.type for f in base_schema_or(right, _fb)}
 
         def tag(side_val: int):
             def fn(t: pa.Table) -> pa.Table:

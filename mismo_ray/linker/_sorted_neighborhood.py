@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray.data
 
 from mismo_ray._joins import distinct
+from mismo_ray._util import base_schema_or, linker_fallback_schema
 from mismo_ray.keys import KeySpec, resolve_keys
 from mismo_ray.types import Linkage
 
@@ -163,7 +164,7 @@ class SortedNeighborhoodLinker:
             within = within.union(cross)
         links = distinct(within, ["record_id_l", "record_id_r"])
         self.last_counters = {"window": w}
-        rid_t = left.schema().base_schema.field("record_id").type
+        rid_t = base_schema_or(left, linker_fallback_schema()).field("record_id").type
         schema = pa.schema(
             [pa.field("record_id_l", rid_t), pa.field("record_id_r", rid_t)]
         )

@@ -14,6 +14,7 @@ import pyarrow as pa
 import ray.data
 
 from mismo_ray._joins import distinct
+from mismo_ray._util import base_schema_or, linker_fallback_schema
 from mismo_ray.keys import KeySpec, resolve_keys
 from mismo_ray.linker._common import Task, infer_task
 from mismo_ray.linker._pairgen import generate_pairs
@@ -108,8 +109,9 @@ class UnnestLinker:
         )
         self.last_counters = counters
         deduped = distinct(links, ["record_id_l", "record_id_r"])
-        lbase = left.schema().base_schema
-        rbase = right.schema().base_schema if task == "link" else lbase
+        fallback = linker_fallback_schema()
+        lbase = base_schema_or(left, fallback)
+        rbase = base_schema_or(right, fallback) if task == "link" else lbase
         schema = pa.schema(
             [
                 pa.field("record_id_l", lbase.field("record_id").type),

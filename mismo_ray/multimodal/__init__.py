@@ -137,6 +137,9 @@ def featurize_images(
 ) -> ray.data.Dataset:
     """Actor-pool image featurization; small batch_size by default because
     payload rows are wide."""
+    from mismo_ray._pool import clamp_pool
+
+    concurrency = clamp_pool(concurrency, num_cpus=num_cpus)
     return ds.map_batches(
         ImageFeaturizer,
         fn_constructor_kwargs={

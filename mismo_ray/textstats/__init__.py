@@ -355,11 +355,9 @@ def add_lang_id(
     keep min actors busy from t=0; see BASELINE.md), while a fixed pool
     equal to ALL cluster CPUs stalls small sessions (task operators
     starve). CPUs - 2 fixed is the measured sweet spot at both ends."""
-    if concurrency is None:
-        import ray as _ray
+    from mismo_ray._pool import clamp_pool
 
-        n = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        concurrency = max(2, n - 2)
+    concurrency = clamp_pool(concurrency)
     kwargs = {}
     if model_loader is not None:  # real-model seam, loads once per actor
         kwargs["fn_constructor_kwargs"] = {"model_loader": model_loader}

@@ -315,9 +315,9 @@ def add_perplexity(
     is FIXED at CPUs - 2 — fused upstream maps run inside the pool;
     autoscaling pools run measurably slower and an all-CPUs fixed pool
     starves task operators on small sessions (rationale in add_lang_id)."""
-    if concurrency is None:
-        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = max(2, n - 2)
+    from mismo_ray._pool import clamp_pool
+
+    concurrency = clamp_pool(concurrency)
     # a checkpoint PATH ships as-is (each actor loads it in __init__);
     # a fitted model ships once through the object store
     lm_ref = lm if isinstance(lm, str) else ray.put(lm)

@@ -23,8 +23,11 @@ class Diff:
     ):
         self.before = before
         self.after = after
-        bschema = before.schema().base_schema
-        aschema = after.schema().base_schema
+        _b = before.schema(fetch_if_missing=True)
+        _a = after.schema(fetch_if_missing=True)
+        _empty = pa.schema([pa.field("record_id", pa.int64())])
+        bschema = _b.base_schema if _b is not None else _empty
+        aschema = _a.base_schema if _a is not None else _empty
         self._shared = [
             c for c in bschema.names if c != "record_id" and c in aschema.names
         ]

@@ -35,7 +35,11 @@ def _prune_rename(
     """Project to (record_id, columns...) and suffix everything, so the join
     ships only the needed columns (prune-at-the-read discipline).
     Returns (dataset, schema) so joins need no schema inference."""
-    base = ds.schema().base_schema
+    _s = ds.schema(fetch_if_missing=True)
+    base = _s.base_schema if _s is not None else pa.schema(
+        [pa.field("record_id", pa.int64())]
+        + [pa.field(c, pa.null()) for c in (columns or [])]
+    )  # empty side: zero rows, types never meet data
 
     def fn(t: pa.Table) -> pa.Table:
         cols = list(columns) if columns is not None else [
@@ -134,7 +138,11 @@ class LinksTable:
         import ray as _ray
 
         def collect(ds: ray.data.Dataset, columns) -> tuple[dict, list, list]:
-            base = ds.schema().base_schema
+            base_s = ds.schema(fetch_if_missing=True)
+            if base_s is None:  # empty side: nothing to attach
+                cols = list(columns) if columns is not None else []
+                return {}, cols, [pa.null()] * len(cols)
+            base = base_s.base_schema
             cols = list(columns) if columns is not None else [
                 c for c in base.names if c != "record_id"
             ]
@@ -262,7 +270,11 @@ class Linkage:
         records = self.left if side == "left" else self.right
         if counts_ds.count() <= broadcast_threshold:
             counts = counts_ds.to_pandas()
-            mapping = dict(zip(counts["record_id"], counts["n_links"]))
+            mapping = (
+                dict(zip(counts["record_id"], counts["n_links"]))
+                if len(counts)
+                else {}  # no links: every record gets the 0 default
+            )
             return broadcast_lookup(
                 records,
                 "record_id",

@@ -46,7 +46,10 @@ def with_linked_values(
         pairs = linkage.links.with_left(columns)
         val_cols = [f"{c}_l" for c in columns]
 
-    base = records.schema().base_schema
+    _bs = records.schema(fetch_if_missing=True)
+    if _bs is None:
+        return records  # empty records: nothing to attach values to
+    base = _bs.base_schema
     id_type = base.field("record_id").type
     elem_types = [
         base.field(c).type if c in base.names else pa.string() for c in columns
