@@ -28,8 +28,22 @@ def _matrix(batch: pa.Table, column: str) -> np.ndarray:
     arr = batch[column]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = np.asarray(arr.values, dtype=np.float64)
     n = len(arr)
+    flat = np.asarray(arr.values, dtype=np.float64)
+    if arr.null_count:
+        # null embedding rows: zero vectors (zero norm -> nan cosine via
+        # _normalize_rows -> never ranked into a top-k)
+        valid = ~np.asarray(arr.is_null())
+        n_valid = int(valid.sum())
+        if pa.types.is_fixed_size_list(arr.type):
+            m = flat.reshape(n, -1)
+            m[~valid] = 0.0
+            return m
+        d = len(flat) // n_valid if n_valid else 0
+        out = np.zeros((n, d), dtype=np.float64)
+        if d:
+            out[valid] = flat.reshape(n_valid, d)
+        return out
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 

@@ -77,8 +77,10 @@ def bucketed_lookup_join(
 
     from mismo_ray._joins import default_num_partitions
 
+    from mismo_ray._util import base_schema_or
+
     B = default_num_partitions()
-    schema = ds_schema or ds.schema().base_schema
+    schema = ds_schema or base_schema_or(ds)  # clear error on empty-unknown
     key_type = schema.field(column).type
     data_cols = list(schema.names)
     nested = pa.types.is_nested(key_type)
@@ -903,7 +905,10 @@ def _attach_labels_coded(
     belong to unlinked records, so they cannot collide with any linked
     component's min-code label (unlike the previous 62-bit id-hash scheme,
     which had non-negligible birthday collisions at ~1e9 singletons)."""
-    base = records.schema().base_schema
+    _bs = records.schema(fetch_if_missing=True)
+    base = _bs.base_schema if _bs is not None else pa.schema(
+        [pa.field("record_id", id_type)]  # empty records: nothing to attach
+    )
 
     def dup(t: pa.Table) -> pa.Table:
         return t.append_column("__cc_code__", t["record_id"].combine_chunks())
@@ -938,7 +943,10 @@ def _attach_labels_join(
     from the id hash in the >= 2^62 range, disjoint from factorized codes."""
     import pyarrow.compute as pc
 
-    id_type = records.schema().base_schema.field("record_id").type
+    _rs = records.schema(fetch_if_missing=True)
+    id_type = (
+        _rs.base_schema.field("record_id").type if _rs is not None else pa.int64()
+    )  # empty records: type is moot
     if pa.types.is_integer(id_type):
         joined = hash_join(records, labels, on="record_id", how="left_outer")
 

@@ -46,7 +46,10 @@ class Datasets(Mapping[str, ray.data.Dataset]):
         names = list(self._tables)
         shared: list[str] | None = None
         for ds in self._tables.values():
-            cols = ds.schema().base_schema.names
+            s = ds.schema(fetch_if_missing=True)
+            if s is None:
+                continue  # empty member: contributes no rows, constrains nothing
+            cols = s.base_schema.names
             shared = cols if shared is None else [c for c in shared if c in cols]
         shared = shared or []
 

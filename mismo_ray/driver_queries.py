@@ -486,6 +486,8 @@ def q_ann_topk(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = emb.filter(expr="vec_id < 20").to_pandas()
+    if len(head):  # null embeddings cannot be query vectors
+        head = head[head["embedding"].notna()]
     if len(head) == 0:  # empty input: no query vectors, empty result
         return pa.table(
             {
@@ -771,7 +773,8 @@ def q_diff_updates(sf_dir: str):
             if k % 10 == 0:
                 continue  # deletions
             out_ids.append(int(k))
-            out_names.append(nm + "X" if k % 10 == 1 else nm)
+            # null p_name: the "updated" variant of a null is still null
+            out_names.append(nm + "X" if k % 10 == 1 and nm is not None else nm)
         for k, nm in zip(keys, names):
             if k % 10 == 2:
                 out_ids.append(int(k) + 1_000_000)  # insertions
@@ -1006,6 +1009,8 @@ def q_ivf_topk(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = emb.filter(expr="vec_id < 20").to_pandas()
+    if len(head):  # null embeddings cannot be query vectors
+        head = head[head["embedding"].notna()]
     if len(head) == 0:  # empty input: no query vectors, empty result
         return pa.table(
             {
@@ -1719,7 +1724,10 @@ def q_host_stats(sf_dir: str):
         import pandas as pd
 
         did_s = pd.Series(np.asarray(t["doc_id"], dtype=np.int64)).astype(str)
-        source = pd.Series(t["source"].to_pylist(), dtype="object")
+        # fill null source: a null url would make the groupby key (host)
+        # null, and Ray's sort-based groupby boundary sampling compares
+        # group keys in python where None is unordered
+        source = pd.Series(t["source"].to_pylist(), dtype="object").fillna("")
         url = "https://" + source + ".example.org/d/" + did_s
         return pa.table(
             {"url": pa.array(url, type=pa.string()), "text": t["text"]}

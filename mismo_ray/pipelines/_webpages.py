@@ -54,9 +54,12 @@ def render_html(title: str, body_text: str) -> bytes:
     ).encode("utf-8")
 
 
-def extract_text_bytes(html: bytes) -> str:
+def extract_text_bytes(html: bytes | None) -> str:
     """Inverse of render_html: byte-identical text per url (the per-row
-    invariant in BASELINE.json input_hint)."""
+    invariant in BASELINE.json input_hint). Null html (a fetch that stored
+    no body) extracts to the same empty text as a page with no main block."""
+    if html is None:
+        return ""
     m = _MAIN_RE.search(html)
     if m is None:
         return ""
@@ -115,7 +118,7 @@ def synth_pages(
         base_idx = np.repeat(np.arange(n0, dtype=np.int64), multiplier)
         texts = pd.Series(
             np.repeat(np.asarray(batch["text"].to_pylist(), dtype=object), multiplier)
-        )
+        ).fillna("")  # null source text synthesizes an empty (but valid) page
         h = _mix(doc_ids, seed)
         r = h % np.uint64(100)
         size = np.select(
@@ -212,8 +215,13 @@ def synth_pages(
                 "",
             ),
         )
-        src_v = batch["source"].combine_chunks().take(
-            pa.array(base_idx[var_doc], type=pa.int64())
+        # null source would null-propagate through every binary_join into
+        # url/html; url is the page key and must be non-null
+        src_v = pc.fill_null(
+            batch["source"].combine_chunks().take(
+                pa.array(base_idx[var_doc], type=pa.int64())
+            ),
+            "",
         )
         lang_v = batch["lang"].combine_chunks().take(
             pa.array(base_idx[var_doc], type=pa.int64())

@@ -323,11 +323,15 @@ def mixture_sample(
         # runs once per DISTINCT group in the batch, not once per row
         de = t[group_column].combine_chunks().dictionary_encode()
         urates = np.array(
-            [rates.get(g, default_rate) for g in de.dictionary.to_pylist()],
+            [rates.get(g, default_rate) for g in de.dictionary.to_pylist()]
+            # null group values dict-encode to null indices; they get the
+            # default rate via a sentinel slot appended past the dictionary
+            + [rates.get(None, default_rate)],
             dtype=np.float64,
         )
+        idx = de.indices.fill_null(len(urates) - 1)
         rate = (
-            urates[np.asarray(de.indices, dtype=np.int64)]
+            urates[np.asarray(idx, dtype=np.int64)]
             if len(t)
             else np.array([], dtype=np.float64)
         )

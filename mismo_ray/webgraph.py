@@ -302,7 +302,15 @@ def pagerank(
         .groupby("node")
         .aggregate(Count(alias_name="out_deg"))
     )
-    node_schema = nodes.schema().base_schema
+    _ns = nodes.schema(fetch_if_missing=True)
+    if _ns is None:
+        # empty graph: no nodes, empty rank table
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "rank": pa.array([], pa.int64())}
+            )
+        )
+    node_schema = _ns.base_schema
     node_type = node_schema.field("node").type
     deg_schema = pa.schema(
         [pa.field("node", node_type), pa.field("out_deg", pa.int64())]
@@ -320,7 +328,14 @@ def pagerank(
         ),
         right_schema=deg_schema,
     ).materialize()
-    edges_deg_schema = edges_deg.schema().base_schema
+    _es = edges_deg.schema(fetch_if_missing=True)
+    edges_deg_schema = _es.base_schema if _es is not None else pa.schema(
+        [  # no surviving edges: layout known by construction
+            pa.field(src, node_type),
+            pa.field(dst, node_type),
+            pa.field("out_deg", pa.int64()),
+        ]
+    )
 
     def with_rank(rank_val: int):
         def fn(t: pa.Table) -> pa.Table:

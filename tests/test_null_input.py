@@ -1,0 +1,146 @@
+"""All-null payload robustness: every operator family must handle a table
+whose string/binary/list columns are entirely null (crawl reality: fetches
+with no body, undetected language, missing embeddings) — empty or reduced
+output is fine; crashes and hangs are not.
+
+Fix classes this guards (all observed before the round-4 fixes):
+- null propagation through ``pc.binary_join_element_wise`` into page KEYS
+  (url must be non-null -> fill at synthesis);
+- ``.str`` pandas kernels on null text (NaN token counts -> int cast crash);
+- null group keys reaching Ray's sort-based groupby (python ``None``
+  comparisons in boundary sampling) -> fill keys, keep payloads nullable;
+- null rows in ``list<float>`` embedding columns (list offsets skip null
+  rows, so naive ``values.reshape(n, -1)`` misaligns) — ``ann._matrix``
+  now scatters valid rows and zero-fills null ones (zero norm -> nan
+  cosine -> never ranked into a top-k).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data
+
+SF_SRC = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "flagship_er",  # was: null source -> null url/html through binary_join
+    "host_stats",  # was: null group key in Ray groupby boundary sampling
+    "mixture_sample",  # was: null dict-encode indices -> rate lookup crash
+    "ann_topk",  # was: np.stack over null query embeddings
+    "ivf_topk",
+    "diff_updates",  # was: None + "X" in the update fixture
+    "exact_dedupe",
+    "minhash_lsh_dedupe",
+    "ngram_jaccard",
+    "lang_id",
+    "token_stats",
+    "gopher_quality",
+    "c4_clean",
+    "drop_dup_lines",
+    "substring_dedupe",
+    "decontaminate",
+    "lm_perplexity",
+    "canonical_url",
+    "registered_domain",
+    "extract_links",
+    "redact_pii",
+    "embedding_neardup",
+    "semdedup",
+    "pack_sequences",
+    "key_linker_pairs",
+    "connected_components",
+    "fs_score",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    """Copies of every testdata table with ALL string/binary/list columns
+    nulled out (ids and numerics kept, so joins/keys still resolve)."""
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for f in glob.glob(f"{SF_SRC}/*.parquet"):
+        t = pq.read_table(f)
+        cols = {}
+        for field in t.schema:
+            if (
+                pa.types.is_string(field.type)
+                or pa.types.is_large_string(field.type)
+                or pa.types.is_binary(field.type)
+                or pa.types.is_list(field.type)
+                or pa.types.is_large_list(field.type)
+            ):
+                cols[field.name] = pa.nulls(len(t), field.type)
+            else:
+                cols[field.name] = t[field.name]
+        pq.write_table(pa.table(cols), str(d / os.path.basename(f)))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def queries(ray_session):
+    import __ray_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_handles_all_null_payloads(queries, null_sf_dir, name):
+    result = queries[name](null_sf_dir)
+    if isinstance(result, ray.data.Dataset):
+        n = result.count()
+    else:
+        n = len(result)
+    assert n >= 0  # contract: terminates without crashing
+
+
+def test_ann_matrix_null_rows():
+    """_matrix scatters valid rows and zero-fills null ones, for both list
+    and fixed_size_list encodings."""
+    from mismo_ray.ann import _matrix
+
+    v1, v3 = [1.0, 0.0, 0.0], [0.0, 0.0, 3.0]
+    lst = pa.array([v1, None, v3], type=pa.list_(pa.float64()))
+    fsl = pa.array([v1, None, v3], type=pa.list_(pa.float64(), 3))
+    for arr in (lst, fsl):
+        m = _matrix(pa.table({"e": arr}), "e")
+        assert m.shape == (3, 3)
+        np.testing.assert_array_equal(m[0], v1)
+        np.testing.assert_array_equal(m[1], [0.0, 0.0, 0.0])
+        np.testing.assert_array_equal(m[2], v3)
+
+
+def test_brute_force_topk_skips_null_embeddings(ray_session):
+    """A null data embedding must never appear as a neighbor."""
+    from mismo_ray.ann import brute_force_topk
+
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], None, [0.9, 0.1], [0.0, 1.0]],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    out = brute_force_topk(
+        emb,
+        np.array([[1.0, 0.0]]),
+        k=2,
+        id_column="vec_id",
+        query_ids=np.array([0]),
+        exclude_self=True,
+    )
+    neighbors = set()
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        neighbors.update(b["neighbor_id"].to_pylist())
+    assert 1 not in neighbors  # the null row
+    assert 2 in neighbors
