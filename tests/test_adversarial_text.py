@@ -1,0 +1,112 @@
+"""Adversarial web-text robustness: emoji/ZWJ, RTL scripts, no-space CJK,
+NUL bytes, 50k-char single tokens, 100k-word documents, exotic whitespace
+(VT/FF/LS/PS), zero-width characters, BOM, stacked combining marks, the max
+code point — all of which occur in real crawl data. Contract: every text
+operator terminates without crashing and the flagship pipeline stays
+deterministic (verified bit-identical at 4 vs 8 CPUs when this fixture was
+introduced; the in-suite check runs at the session's fixed CPU count).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data
+
+SF_SRC = "/root/testdata/sf0.001"
+
+ADVERSARIAL = [
+    "café naïve résumé über straße",
+    "\U0001f600\U0001f680\U0001f984 emoji \U0001f1fa\U0001f1f8 flags ❤️",
+    "مرحبا بالعالم rtl mixed ltr",
+    "中文文本没有空格",
+    "\x00null\x00bytes\x00inside",
+    "a" * 50_000,
+    ("word " * 20_000).strip(),
+    "tab\there\nnewline\r\ncrlf\x0b\x0c ls ps ",
+    "​‌‍ zero width ﻿ bom",
+    "é́́ combining ̊̂ stacks",
+    "\U0010ffff max codepoint \U000e0001 tags",
+    "mixed 中文 and عربي and english and \U0001f600",
+]
+
+QUERIES = [
+    "flagship_er",
+    "token_stats",
+    "lang_id",
+    "gopher_quality",
+    "c4_clean",
+    "repetition_stats",
+    "compression_stats",
+    "redact_pii",
+    "lm_perplexity",
+    "ccnet_buckets",
+    "drop_dup_lines",
+    "substring_dedupe",
+    "decontaminate",
+    "exact_dedupe",
+    "minhash_lsh_dedupe",
+    "ngram_jaccard",
+    "simhash_pairs",
+    "fingerprint",
+    "pack_sequences",
+    "host_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_adv")
+    for f in glob.glob(f"{SF_SRC}/*.parquet"):
+        name = os.path.basename(f)
+        t = pq.read_table(f)
+        if name == "documents.parquet":
+            did = t["doc_id"].to_pylist()
+            texts = [ADVERSARIAL[int(x) % len(ADVERSARIAL)] for x in did]
+            cols = {
+                fld.name: (
+                    pa.array(texts, pa.string()) if fld.name == "text" else t[fld.name]
+                )
+                for fld in t.schema
+            }
+            t = pa.table(cols)
+        pq.write_table(t, str(d / name))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def queries(ray_session):
+    import __ray_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_handles_adversarial_text(queries, adv_sf_dir, name):
+    result = queries[name](adv_sf_dir)
+    if isinstance(result, ray.data.Dataset):
+        n = result.count()
+    else:
+        n = len(result)
+    assert n >= 0  # contract: terminates without crashing
+
+
+def test_flagship_deterministic_on_adversarial_text(queries, adv_sf_dir):
+    """Same session, two executions: identical (record_id, component)."""
+
+    def run_hash():
+        r = queries["flagship_er"](adv_sf_dir)
+        t = pa.concat_tables(
+            list(r.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        t = t.select(["record_id", "component"]).sort_by(
+            [("record_id", "ascending")]
+        )
+        return tuple(t["record_id"].to_pylist()), tuple(t["component"].to_pylist())
+
+    assert run_hash() == run_hash()
