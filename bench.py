@@ -241,6 +241,38 @@ def run_scaling_worker() -> None:
     print(json.dumps(r))
 
 
+def _raw_cpu_probe(lo: int, hi: int, dur: float = 4.0) -> float:
+    """Busy-loop throughput ratio hi-vs-lo procs over ideal (hi/lo).
+
+    Embedded before/after the two scaling legs so every emitted JSON line
+    self-attributes its host window: a shared-host co-tenant load
+    oscillates on ~10-minute timescales and a ratio measured across a
+    drifting window is meaningless (BASELINE.md calibration: claim a run
+    only when both probes read >= ~0.85)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.perf_counter()
+        x, n = 1.0, 0
+        while time.perf_counter() - t0 < dur:
+            for _ in range(10000):
+                x = x * 1.0000001 + 1e-9
+            n += 10000
+        q.put(n)
+
+    def rate(nproc: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot
+
+    return round((rate(hi) / rate(lo)) / (hi / lo), 3)
+
+
 def run_scaling() -> None:
     """Same job at two parallelism levels in fresh processes — the sandbox
     stand-in for the N vs 4N node criterion (BASELINE.md). Levels default
@@ -264,7 +296,9 @@ def run_scaling() -> None:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
+    probe_open = _raw_cpu_probe(lo, hi)
     r_lo, r_hi = run(lo), run(hi)
+    probe_close = _raw_cpu_probe(lo, hi)
     t_lo, t_hi = r_lo["seconds"], r_hi["seconds"]
     eff = (t_lo / t_hi) / (hi / lo)
     assert r_lo["n_matches"] == r_hi["n_matches"], "non-deterministic result"
@@ -281,6 +315,8 @@ def run_scaling() -> None:
                 "num_cpus": [lo, hi],
                 "sf": r_lo["sf"],
                 "pipeline": r_lo.get("pipeline", "er"),
+                "probe_open": probe_open,
+                "probe_close": probe_close,
             }
         )
     )
