@@ -679,7 +679,18 @@ def sketch_comparers() -> list[LevelComparer]:
     """Comparers over the compact sketches (same tiers as webpage_comparers;
     jaccard estimated by minhash agreement instead of exact shingles)."""
 
+    import weakref
+
+    # per-batch memo: text_near and text_similar see the SAME table object
+    # (np.select evaluates every level), so the 16-wide signature compare
+    # runs once per batch instead of once per level — same pattern as the
+    # hash-shingle memo in webpage_comparers
+    memo = {"ref": None, "val": None}
+
     def _sig_agree(t: pa.Table) -> np.ndarray:
+        r = memo["ref"]
+        if r is not None and r() is t:
+            return memo["val"]
         sl = t["sig_l"]
         sr = t["sig_r"]
         if isinstance(sl, pa.ChunkedArray):
@@ -691,7 +702,9 @@ def sketch_comparers() -> list[LevelComparer]:
             return np.zeros((0,))
         a = np.asarray(sl.flatten()).reshape(n, -1)
         b = np.asarray(sr.flatten()).reshape(n, -1)
-        return (a == b).mean(axis=1)
+        val = (a == b).mean(axis=1)
+        memo["ref"], memo["val"] = weakref.ref(t), val
+        return val
 
     def text_exact(t: pa.Table) -> np.ndarray:
         return pc.equal(t["fp_l"], t["fp_r"]).to_numpy(zero_copy_only=False)
