@@ -31,6 +31,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # raylet/worker log passthrough prints to DRIVER STDOUT via
+        # tqdm_ray.safe_print and can interleave with (or follow) the one
+        # JSON line this script must emit — keep stdout contract-clean
+        log_to_driver=False,
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -222,6 +226,10 @@ def run_scaling_worker() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # raylet/worker log passthrough prints to DRIVER STDOUT via
+        # tqdm_ray.safe_print and can interleave with (or follow) the one
+        # JSON line this script must emit — keep stdout contract-clean
+        log_to_driver=False,
     )
     ray.data.DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -328,4 +336,12 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        # self-attribute the host window: a raw-CPU probe before and after
+        # the legs rides along in the JSON, so a reader comparing this line
+        # to BASELINE.md's bands can tell a slow engine from a slow window
+        # without a separate calibration run
+        probe_open = _raw_cpu_probe(8, 32)
+        result = run_bench()
+        result["probe_open"] = probe_open
+        result["probe_close"] = _raw_cpu_probe(8, 32)
+        print(json.dumps(result))
