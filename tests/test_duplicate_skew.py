@@ -94,6 +94,44 @@ def test_query_bounded_on_duplicate_skew(queries, dupes_sf_dir, name):
     assert _rows(queries[name](dupes_sf_dir)) >= 0  # terminates, bounded tasks
 
 
+@pytest.fixture(scope="module")
+def const_emb_sf_dir(tmp_path_factory):
+    """Every embedding identical: k-means degeneracy (ties everywhere,
+    potentially empty clusters) and an all-pairs neardup bucket."""
+    d = tmp_path_factory.mktemp("sf_constemb")
+    for f in glob.glob(f"{SF_SRC}/*.parquet"):
+        name = os.path.basename(f)
+        t = pq.read_table(f)
+        if name == "embeddings.parquet":
+            dim = len(t["embedding"][0])
+            const = [[1.0] + [0.0] * (dim - 1)] * len(t)
+            cols = {
+                fld.name: (
+                    pa.array(const, type=fld.type)
+                    if fld.name == "embedding"
+                    else t[fld.name]
+                )
+                for fld in t.schema
+            }
+            t = pa.table(cols)
+        pq.write_table(t, str(d / name))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_topk", "ivf_topk", "embedding_neardup", "semdedup"]
+)
+def test_ann_family_on_constant_embeddings(queries, const_emb_sf_dir, name):
+    """k-means over identical points, tie-ranked neighbors: bounded,
+    deterministic, no crash."""
+    assert _rows(queries[name](const_emb_sf_dir)) >= 0
+
+
+def test_constant_embeddings_neardup_is_complete(queries, const_emb_sf_dir):
+    """500 identical embeddings -> the full C(500,2) near-dup pair set."""
+    assert _rows(queries["embedding_neardup"](const_emb_sf_dir)) == 500 * 499 // 2
+
+
 def test_dedupe_report_single_cluster(queries, dupes_sf_dir):
     """One 500-member cluster: the report shows the full savings."""
     r = queries["dedupe_report"](dupes_sf_dir)
