@@ -281,6 +281,41 @@ def _raw_cpu_probe(lo: int, hi: int, dur: float = 4.0) -> float:
     return round((rate(hi) / rate(lo)) / (hi / lo), 3)
 
 
+def _mem_bw_probe(lo: int, hi: int, mb: int = 64, dur: float = 3.0) -> float:
+    """Memory-bandwidth analog of :func:`_raw_cpu_probe` — parallel big-array
+    copies instead of a multiply loop. The compute probe has a blind spot
+    this closes: a co-tenant can saturate the memory BUS while leaving CPUs
+    idle, which slows the text-heavy sort/rewrite stages (bandwidth-bound)
+    without moving the compute probe at all (observed: a 16-CPU crawl_clean
+    leg at 92.8 s between clean 0.97/0.93 CPU probes, with the same leg at
+    54.5 s solo minutes later)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        a = np.ones(mb * 131072, dtype=np.float64)  # mb MiB
+        b = np.empty_like(a)
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < dur:
+            np.copyto(b, a)
+            n += 1
+        q.put(n)
+
+    def rate(nproc: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot
+
+    return round((rate(hi) / rate(lo)) / (hi / lo), 3)
+
+
 def run_scaling() -> None:
     """Same job at two parallelism levels in fresh processes — the sandbox
     stand-in for the N vs 4N node criterion (BASELINE.md). Levels default
@@ -305,8 +340,10 @@ def run_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     probe_open = _raw_cpu_probe(lo, hi)
+    mem_probe_open = _mem_bw_probe(lo, hi)
     r_lo, r_hi = run(lo), run(hi)
     probe_close = _raw_cpu_probe(lo, hi)
+    mem_probe_close = _mem_bw_probe(lo, hi)
     t_lo, t_hi = r_lo["seconds"], r_hi["seconds"]
     eff = (t_lo / t_hi) / (hi / lo)
     assert r_lo["n_matches"] == r_hi["n_matches"], "non-deterministic result"
@@ -325,6 +362,8 @@ def run_scaling() -> None:
                 "pipeline": r_lo.get("pipeline", "er"),
                 "probe_open": probe_open,
                 "probe_close": probe_close,
+                "mem_probe_open": mem_probe_open,
+                "mem_probe_close": mem_probe_close,
             }
         )
     )
@@ -341,7 +380,10 @@ if __name__ == "__main__":
         # to BASELINE.md's bands can tell a slow engine from a slow window
         # without a separate calibration run
         probe_open = _raw_cpu_probe(8, 32)
+        mem_open = _mem_bw_probe(8, 32)
         result = run_bench()
         result["probe_open"] = probe_open
         result["probe_close"] = _raw_cpu_probe(8, 32)
+        result["mem_probe_open"] = mem_open
+        result["mem_probe_close"] = _mem_bw_probe(8, 32)
         print(json.dumps(result))
