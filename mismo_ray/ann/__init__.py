@@ -410,7 +410,15 @@ def kmeans_centroids(
         ids = np.asarray(batch[id_column], dtype=np.int64)
         h = hash64(ids, seed)
         vm = _matrix(batch, vector_column)
-        if len(ids) == 0:
+        # null embeddings decode to zero vectors (and an all-null block to
+        # zero-width ones) — they must not seed centroids
+        ok = (
+            np.linalg.norm(vm, axis=1) > 0
+            if vm.size
+            else np.zeros(len(ids), dtype=bool)
+        )
+        h, vm = h[ok], vm[ok]
+        if len(h) == 0:
             return pa.table(
                 {"h": pa.array([], type=pa.uint64()), "v": pa.array([], type=pa.list_(pa.float64()))}
             )
@@ -432,7 +440,9 @@ def kmeans_centroids(
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
             vm = _matrix(batch, vector_column)
-            if len(vm) == 0:
+            # vm.size == 0 also covers an ALL-null block, which decodes to
+            # zero-WIDTH rows that would break the matmul
+            if vm.size == 0:
                 return pa.table(
                     {
                         "cid": pa.array([], type=pa.int64()),
@@ -527,6 +537,12 @@ def ivf_topk(
         vm = _normalize_rows(_matrix(batch, vector_column))
         if len(vm) == 0:
             return batch.append_column("__list__", pa.array([], type=pa.int64()))
+        if vm.shape[1] == 0:
+            # ALL-null block: zero-width rows — park them in sentinel list
+            # -1 (no query ever probes it)
+            return batch.append_column(
+                "__list__", pa.array(np.full(len(vm), -1, dtype=np.int64))
+            )
         sims = np.where(np.isnan(vm), 0.0, vm) @ c.T
         return batch.append_column(
             "__list__", pa.array(np.argmax(sims, axis=1).astype(np.int64))
@@ -586,3 +602,6 @@ def ivf_topk(
         )
 
     return candidates.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+from mismo_ray.ann._pq import ivfpq_topk, pq_encode, pq_train  # noqa: E402

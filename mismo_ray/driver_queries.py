@@ -1039,6 +1039,50 @@ def q_ivf_topk(sf_dir: str):
     )
 
 
+def q_ivfpq_topk(sf_dir: str):
+    """IVFADC approximate top-k (ann.ivfpq_topk, Jegou et al. 2011):
+    coarse k-means lists + product-quantized residual codes (m=8 uint8
+    bytes/vector through the shuffle instead of 512 B of float64) + ADC
+    lookup-table search + exact re-rank of the top candidates. Rows-only
+    (PQ has no SQL expression); recall vs brute force, refine exactness
+    and index-reuse determinism are pytest-gated in tests/test_pq.py."""
+    from mismo_ray.ann import ivfpq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 20").to_pandas()
+    if len(head):  # null embeddings cannot be query vectors
+        head = head[head["embedding"].notna()]
+    if len(head) == 0:  # empty input: no query vectors, empty result
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].to_numpy()
+    out = ivfpq_topk(
+        emb,
+        queries,
+        k=3,
+        n_centroids=16,
+        nprobe=10,
+        m=8,
+        ksub=64,
+        refine=25,
+        iters=5,
+        id_column="vec_id",
+        query_ids=qids,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"query_id": t["query_id"], "neighbor_id": t["neighbor_id"], "rk": t["rank"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_fuzzy_dedupe(sf_dir: str):
     """Corpus-level fuzzy dedupe end to end (dedupe.fuzzy_dedupe): exact
     ngram-jaccard near-dup pairs -> connected components -> one canonical
@@ -2431,6 +2475,7 @@ QUERIES = {
     "diff_updates": q_diff_updates,
     "minhash_lsh_link": q_minhash_lsh_link,
     "ivf_topk": q_ivf_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "substring_spans": q_substring_spans,
     "substring_strip": q_substring_strip,
     "drop_dup_lines_domain": q_drop_dup_lines_domain,
