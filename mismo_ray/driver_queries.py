@@ -1083,6 +1083,26 @@ def q_ivfpq_topk(sf_dir: str):
     )
 
 
+def q_dsir_sample(sf_dir: str):
+    """DSIR importance resampling (textstats.fit_dsir / dsir_sample, Xie
+    et al. 2023): target = the corpus's English docs, raw = everything;
+    hashed unigram+bigram bucket models, per-doc log importance ratio,
+    deterministic Gumbel top-k selection of 100 docs. Rows-only (the
+    siphash bucket featurizer has no SQL expression); selection quality,
+    determinism and partition invariance are pytest-gated in
+    tests/test_dsir.py."""
+    from mismo_ray.textstats import dsir_sample, fit_dsir
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = docs.filter(expr="lang == 'en'")
+    try:
+        model = fit_dsir(target, docs, "text", buckets=4096)
+    except ValueError:  # all-null/empty text or no English docs: no signal
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    out = dsir_sample(docs, model, "text", 100, id_column="doc_id", seed=3)
+    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
 def q_fuzzy_dedupe(sf_dir: str):
     """Corpus-level fuzzy dedupe end to end (dedupe.fuzzy_dedupe): exact
     ngram-jaccard near-dup pairs -> connected components -> one canonical
@@ -2476,6 +2496,7 @@ QUERIES = {
     "minhash_lsh_link": q_minhash_lsh_link,
     "ivf_topk": q_ivf_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "dsir_sample": q_dsir_sample,
     "substring_spans": q_substring_spans,
     "substring_strip": q_substring_strip,
     "drop_dup_lines_domain": q_drop_dup_lines_domain,

@@ -577,3 +577,10 @@ from mismo_ray.textstats._gopher import (  # noqa: E402
     gopher_quality_filter,
 )
 from mismo_ray.textstats._c4 import c4_clean  # noqa: E402
+from mismo_ray.textstats._dsir import (  # noqa: E402
+    DsirModel,
+    add_dsir_weight,
+    dsir_sample,
+    fit_dsir,
+    hashed_ngram_counts,
+)

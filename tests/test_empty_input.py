@@ -71,6 +71,8 @@ QUERIES = [
     "anchor_stats",  # was: NoneType.base_schema (hash_join)
     "ann_topk",  # was: KeyError embedding (empty query head)
     "ivf_topk",  # was: KeyError embedding (empty query head)
+    "ivfpq_topk",  # empty query head -> empty result, no codebook fit
+    "dsir_sample",  # empty corpus: fit_dsir refuses, query returns empty
     "pack_sequences",
     "mixture_sample",
     "hash_split",

@@ -35,6 +35,8 @@ QUERIES = [
     "mixture_sample",  # was: null dict-encode indices -> rate lookup crash
     "ann_topk",  # was: np.stack over null query embeddings
     "ivf_topk",
+    "ivfpq_topk",  # all-null embedding blocks decode to zero-WIDTH rows
+    "dsir_sample",  # all-null text: fit_dsir refuses, query returns empty
     "diff_updates",  # was: None + "X" in the update fixture
     "exact_dedupe",
     "minhash_lsh_dedupe",
