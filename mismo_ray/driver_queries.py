@@ -2067,20 +2067,34 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(finish, batch_format="pyarrow")
 
 
-def q_incremental_dedupe(sf_dir: str):
+def q_incremental_dedupe(sf_dir: str, index: str = "exact"):
     """Two-run incremental exact dedupe through the sharded actor index
     (state.dedup_index): run 1 ingests even-id docs and snapshots; run 2
     (fresh index restored from the snapshot) ingests odd-id docs PLUS
-    deterministic re-crawls of every doc_id%10==0 doc (same text, new id)
-    and must drop exactly those re-crawls. SQL-oracled: with the corpus's
-    distinct texts the surviving set is order-independent, so an anti-join
-    against day-1 texts expresses the expected output exactly."""
+    deterministic re-crawls of every doc_id%10==0 doc (same content, new
+    id) and must drop exactly those re-crawls. Content keys are
+    ``text#original_doc_id`` so they are distinct BY CONSTRUCTION at any
+    scale factor (raw sf0.1 texts collide across odd docs, which would make
+    the intra-run survivor arrival-order-dependent and the oracle
+    inexpressible); the re-crawl copies the key before its id changes, so
+    cross-run dedupe still has exactly the designed work to do. SQL-oracled
+    by the same anti-join over the same suffixed keys."""
     import os
     import tempfile
 
     from mismo_ray.state.dedup_index import incremental_filter_new
 
     docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["text"].combine_chunks().cast(pa.string()),
+            pc.cast(t["doc_id"], pa.string()),
+            "#",
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", key)
+
+    docs = docs.map_batches(add_key, batch_format="pyarrow")
 
     def half(parity: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -2104,9 +2118,21 @@ def q_incremental_dedupe(sf_dir: str):
         docs.map_batches(recrawls, batch_format="pyarrow")
     )
     snap = os.path.join(tempfile.mkdtemp(prefix="mismo_ray_incdedupe_"), "idx.parquet")
-    incremental_filter_new(day1, "text", snapshot_out=snap)
-    kept2 = incremental_filter_new(day2, "text", snapshot_in=snap)
+    kw = dict(index=index, expected_keys=200_000, fp_rate=1e-9)
+    incremental_filter_new(day1, "text", snapshot_out=snap, **kw)
+    kept2 = incremental_filter_new(day2, "text", snapshot_in=snap, **kw)
     return kept2.select_columns(["doc_id"]).sort("doc_id")
+
+
+def q_incremental_dedupe_bloom(sf_dir: str):
+    """The identical two-run incremental dedupe through the BLOOM index
+    (state.dedup_index.StreamingBloomDedupIndex): constant-memory bit-array
+    shards instead of the exact dict. Sized at fp_rate=1e-9 for 200k keys,
+    so on this corpus the output matches the exact anti-join oracle
+    bit-for-bit (the hashing is deterministic — this is a fixed fact about
+    the corpus, not a per-run gamble); the measured-fp-rate contract lives
+    in tests/test_bloom_index.py."""
+    return q_incremental_dedupe(sf_dir, index="bloom")
 
 
 def q_febrl_dedupe(sf_dir: str):
@@ -2510,6 +2536,7 @@ QUERIES = {
     "pr_curve": q_pr_curve,
     "quantiles": q_quantiles,
     "blocking_report": q_blocking_report,
+    "incremental_dedupe_bloom": q_incremental_dedupe_bloom,
 }
 
 
@@ -2573,12 +2600,28 @@ ORACLE_SQL = {
     ),
     "incremental_dedupe": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
-        " SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+        " SELECT doc_id, text || '#' || CAST(doc_id AS VARCHAR) AS key"
+        "  FROM documents WHERE doc_id % 2 = 1"
         " UNION ALL"
-        " SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+        " SELECT doc_id + 1000000 AS doc_id,"
+        "  text || '#' || CAST(doc_id AS VARCHAR) AS key FROM documents"
         "  WHERE doc_id % 10 = 0"
-        ") d2 WHERE text NOT IN"
-        " (SELECT text FROM documents WHERE doc_id % 2 = 0)"
+        ") d2 WHERE key NOT IN"
+        " (SELECT text || '#' || CAST(doc_id AS VARCHAR)"
+        "  FROM documents WHERE doc_id % 2 = 0)"
+        " ORDER BY doc_id"
+    ),
+    "incremental_dedupe_bloom": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        " SELECT doc_id, text || '#' || CAST(doc_id AS VARCHAR) AS key"
+        "  FROM documents WHERE doc_id % 2 = 1"
+        " UNION ALL"
+        " SELECT doc_id + 1000000 AS doc_id,"
+        "  text || '#' || CAST(doc_id AS VARCHAR) AS key FROM documents"
+        "  WHERE doc_id % 10 = 0"
+        ") d2 WHERE key NOT IN"
+        " (SELECT text || '#' || CAST(doc_id AS VARCHAR)"
+        "  FROM documents WHERE doc_id % 2 = 0)"
         " ORDER BY doc_id"
     ),
     "fingerprint": (

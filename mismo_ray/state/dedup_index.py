@@ -425,18 +425,36 @@ def incremental_filter_new(
     snapshot_out: str | None = None,
     n_shards: int = 16,
     seed: int = 0,
+    index: str = "exact",
+    expected_keys: int = 1_000_000,
+    fp_rate: float = 1e-6,
 ) -> ray.data.Dataset:
     """One ingest step of an incremental (cross-run) exact-dedupe loop.
 
     Restores the fingerprint index from ``snapshot_in`` (if it exists),
     drops every row of ``day`` whose content any earlier run — or an earlier
     batch of this run — already saw, and persists the updated index to
-    ``snapshot_out``. The day-N job only ever touches day-N's data plus an
-    8-byte-per-distinct-doc index: no re-shuffle of history.
+    ``snapshot_out``. The day-N job only ever touches day-N's data plus the
+    index: no re-shuffle of history.
+
+    ``index="exact"`` (default) holds ~60 B per distinct key and never errs;
+    ``index="bloom"`` holds a constant ~1.2 bytes/key at ``fp_rate=1e-3``
+    (sized by :func:`bloom_params` from ``expected_keys``/``fp_rate`` —
+    size for the TOTAL keys the index will ever hold) and may drop a
+    genuinely-new row at the false-positive rate, never the reverse. A
+    snapshot is only restorable into an index of the same kind and sizing.
     """
     import os
 
-    idx = StreamingDedupIndex(n_shards=n_shards, seed=seed)
+    if index == "bloom":
+        m, k = bloom_params(expected_keys, fp_rate)
+        idx = StreamingBloomDedupIndex(
+            n_bits=m, n_probes=k, n_shards=n_shards, seed=seed
+        )
+    elif index == "exact":
+        idx = StreamingDedupIndex(n_shards=n_shards, seed=seed)
+    else:
+        raise ValueError(f"index must be 'exact' or 'bloom', got {index!r}")
     if snapshot_in and os.path.exists(snapshot_in):
         idx.restore(snapshot_in)
     out = idx.filter_new(day, column)
@@ -446,3 +464,188 @@ def incremental_filter_new(
     # actors instead of letting them outlive the ingest step
     idx.shutdown()
     return out
+
+
+def bloom_params(expected_keys: int, fp_rate: float) -> tuple[int, int]:
+    """Optimal Bloom sizing: bits m = -n ln p / (ln 2)^2, probes
+    k = (m/n) ln 2. Returns (n_bits, n_probes)."""
+    import math
+
+    if expected_keys <= 0:
+        raise ValueError("expected_keys must be positive")
+    if not (0.0 < fp_rate < 1.0):
+        raise ValueError("fp_rate must be in (0, 1)")
+    m = int(math.ceil(-expected_keys * math.log(fp_rate) / (math.log(2) ** 2)))
+    k = max(1, round(m / expected_keys * math.log(2)))
+    return m, k
+
+
+@ray.remote(num_cpus=0)
+class _BloomShard:
+    """A Bloom-filter index shard: ~``n_bits/8`` bytes regardless of key
+    count, vs ~60 B/key for the exact dict shard — the memory trade for a
+    100 TB incremental ingest (10 bits/key at 1% fp instead of 480).
+
+    The cost is one-sided error: a false-positive bit pattern drops a
+    genuinely-new row (never the reverse — a seen row is always dropped).
+    Claim-token replay idempotency is kept by journaling, per recent
+    token, the fingerprints that token claimed as new; the journal is an
+    LRU over ``max_tokens`` batches (a replay arrives promptly or not at
+    all), so the shard's memory stays bounded."""
+
+    def __init__(self, n_bits: int, k: int, max_tokens: int = 256) -> None:
+        self._m = int(n_bits)
+        self._k = int(k)
+        self._words = np.zeros((self._m + 63) // 64, dtype=np.uint64)
+        self._journal: dict[int, set[int]] = {}
+        self._order: list[int] = []
+        self._max_tokens = max_tokens
+        self._n_added = 0
+
+    def _positions(self, fps: np.ndarray) -> np.ndarray:
+        """(len(fps), k) bit positions via splitmix64 probe chains."""
+        from mismo_ray._util import splitmix64
+
+        u = fps.astype(np.uint64)
+        cols = []
+        with np.errstate(over="ignore"):
+            for j in range(self._k):
+                cols.append(
+                    splitmix64(u ^ splitmix64(np.full(len(u), np.uint64(j + 1))))
+                    % np.uint64(self._m)
+                )
+        return np.stack(cols, axis=1)
+
+    def _journal_for(self, token: int) -> set[int]:
+        j = self._journal.get(token)
+        if j is None:
+            j = set()
+            self._journal[token] = j
+            self._order.append(token)
+            if len(self._order) > self._max_tokens:
+                self._journal.pop(self._order.pop(0), None)
+        return j
+
+    def check_and_add(self, fps: list[int], token: int) -> list[bool]:
+        """True where the fingerprint's bits were not all set (claim it) or
+        where THIS token already claimed it (replay). Atomic per shard."""
+        a = np.asarray(fps, dtype=np.int64)
+        pos = self._positions(a)
+        words, bits = pos >> 6, np.uint64(1) << (pos & np.uint64(63))
+        journal = self._journal_for(token)
+        out = []
+        # per-row test against LIVE bit state (an earlier row of this same
+        # call may have just set bits), k-element gather per row — same cost
+        # class as the exact shard's per-row dict probe
+        for i, f in enumerate(fps):
+            w_i, b_i = words[i], bits[i]
+            if bool(((self._words[w_i] & b_i) == b_i).all()):
+                out.append(f in journal)
+            else:
+                # bitwise_or.at: two probes can land in the SAME word, and a
+                # plain fancy-index |= would keep only one of their bits
+                np.bitwise_or.at(self._words, w_i, b_i)
+                journal.add(f)
+                self._n_added += 1
+                out.append(True)
+        return out
+
+    def size(self) -> int:
+        """Adds observed by this shard (NOT distinct keys: false positives
+        under-count, replays don't double-count)."""
+        return self._n_added
+
+    def dump_bits(self) -> np.ndarray:
+        return self._words
+
+    def load_bits(self, words: np.ndarray) -> None:
+        if len(words) != len(self._words):
+            raise ValueError(
+                f"bloom snapshot has {len(words)} words, shard expects "
+                f"{len(self._words)} — restore with the same n_bits/n_shards"
+            )
+        self._words |= np.asarray(words, dtype=np.uint64)
+
+
+class StreamingBloomDedupIndex(StreamingDedupIndex):
+    """Cross-run exact-dedupe index with Bloom-filter shards: constant
+    ``n_bits/8`` bytes per shard instead of ~60 B per distinct key, at the
+    price of a bounded false-positive rate (a genuinely-new row dropped).
+
+    Size it with :func:`bloom_params`::
+
+        m, k = bloom_params(expected_keys=10**9, fp_rate=1e-3)
+        idx = StreamingBloomDedupIndex(n_bits=m, n_probes=k, n_shards=64)
+
+    Same ``filter_new`` contract and claim-token replay protocol as
+    :class:`StreamingDedupIndex` (the driver stage is shared; only the
+    shard actor differs). ``n_seen`` reports adds, not distinct keys;
+    ``snapshot``/``restore`` persist the bit arrays and require identical
+    (n_bits, n_probes, n_shards, seed) on restore.
+    """
+
+    def __init__(
+        self,
+        *,
+        n_bits: int = 1 << 24,
+        n_probes: int = 7,
+        n_shards: int = 16,
+        seed: int = 0,
+        max_tokens: int = 256,
+    ):
+        self.n_shards = n_shards
+        self.seed = seed
+        self.n_bits = int(n_bits)
+        self.n_probes = int(n_probes)
+        per_shard = (self.n_bits + n_shards - 1) // n_shards
+        self._shards = [
+            _BloomShard.remote(per_shard, self.n_probes, max_tokens)
+            for _ in range(n_shards)
+        ]
+
+    def snapshot(self, path: str) -> None:
+        """Persist the OR-able bit arrays (one row per shard) + sizing meta."""
+        words = ray.get([s.dump_bits.remote() for s in self._shards])
+        pq.write_table(
+            pa.table(
+                {
+                    "shard": pa.array(range(len(words)), type=pa.int64()),
+                    "words": pa.array(
+                        [w.view(np.int64) for w in words],
+                        type=pa.list_(pa.int64()),
+                    ),
+                },
+                metadata={
+                    "n_bits": str(self.n_bits),
+                    "n_probes": str(self.n_probes),
+                    "n_shards": str(self.n_shards),
+                    "seed": str(self.seed),
+                },
+            ),
+            path,
+        )
+
+    def restore(self, path: str) -> "StreamingBloomDedupIndex":
+        t = pq.read_table(path)
+        meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
+        got = (
+            int(meta.get("n_bits", -1)),
+            int(meta.get("n_probes", -1)),
+            int(meta.get("n_shards", -1)),
+            int(meta.get("seed", -1)),
+        )
+        want = (self.n_bits, self.n_probes, self.n_shards, self.seed)
+        if got != want:
+            raise ValueError(
+                f"bloom snapshot params {got} != index params {want} "
+                "(n_bits, n_probes, n_shards, seed must all match)"
+            )
+        futures = []
+        for row in range(t.num_rows):
+            shard = int(t["shard"][row].as_py())
+            words = np.asarray(
+                t["words"][row].as_py(), dtype=np.int64
+            ).view(np.uint64)
+            futures.append(self._shards[shard].load_bits.remote(words))
+        ray.get(futures)
+        return self
