@@ -102,6 +102,14 @@ def run_bench() -> dict:
         dq.q_minhash_lsh_dedupe(sf_dir).count()
     with timed("ann_topk"):
         dq.q_ann_topk(sf_dir).count()
+    with timed("ivfpq_topk"):
+        # IVFADC: coarse k-means + PQ codebook train + encode + ADC search
+        # + exact refine (first anchor for the quantized ANN path)
+        dq.q_ivfpq_topk(sf_dir).count()
+    with timed("dsir_sample"):
+        # DSIR: two hashed-ngram count passes + weight pass + radix-quantile
+        # Gumbel top-k selection
+        dq.q_dsir_sample(sf_dir).count()
     with timed("token_stats"):
         dq.q_token_stats(sf_dir).count()
     with timed("asof_join"):
