@@ -100,6 +100,29 @@ def test_ivfpq_deterministic_and_reusable_index(ray_session):
     )
 
 
+def test_ivfpq_index_parquet_roundtrip(ray_session, tmp_path):
+    """The 100 TB re-search path: persist the encoded (id, list, code)
+    table with write_parquet, read it back, search from the stored codes —
+    identical result to searching the in-memory encoding."""
+    from mismo_ray.ann import ivfpq_topk, kmeans_centroids, pq_encode, pq_train
+
+    ds, pts, ids = _clustered(n_centers=8, per=50)
+    q, qids = pts[::37], ids[::37]
+    cm = kmeans_centroids(ds, n_centroids=8, iters=4)
+    cb = pq_train(ds, m=8, ksub=32, iters=4, centroids=cm)
+    enc = pq_encode(ds, cb, centroids=cm)
+    path = str(tmp_path / "pq_index")
+    enc.write_parquet(path)
+    enc_back = ray.data.read_parquet(path)
+    kw = dict(k=5, nprobe=3, iters=4, query_ids=qids, centroids=cm, codebooks=cb)
+    a = ivfpq_topk(ds, q, encoded=enc, **kw).to_pandas()
+    b = ivfpq_topk(ds, q, encoded=enc_back, **kw).to_pandas()
+    key = ["query_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
 def test_ivfpq_guards_and_degenerate_inputs(ray_session):
     from mismo_ray.ann import ivfpq_topk, pq_train
 
