@@ -131,55 +131,83 @@ def cosine_threshold_pairs(
     ds: ray.data.Dataset,
     *,
     tau: float,
+    right: ray.data.Dataset | None = None,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     chunk_rows: int = 8192,
 ) -> ray.data.Dataset:
-    """All unordered pairs (id_l < id_r) with cosine >= tau. EXACT and fully
-    distributed — nothing is collected to the driver.
+    """All pairs with cosine >= tau. EXACT and fully distributed — nothing
+    is collected to the driver. ``right=None`` (or ``right is ds``): dedupe
+    task, unordered pairs (id_l < id_r) within one corpus. Otherwise: link
+    task, (left id, right id) pairs across the two corpora, sides preserved.
 
     Block-nested-loop theta join (the 1-Bucket-Theta shape): rows are hashed
-    into K = ceil(n / chunk_rows) chunks; each row is replicated into the K
-    chunk-pair groups it participates in; one keyed shuffle; each reduce task
-    holds exactly two chunks (<= 2*chunk_rows*dim*8 bytes) and computes the
-    cross/triangle cosine with a tiled matmul (bounded scratch memory).
+    into ceil(n / chunk_rows) chunks per side; each row is replicated into
+    the chunk-pair groups it participates in; one keyed shuffle; each reduce
+    task holds exactly two chunks (<= 2*chunk_rows*dim*8 bytes) and computes
+    the cross/triangle cosine with a tiled matmul (bounded scratch memory).
 
-    Cost is inherent to exact all-pairs: n*K rows shuffled, K^2/2 tasks. For
-    corpora where that is infeasible use ``lsh_threshold_pairs`` (approximate,
-    near-linear) — this exact path is the oracle/baseline.
+    Cost is inherent to exact all-pairs: n*K rows shuffled, K_l*K_r tasks.
+    For corpora where that is infeasible use ``lsh_threshold_pairs``
+    (approximate, near-linear) — this exact path is the oracle/baseline.
     """
+    link = right is not None and right is not ds
     narrow = ds.select_columns([id_column, vector_column])
     n = narrow.count()
-    K = max(1, -(-n // chunk_rows))
+    KL = max(1, -(-n // chunk_rows))
+    if link:
+        narrow_r = right.select_columns([id_column, vector_column])
+        KR = max(1, -(-narrow_r.count() // chunk_rows))
+    else:
+        KR = KL
 
-    def expand(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column].combine_chunks().cast(pa.int64())
-        chunk = (hash64(ids) % np.uint64(K)).astype(np.int64)
-        m = len(batch)
-        # replicate each row once per partner chunk; group id = canonical
-        # (min,max) chunk pair so every unordered row pair lands in exactly
-        # one group
-        take_idx = np.repeat(np.arange(m, dtype=np.int64), K)
-        c = np.repeat(chunk, K)
-        p = np.tile(np.arange(K, dtype=np.int64), m)
-        grp = np.where(c < p, c * K + p, p * K + c)
-        rep = batch.take(pa.array(take_idx))
-        return (
-            rep.append_column("__chunk__", pa.array(np.repeat(chunk, K)))
-            .append_column("__pg__", pa.array(grp))
+    def expand(side: int):
+        # dedupe: replicate each row once per partner chunk, group id =
+        # canonical (min,max) chunk pair so every unordered row pair lands
+        # in exactly one group. link: left rows fan out over right chunks
+        # and vice versa, group id = left_chunk * KR + right_chunk.
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_column].combine_chunks().cast(pa.int64())
+            m = len(batch)
+            K_own = KL if side == 0 else KR
+            K_other = KR if side == 0 else KL
+            chunk = (hash64(ids) % np.uint64(K_own)).astype(np.int64)
+            take_idx = np.repeat(np.arange(m, dtype=np.int64), K_other)
+            c = np.repeat(chunk, K_other)
+            p = np.tile(np.arange(K_other, dtype=np.int64), m)
+            if not link:
+                grp = np.where(c < p, c * KR + p, p * KR + c)
+            elif side == 0:
+                grp = c * KR + p
+            else:
+                grp = p * KR + c
+            rep = batch.take(pa.array(take_idx))
+            return (
+                rep.append_column(
+                    "__side__", pa.array(np.full(len(c), side, dtype=np.int64))
+                )
+                .append_column("__chunk__", pa.array(c))
+                .append_column("__pg__", pa.array(grp))
+            )
+
+        return fn
+
+    expanded = narrow.map_batches(expand(0), batch_format="pyarrow")
+    if link:
+        expanded = expanded.union(
+            narrow_r.map_batches(expand(1), batch_format="pyarrow")
         )
-
-    expanded = narrow.map_batches(expand, batch_format="pyarrow")
 
     def pairs_in_group(g: pa.Table, *, tile: int = 1024) -> pa.Table:
         ids = np.asarray(g[id_column], dtype=np.int64)
         chunks = np.asarray(g["__chunk__"], dtype=np.int64)
+        sides = np.asarray(g["__side__"], dtype=np.int64)
         vm = _normalize_rows(_matrix(g, vector_column))
         # the chunk pair is encoded in the group id (NOT inferred from the
         # chunks present — a cross group whose partner chunk is empty must
         # not degenerate into a second triangle over the present chunk)
         pgid = int(g["__pg__"][0].as_py())
-        c1, c2 = pgid // K, pgid % K
+        c1, c2 = pgid // KR, pgid % KR
         out_l: list[np.ndarray] = []
         out_r: list[np.ndarray] = []
 
@@ -192,15 +220,24 @@ def cosine_threshold_pairs(
                 sims = vm[a_idx] @ vm[bi].T
                 ii, jj = np.nonzero(sims >= tau)
                 a, b_ = ids[a_idx[ii]], ids[bi[jj]]
-                keep = a < b_ if same else a != b_
-                a, b_ = a[keep], b_[keep]
-                if not same:
+                if same:
+                    keep = a < b_
+                    a, b_ = a[keep], b_[keep]
+                elif not link:
+                    keep = a != b_
+                    a, b_ = a[keep], b_[keep]
                     swap = a > b_
                     a, b_ = np.where(swap, b_, a), np.where(swap, a, b_)
                 out_l.append(a)
                 out_r.append(b_)
 
-        if c1 == c2:
+        if link:
+            emit(
+                np.flatnonzero((sides == 0) & (chunks == c1)),
+                np.flatnonzero((sides == 1) & (chunks == c2)),
+                same=False,
+            )
+        elif c1 == c2:
             idx = np.flatnonzero(chunks == c1)
             emit(idx, idx, same=True)
         else:
@@ -223,6 +260,7 @@ def lsh_threshold_pairs(
     ds: ray.data.Dataset,
     *,
     tau: float,
+    right: ray.data.Dataset | None = None,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     bits_per_band: int = 8,
@@ -231,7 +269,9 @@ def lsh_threshold_pairs(
     seed: int = 7,
 ) -> ray.data.Dataset:
     """Approximate cosine >= tau pairs, near-linear: banded random-hyperplane
-    LSH candidates -> exact cosine verify.
+    LSH candidates -> exact cosine verify. ``right=None``: dedupe task
+    (unordered in-corpus pairs); otherwise link task — both corpora bucketed
+    with the SAME seeded hyperplanes, cross-side candidates only.
 
     A pair is a candidate when ALL bits of SOME band agree:
     P(candidate) = 1 - (1 - (1 - theta/pi)^bits_per_band)^n_bands, theta =
@@ -253,6 +293,13 @@ def lsh_threshold_pairs(
         return t.append_column("record_id", rid)
 
     recs = narrow.map_batches(with_rid, batch_format="pyarrow")
+    recs_r = (
+        right.select_columns([id_column, vector_column]).map_batches(
+            with_rid, batch_format="pyarrow"
+        )
+        if right is not None and right is not ds
+        else recs
+    )
 
     def band_keys(batch: pa.Table) -> pa.Array:
         vm = _matrix(batch, vector_column)
@@ -269,7 +316,7 @@ def lsh_threshold_pairs(
         return pa.array(keys.tolist(), type=pa.list_(pa.int64()))
 
     band_keys.__name__ = "hyperplane_bands"
-    linkage = UnnestLinker(band_keys, max_pairs=max_pairs)(recs, recs)
+    linkage = UnnestLinker(band_keys, max_pairs=max_pairs)(recs, recs_r)
     cand = linkage.links.with_both([vector_column], [vector_column])
 
     def verify(t: pa.Table) -> pa.Table:

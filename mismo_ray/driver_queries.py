@@ -526,6 +526,24 @@ def q_embedding_neardup(sf_dir: str):
     ).links_ds
 
 
+def q_embedding_linker_link(sf_dir: str):
+    """Cross-corpus cosine blocking through the Linker protocol
+    (linker.EmbeddingLinker, exact two-relation 1-Bucket-Theta join): left
+    = embeddings with vec_id < 250, right = the rest, pairs with cosine
+    >= 0.40, sides preserved. SQL-oracled via list_cosine_similarity.
+    chunk_rows=64 forces a real multi-chunk-pair shuffle at battery size."""
+    from mismo_ray.linker import EmbeddingLinker
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    left = emb.filter(expr="vec_id < 250")
+    right = emb.filter(expr="vec_id >= 250")
+    linker = EmbeddingLinker(
+        "embedding", tau=0.40, id_column="vec_id", method="exact",
+        chunk_rows=64,
+    )
+    return linker(left, right).links_ds
+
+
 def q_semdedup(sf_dir: str):
     """SemDedup within-cluster prune with a deterministic modulo clustering
     (so the SQL oracle can reproduce the cluster assignment exactly); the
@@ -2537,6 +2555,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "blocking_report": q_blocking_report,
     "incremental_dedupe_bloom": q_incremental_dedupe_bloom,
+    "embedding_linker_link": q_embedding_linker_link,
 }
 
 
@@ -2759,6 +2778,12 @@ ORACLE_SQL = {
     "embedding_neardup": (
         "SELECT a.vec_id AS record_id_l, b.vec_id AS record_id_r "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
+    ),
+    "embedding_linker_link": (
+        "SELECT a.vec_id AS record_id_l, b.vec_id AS record_id_r "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.vec_id < 250 AND b.vec_id >= 250 "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40"
     ),
     "hash_split": (

@@ -1,5 +1,6 @@
 from mismo_ray.linker._basic import EmptyLinker, FullLinker, IDLinker
 from mismo_ray.linker._common import Linker, Task, infer_task
+from mismo_ray.linker._embedding import EmbeddingLinker
 from mismo_ray.linker._join_linker import JoinLinker
 from mismo_ray.linker._key_linker import KeyLinker
 from mismo_ray.linker._lsh import MinhashLshLinker
@@ -10,6 +11,7 @@ from mismo_ray.linker._sorted_neighborhood import SortedNeighborhoodLinker
 from mismo_ray.linker._unnest import UnnestLinker
 
 __all__ = [
+    "EmbeddingLinker",
     "EmptyLinker",
     "FullLinker",
     "IDLinker",
