@@ -119,7 +119,15 @@ def const_emb_sf_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ["ann_topk", "ivf_topk", "ivfpq_topk", "embedding_neardup", "semdedup"]
+    "name",
+    [
+        "ann_topk",
+        "ivf_topk",
+        "ivfpq_topk",
+        "embedding_neardup",
+        "semdedup",
+        "embedding_linker_link",
+    ],
 )
 def test_ann_family_on_constant_embeddings(queries, const_emb_sf_dir, name):
     """k-means over identical points, tie-ranked neighbors: bounded,

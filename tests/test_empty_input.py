@@ -73,6 +73,7 @@ QUERIES = [
     "ivf_topk",  # was: KeyError embedding (empty query head)
     "ivfpq_topk",  # empty query head -> empty result, no codebook fit
     "dsir_sample",  # empty corpus: fit_dsir refuses, query returns empty
+    "embedding_linker_link",  # both sides empty -> empty linkage
     "pack_sequences",
     "mixture_sample",
     "hash_split",

@@ -37,6 +37,7 @@ QUERIES = [
     "ivf_topk",
     "ivfpq_topk",  # all-null embedding blocks decode to zero-WIDTH rows
     "dsir_sample",  # all-null text: fit_dsir refuses, query returns empty
+    "embedding_linker_link",  # zero-width chunk matmuls must yield no pairs
     "diff_updates",  # was: None + "X" in the update fixture
     "exact_dedupe",
     "minhash_lsh_dedupe",
