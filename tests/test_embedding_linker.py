@@ -101,6 +101,36 @@ def test_embedding_linker_lsh_link_recall(ray_session):
     assert len(got & truth) / len(truth) >= 0.9  # banded recall
 
 
+def test_embedding_linker_composes_in_or_linker(ray_session):
+    """EmbeddingLinker is a first-class Linker: OR it with a KeyLinker and
+    the union is overlap-free and equals the set union of the rules."""
+    from mismo_ray.linker import EmbeddingLinker, KeyLinker, OrLinker
+
+    rng = np.random.default_rng(21)
+    v = rng.normal(size=(120, 8))
+    v[60:90] = v[:30] + 0.02 * rng.normal(size=(30, 8))
+    t = _tbl(np.arange(120), v).append_column(
+        "bucket", pa.array((np.arange(120) % 7).astype(np.int64))
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    emb = EmbeddingLinker("embedding", tau=0.98, method="exact", chunk_rows=32)
+    key = KeyLinker("bucket")
+    a = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in emb(ds, ds).links_ds.take_all()
+    }
+    b = {
+        (r["record_id_l"], r["record_id_r"])
+        for r in key(ds, ds).links_ds.take_all()
+    }
+    both = OrLinker([emb, key])(ds, ds).links_ds.take_all()
+    got = [(r["record_id_l"], r["record_id_r"]) for r in both]
+    assert len(got) == len(set(got))  # overlap removed, each pair once
+    assert set(got) == a | b
+    assert a and b  # both rules contributed pairs
+
+
 def test_embedding_linker_nulls_and_auto_route(ray_session):
     from mismo_ray.linker import EmbeddingLinker
 
