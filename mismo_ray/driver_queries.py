@@ -2264,6 +2264,52 @@ def q_row_number(sf_dir: str):
     return add_row_number(docs, id_column="doc_id", seed=0, order="hash")
 
 
+def q_quality_classifier(sf_dir: str):
+    """Trainable fastText-style quality gate (textstats.train_text_classifier
+    + add_classifier_prob — the CCNet/LLaMA-practice linear classifier the
+    heuristic gopher/c4 rules sit alongside): class markers are appended to
+    every doc by the deterministic rule label = (doc_id % 3 == 0), a
+    hashed-n-gram logistic regression is fitted with distributed int64
+    fixed-point full-batch Adagrad, all docs are scored through the
+    broadcast weight vector, and the PREDICTED label is emitted. The oracle
+    is the generating rule itself — parity holds only if the classifier
+    actually reaches 100% accuracy on this corpus, making the hash check an
+    end-to-end learnability gate (holdout accuracy is separately pytest-gated
+    in tests/test_classifier.py)."""
+    from mismo_ray.textstats import add_classifier_prob, train_text_classifier
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        pos = did % 3 == 0
+        txt = pc.fill_null(t["text"], "").to_pandas().astype(str)
+        marker = np.where(pos, " refined prose excellent", " spam noise clickbait")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array((txt + marker).tolist(), pa.string()),
+                "label": pa.array(pos.astype(np.int64)),
+            }
+        )
+
+    marked = docs.map_batches(synth, batch_format="pyarrow")
+    model = train_text_classifier(marked, "text", "label", epochs=20)
+    scored = add_classifier_prob(marked, model, "text", out="p")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred": pa.array(
+                    (np.asarray(t["p"], dtype=np.float64) >= 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
 def q_compression_stats(sf_dir: str):
     """zlib deflate-size quality signal (textstats.add_compression_stats).
     Rows-only: DuckDB has no deflate; exact byte counts are pytest-gated
@@ -2483,7 +2529,7 @@ QUERIES = {
     "row_number": q_row_number,
     "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
-    "compression_stats": q_compression_stats,
+    "quality_classifier": q_quality_classifier,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
     # --- dedupe family ------------------------------------------------------
@@ -2556,6 +2602,7 @@ QUERIES = {
     "blocking_report": q_blocking_report,
     "incremental_dedupe_bloom": q_incremental_dedupe_bloom,
     "embedding_linker_link": q_embedding_linker_link,
+    "compression_stats": q_compression_stats,
 }
 
 
@@ -3210,6 +3257,12 @@ ORACLE_SQL = {
         " CAST(round(-sum(ln(bc.c + 1.0) - ln(uc.c + vocab.v)) / count(*) * 1e6) AS BIGINT) AS logppl_e6 "
         "FROM pw JOIN bc USING (w1, w2) JOIN uc ON pw.w1 = uc.w CROSS JOIN vocab "
         "GROUP BY pw.doc_id"
+    ),
+    "quality_classifier": (
+        # the generating rule: the hash check passes only when the fitted
+        # classifier reproduces it on every doc (100% accuracy)
+        "SELECT doc_id, CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS pred FROM documents"
     ),
     "repetition_stats": (
         # word n-grams by VALUE (space-joined — injective, words contain no

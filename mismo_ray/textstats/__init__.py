@@ -584,3 +584,9 @@ from mismo_ray.textstats._dsir import (  # noqa: E402
     fit_dsir,
     hashed_ngram_counts,
 )
+from mismo_ray.textstats._classifier import (  # noqa: E402
+    TextClassifier,
+    add_classifier_prob,
+    evaluate_classifier,
+    train_text_classifier,
+)
