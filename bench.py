@@ -130,6 +130,10 @@ def run_bench() -> dict:
     with timed("lm_perplexity"):
         # bigram-LM train (vocab shuffle + collect) + actor-pool scoring
         dq.q_lm_perplexity(sf_dir).count()
+    with timed("quality_classifier"):
+        # trainable quality gate: featurize-once + 20 fixed-point Adagrad
+        # epochs + broadcast scoring (first anchor for the classifier path)
+        dq.q_quality_classifier(sf_dir).count()
 
     # ---- EM-at-scale anchor: unsupervised FS training on the mult=100
     # amplified corpus (two seeds; cross-seed log-odds spread = estimator
@@ -304,6 +308,12 @@ def _mem_bw_probe(lo: int, hi: int, mb: int = 64, dur: float = 3.0) -> float:
     def burn(q):
         a = np.ones(mb * 131072, dtype=np.float64)  # mb MiB
         b = np.empty_like(a)
+        # first-touch BOTH buffers before the clock starts: b's pages fault
+        # on first write, and under post-benchmark memory pressure (page
+        # reclaim after a 32-CPU Ray session) that first touch alone can eat
+        # the whole window — observed 0.004 "bandwidth ratios" that were
+        # really page-fault storms, not co-tenant traffic
+        np.copyto(b, a)
         t0 = time.perf_counter()
         n = 0
         while time.perf_counter() - t0 < dur:
