@@ -1331,6 +1331,30 @@ def q_cap_per_host(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def q_token_budget(sf_dir: str):
+    """Per-source WEIGHT-budget cap (util_ops.budget_per_group): training
+    mixtures are specified in tokens, not documents — keep, per source, the
+    longest splitmix64(doc_id)-rank prefix whose cumulative char count stays
+    <= 2000 (prefix semantics: the overflowing row and everything after it
+    drop). Bit-exact against the SQL running-sum window over the identical
+    integer mixer."""
+    from mismo_ray.util_ops import budget_per_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = pc.fill_null(pc.utf8_length(t["text"]), 0).cast(pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "n_chars": w}
+        )
+
+    wds = docs.map_batches(add_w, batch_format="pyarrow")
+    out = budget_per_group(
+        wds, "source", 2000, "n_chars", id_column="doc_id", seed=0
+    )
+    return out.select_columns(["doc_id", "source", "n_chars"])
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher quality rules (textstats.add_gopher_stats +
     gopher_quality_filter label_only): the canonical webtext document
@@ -2603,6 +2627,7 @@ QUERIES = {
     "incremental_dedupe_bloom": q_incremental_dedupe_bloom,
     "embedding_linker_link": q_embedding_linker_link,
     "compression_stats": q_compression_stats,
+    "token_budget": q_token_budget,
 }
 
 
@@ -3170,6 +3195,16 @@ ORACLE_SQL = {
         "s3 AS (SELECT doc_id, source, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2) "
         "SELECT doc_id, source FROM s3 "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY xor(z, z >> 31)) <= 10"
+    ),
+    "token_budget": (
+        # same splitmix64 mixer as cap_per_host, prefix running-sum cap 2000
+        "WITH s1 AS (SELECT doc_id, source, coalesce(length(text), 0) AS n_chars, "
+        " CAST((CAST(CAST(doc_id AS UBIGINT) AS HUGEINT) + 11400714819323198485) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM documents), "
+        "s2 AS (SELECT doc_id, source, n_chars, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296) * 4294967296 + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+        "s3 AS (SELECT doc_id, source, n_chars, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296) * 4294967296 + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z FROM s2) "
+        "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM s3 "
+        "QUALIFY SUM(n_chars) OVER (PARTITION BY source ORDER BY xor(z, z >> 31)) <= 2000"
     ),
     "c4_clean": (
         # identical synthesis; line rules + document rules + ordered rejoin

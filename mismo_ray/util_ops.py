@@ -203,6 +203,75 @@ def stratified_sample(
     return out.drop_columns(["__sample_rank__"])
 
 
+def budget_per_group(
+    ds: "ray.data.Dataset",
+    group_keys,
+    budget: int,
+    weight_column: str,
+    *,
+    id_column: str = "record_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic per-group WEIGHT budget cap — the token-budget variant
+    of :func:`stratified_sample`. Training-data mixtures are specified in
+    tokens, not documents ("at most N tokens per host/source"): rows rank
+    within their group by seeded hash of ``id_column`` and the kept set is
+    the longest RANK-PREFIX whose running ``weight_column`` sum stays
+    <= ``budget`` (the first overflowing row and everything ranked after it
+    drop, even if a later smaller row would still fit — prefix semantics,
+    exactly ``SUM(w) OVER (PARTITION BY g ORDER BY rank) <= budget`` in
+    SQL, which is the driver oracle).
+
+    Selection is a pure (id, seed) function plus one bucketed shuffle
+    (groups land whole in hash(group)%B buckets; vectorized sort + cumsum
+    per bucket — no python per row). Adding rows later never evicts a kept
+    row ranked before the cut, same auditability story as
+    :func:`stratified_sample` / :func:`hash_split`.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from mismo_ray._joins import default_num_partitions
+    from mismo_ray._util import hash64
+
+    group_keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    B = default_num_partitions()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for i, c in enumerate(group_keys):
+            h ^= hash64(t[c], seed=0x7E + i)
+        rank = _id_mix64(t[id_column], seed)
+        return t.append_column(
+            "__bkt__", pa.array((h % np.uint64(B)).astype(np.int64))
+        ).append_column("__budget_rank__", pa.array(rank))
+
+    def prefix_filter(g: pa.Table) -> pa.Table:
+        schema = g.schema
+        pdf = g.to_pandas().drop(columns=["__bkt__"])
+        pdf = pdf.sort_values(
+            group_keys + ["__budget_rank__"], kind="mergesort"
+        )
+        # null weight counts 0 toward the running sum (row still occupies
+        # its rank slot); fill BEFORE cumsum so accumulation flows through
+        pdf["__budget_w__"] = pdf[weight_column].fillna(0).astype(np.float64)
+        run = pdf.groupby(group_keys, sort=False, dropna=False)[
+            "__budget_w__"
+        ].cumsum()
+        out = pdf[run.to_numpy(dtype=np.float64) <= float(budget)]
+        out = out.drop(columns=["__budget_rank__", "__budget_w__"])
+        cols = {}
+        for name in out.columns:
+            cols[name] = pa.array(out[name], type=schema.field(name).type)
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bkt__")
+        .map_groups(prefix_filter, batch_format="pyarrow")
+    )
+
+
 def hash_split(
     ds: "ray.data.Dataset",
     fractions: dict[str, float],
