@@ -2288,6 +2288,25 @@ def q_row_number(sf_dir: str):
     return add_row_number(docs, id_column="doc_id", seed=0, order="hash")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Distributed BPE tokenizer (textstats.train_bpe + add_bpe_tokens):
+    one word-count shuffle -> bounded word-TYPE collect -> classic driver
+    merge loop (lexicographic tie-break = partition-independent) -> actor-
+    pool encoding with per-actor hot-word cache. Rows-only: the merge loop
+    is iterative, outside SQL's reach; merge semantics are pytest-gated
+    against the classic Sennrich walkthrough in tests/test_bpe.py."""
+    from mismo_ray.textstats import add_bpe_tokens, train_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok = train_bpe(docs, "text", n_merges=200, min_count=2)
+    out = add_bpe_tokens(docs, tok, "text", concurrency=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_bpe": t["bpe_n"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_quality_classifier(sf_dir: str):
     """Trainable fastText-style quality gate (textstats.train_text_classifier
     + add_classifier_prob — the CCNet/LLaMA-practice linear classifier the
@@ -2628,6 +2647,7 @@ QUERIES = {
     "embedding_linker_link": q_embedding_linker_link,
     "compression_stats": q_compression_stats,
     "token_budget": q_token_budget,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 

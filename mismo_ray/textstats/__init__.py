@@ -590,3 +590,9 @@ from mismo_ray.textstats._classifier import (  # noqa: E402
     evaluate_classifier,
     train_text_classifier,
 )
+from mismo_ray.textstats._bpe import (  # noqa: E402
+    BpeTokenizer,
+    add_bpe_tokens,
+    train_bpe,
+    word_counts,
+)
