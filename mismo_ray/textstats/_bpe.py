@@ -94,22 +94,37 @@ class BpeTokenizer:
         return {a + b for a, b in self.merges}
 
     def encode_word(self, word: str) -> list[str]:
-        """Classic greedy lowest-rank-pair-first merge of one word."""
+        """Greedy lowest-rank-first merge of one word. Each pass replaces
+        ALL (non-overlapping, left-to-right) occurrences of the best pair —
+        the canonical apply-merges-in-rank-order algorithm, and O(L log L)
+        on degenerate inputs like a 50k-char run of one character, where
+        one-occurrence-per-scan would be O(L^2)."""
         cached = self._cache.get(word)
         if cached is not None:
             return cached
         syms = list(word) + [_EOW]
         while len(syms) > 1:
             best_rank = None
-            best_i = -1
-            for i in range(len(syms) - 1):
-                r = self.ranks.get((syms[i], syms[i + 1]))
+            best = None
+            for pair in zip(syms, syms[1:]):
+                r = self.ranks.get(pair)
                 if r is not None and (best_rank is None or r < best_rank):
                     best_rank = r
-                    best_i = i
-            if best_rank is None:
+                    best = pair
+            if best is None:
                 break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            fused = best[0] + best[1]
+            new: list[str] = []
+            i = 0
+            L = len(syms)
+            while i < L:
+                if i + 1 < L and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    new.append(fused)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
         if len(self._cache) < 1_000_000:
             self._cache[word] = syms
         return syms

@@ -56,6 +56,9 @@ QUERIES = [
     "fingerprint",
     "pack_sequences",
     "host_stats",
+    "quality_classifier",  # unicode/huge docs through featurize + training
+    "bpe_tokens",  # merge loop + encoder over degenerate vocabularies
+    "token_budget",  # utf8_length weights over huge/multibyte docs
 ]
 
 

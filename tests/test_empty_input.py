@@ -79,6 +79,9 @@ QUERIES = [
     "hash_split",
     "media_features",
     "read_warc",  # was: KeyError doc_id (empty shard frame)
+    "quality_classifier",  # empty corpus: zero-weight model, empty scores
+    "token_budget",  # empty groups -> empty prefix
+    "bpe_tokens",  # empty vocab -> empty merge table, empty encode
 ]
 
 

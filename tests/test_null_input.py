@@ -57,6 +57,9 @@ QUERIES = [
     "embedding_neardup",
     "semdedup",
     "pack_sequences",
+    "quality_classifier",  # markers appended to filled-null text stay learnable
+    "token_budget",  # null text -> zero weight, rows keep rank slots
+    "bpe_tokens",  # all-null corpus -> empty merge table, zero-token docs
     "key_linker_pairs",
     "connected_components",
     "fs_score",
