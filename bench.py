@@ -134,6 +134,10 @@ def run_bench() -> dict:
         # trainable quality gate: featurize-once + 20 fixed-point Adagrad
         # epochs + broadcast scoring (first anchor for the classifier path)
         dq.q_quality_classifier(sf_dir).count()
+    with timed("bpe_tokens"):
+        # BPE train (word-count shuffle + driver merge loop) + actor-pool
+        # encode (first anchor for the tokenizer path)
+        dq.q_bpe_tokens(sf_dir).count()
 
     # ---- EM-at-scale anchor: unsupervised FS training on the mult=100
     # amplified corpus (two seeds; cross-seed log-odds spread = estimator
