@@ -271,13 +271,17 @@ def write_training_shards(
             ),
             batch_format="pyarrow",
         ).sum("s")
+        or 0  # Dataset.sum returns None on an empty corpus (e.g. a quality
+        # gate dropped every doc); the export must still terminate cleanly
     )
     counters = {
-        "docs": int(stats["count()"].sum()),
+        # empty groupby -> zero-column frame: no "count()" key to read
+        "docs": int(stats["count()"].sum()) if "count()" in stats else 0,
         "tokens": toks,
         "n_seqs": int(np.ceil(toks / budget)) if toks else 0,
         "n_shards": int(len(stats)),
     }
+    os.makedirs(out_dir, exist_ok=True)  # empty corpus: write_parquet made nothing
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
         f.write(str(counters["n_shards"]))
     return counters

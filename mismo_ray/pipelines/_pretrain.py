@@ -41,12 +41,21 @@ def pretrain_data(
     seqs_per_shard: int = 256,
     val_fraction: float = 0.05,
     drop_bucket: str = "tail",
+    classifier=None,
+    classifier_threshold: float = 0.5,
     seed: int = 0,
 ) -> dict:
     """Run the chain over the (to-be-amplified) documents table; returns
     merged counters from every stage. Output layout: packed train shards
     under ``<output_dir>/shards`` (with the ``_DONE`` resume marker), the
-    held-out docs under ``<output_dir>/val``."""
+    held-out docs under ``<output_dir>/val``.
+
+    ``classifier``: optional fitted ``textstats.TextClassifier`` — the
+    CCNet/LLaMA-practice trainable quality gate, applied between dedupe
+    and the LM gate (docs scoring below ``classifier_threshold`` drop;
+    counter ``n_after_classifier_gate``). Train it on a labeled sample
+    with ``textstats.train_text_classifier`` and reuse the checkpointed
+    model across runs (``TextClassifier.from_parquet``)."""
     import os
 
     from mismo_ray.packing import write_training_shards
@@ -64,6 +73,22 @@ def pretrain_data(
     # and scoring would otherwise each re-run the exact-dedupe groupby +
     # semi-join lineage (at real scale: the write_parquet checkpoint)
     clean = clean.materialize()
+
+    # --- optional trainable quality gate (fastText-style classifier):
+    # one stateless broadcast-scoring pass, applied before LM training so
+    # the perplexity model fits on classifier-approved text only
+    if classifier is not None:
+        from mismo_ray.textstats import add_classifier_prob
+
+        thr = float(classifier_threshold)
+        scored_q = add_classifier_prob(clean, classifier, "text", out="__qp__")
+
+        def clf_keep(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.greater_equal(t["__qp__"], thr), False)
+            return t.filter(mask).drop_columns(["__qp__"])
+
+        clean = scored_q.map_batches(clf_keep, batch_format="pyarrow").materialize()
+        counters["n_after_classifier_gate"] = clean.count()
 
     # --- CCNet LM gate: self-trained bigram perplexity, drop the worst
     # tercile. Scored corpus is materialized once: the tercile cut-points

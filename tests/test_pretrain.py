@@ -75,3 +75,46 @@ def test_pretrain_end_to_end(ray_session, tmp_path):
         assert off == acc
         acc += ntok
     assert acc == c["n_tokens"]
+
+
+def test_pretrain_classifier_gate(ray_session, tmp_path):
+    """Optional trainable quality gate: an accept-all model is a no-op on
+    every downstream counter; a reject-all model empties the corpus and the
+    pipeline still terminates cleanly (the 100 TB failure mode where a bad
+    gate drops everything must not crash the job)."""
+    import numpy as np
+    import ray.data
+
+    from mismo_ray.pipelines._pretrain import pretrain_data
+    from mismo_ray.textstats import TextClassifier
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    base = pretrain_data(
+        docs, str(tmp_path / "plain"), multiplier=1, seq_len=128, seqs_per_shard=16
+    )
+    accept = TextClassifier(np.zeros(16), 5.0)  # sigmoid(5) ~ 0.993 for all
+    c_acc = pretrain_data(
+        docs,
+        str(tmp_path / "acc"),
+        multiplier=1,
+        seq_len=128,
+        seqs_per_shard=16,
+        classifier=accept,
+    )
+    assert c_acc["n_after_classifier_gate"] == c_acc["n_distinct_clean"]
+    for k in ("n_after_lm_gate", "n_train", "n_val", "n_tokens", "n_seqs"):
+        assert c_acc[k] == base[k], k
+
+    reject = TextClassifier(np.zeros(16), -5.0)
+    c_rej = pretrain_data(
+        docs,
+        str(tmp_path / "rej"),
+        multiplier=1,
+        seq_len=128,
+        seqs_per_shard=16,
+        classifier=reject,
+    )
+    assert c_rej["n_after_classifier_gate"] == 0
+    assert c_rej["n_train"] == 0 and c_rej["n_seqs"] == 0
