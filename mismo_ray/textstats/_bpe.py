@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from mismo_ray.textstats._lm import _explode_tokens
+from mismo_ray.textstats._lm import _SPLIT_COMPILED, _explode_tokens
 
 _EOW = "</w>"
 
@@ -87,12 +87,6 @@ class BpeTokenizer:
         self.ranks = {m: i for i, m in enumerate(self.merges)}
         self._cache: dict[str, list[str]] = {}
 
-    @property
-    def vocab(self) -> set[str]:
-        """Symbols producible by the table: single chars stay implicit;
-        this is the set of MERGED symbols."""
-        return {a + b for a, b in self.merges}
-
     def encode_word(self, word: str) -> list[str]:
         """Greedy lowest-rank-first merge of one word. Each pass replaces
         ALL (non-overlapping, left-to-right) occurrences of the best pair —
@@ -135,7 +129,9 @@ class BpeTokenizer:
         out_syms: list[list[str]] = []
         n_tok = np.zeros(len(texts), dtype=np.int64)
         s = pd.Series(texts, dtype="object")
-        toks = s.str.lower().str.split("[^a-z0-9]+", regex=True)
+        # the pinned tokenizer, shared with the trainer's _explode_tokens —
+        # train and encode MUST split byte-identically
+        toks = s.str.lower().str.split(_SPLIT_COMPILED)
         for i, words in enumerate(toks):
             if not isinstance(words, list):
                 out_syms.append([])

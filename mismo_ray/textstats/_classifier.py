@@ -144,8 +144,6 @@ def _grad_pass(w_ref, b: float, buckets: int):
         y = np.asarray(t["y"], dtype=np.float64)
         scores = np.bincount(doc, weights=w[flat_i] * flat_v, minlength=n) + b
         p = 1.0 / (1.0 + np.exp(-scores))
-        eps = 1e-12
-        loss = -np.sum(y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps))
         err = p - y
         dense = np.zeros(buckets, dtype=np.float64)
         np.add.at(dense, flat_i, err[doc] * flat_v)
@@ -161,9 +159,6 @@ def _grad_pass(w_ref, b: float, buckets: int):
                     ),
                 ),
                 "gb": pa.array([int(round(err.sum() * _SCALE))], pa.int64()),
-                "loss": pa.array([int(round(loss * _SCALE))], pa.int64()),
-                "n": pa.array([n], pa.int64()),
-                "correct": pa.array([int(((p >= 0.5) == (y >= 0.5)).sum())], pa.int64()),
             }
         )
 
@@ -205,8 +200,14 @@ def train_text_classifier(
         ds = ds.map_batches(sample, batch_format="pyarrow")
 
     def featurize(t: pa.Table) -> pa.Table:
+        labels = t[label_column]
+        if labels.null_count:
+            raise ValueError(
+                f"label column {label_column!r} contains nulls; training "
+                "needs 0/1 labels on every row (filter unlabeled rows first)"
+            )
         idx, val = _featurize_batch(t, text_column, buckets, seed)
-        y = np.asarray(t[label_column].cast(pa.float64()), dtype=np.float64)
+        y = np.asarray(labels.cast(pa.float64()), dtype=np.float64)
         return pa.table({"idx": idx, "val": val, "y": pa.array(y)})
 
     feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
@@ -274,10 +275,16 @@ def evaluate_classifier(
     model_ref = ray.put((model.w, model.b, model.seed))
 
     def fn(t: pa.Table) -> pa.Table:
+        labels = t[label_column]
+        if labels.null_count:
+            raise ValueError(
+                f"label column {label_column!r} contains nulls; evaluation "
+                "needs 0/1 labels on every row (filter unlabeled rows first)"
+            )
         w, b, seed = ray.get(model_ref)
         m = TextClassifier(w, b, seed=seed)
         p = m.prob_batch(t, text_column)
-        y = np.asarray(t[label_column].cast(pa.float64()), dtype=np.float64)
+        y = np.asarray(labels.cast(pa.float64()), dtype=np.float64)
         eps = 1e-12
         loss = -np.sum(y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps))
         return pa.table(

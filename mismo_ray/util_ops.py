@@ -100,6 +100,25 @@ def explain(ds, *, analyze: bool = False) -> str:
     return str(ds)
 
 
+def _group_bucket_ids(t: "pa.Table", group_keys: list, B: int) -> "np.ndarray":
+    """hash(group)%B bucket id per row — the ONE bucketing rule every
+    per-group operator here shares (top_k_per_group, budget_per_group);
+    change it in one place only or co-grouping silently diverges."""
+    h = np.zeros(len(t), dtype=np.uint64)
+    for i, c in enumerate(group_keys):
+        h ^= hash64(t[c], seed=0x7E + i)
+    return (h % np.uint64(B)).astype(np.int64)
+
+
+def _rebuild_arrow(pdf, schema: "pa.Schema") -> "pa.Table":
+    """pandas -> arrow with the ORIGINAL column types (pandas coerces
+    null-ints to float; rebuild each column against the source schema)."""
+    cols = {}
+    for name in pdf.columns:
+        cols[name] = pa.array(pdf[name], type=schema.field(name).type)
+    return pa.table(cols)
+
+
 def top_k_per_group(
     ds: "ray.data.Dataset",
     group_keys,
@@ -115,11 +134,7 @@ def top_k_per_group(
     a vectorized sort + per-group head (no python per row or per group) —
     the same partitioning contract as the window link filters in linkage.py.
     """
-    import numpy as np
-    import pyarrow as pa
-
     from mismo_ray._joins import default_num_partitions
-    from mismo_ray._util import hash64
 
     group_keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
     order_by = [
@@ -128,16 +143,12 @@ def top_k_per_group(
     B = default_num_partitions()
 
     def bucketize(t: pa.Table) -> pa.Table:
-        h = np.zeros(len(t), dtype=np.uint64)
-        for i, c in enumerate(group_keys):
-            h ^= hash64(t[c], seed=0x7E + i)
         return t.append_column(
-            "__bkt__", pa.array((h % np.uint64(B)).astype(np.int64))
+            "__bkt__", pa.array(_group_bucket_ids(t, group_keys, B))
         )
 
     def head_per_group(g) -> "pa.Table":
-        # pandas inside the bucket: C-speed multi-key sort + groupby-head;
-        # arrow types rebuilt on the way out (pandas coerces null-ints)
+        # pandas inside the bucket: C-speed multi-key sort + groupby-head
         schema = None
         if isinstance(g, pa.Table):
             schema = g.schema
@@ -152,10 +163,7 @@ def top_k_per_group(
         )
         out = pdf.groupby(group_keys, sort=False, dropna=False).head(k)
         if schema is not None:
-            cols = {}
-            for name in out.columns:
-                cols[name] = pa.array(out[name], type=schema.field(name).type)
-            return pa.table(cols)
+            return _rebuild_arrow(out, schema)
         return out
 
     return (
@@ -228,22 +236,15 @@ def budget_per_group(
     row ranked before the cut, same auditability story as
     :func:`stratified_sample` / :func:`hash_split`.
     """
-    import numpy as np
-    import pyarrow as pa
-
     from mismo_ray._joins import default_num_partitions
-    from mismo_ray._util import hash64
 
     group_keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
     B = default_num_partitions()
 
     def bucketize(t: pa.Table) -> pa.Table:
-        h = np.zeros(len(t), dtype=np.uint64)
-        for i, c in enumerate(group_keys):
-            h ^= hash64(t[c], seed=0x7E + i)
         rank = _id_mix64(t[id_column], seed)
         return t.append_column(
-            "__bkt__", pa.array((h % np.uint64(B)).astype(np.int64))
+            "__bkt__", pa.array(_group_bucket_ids(t, group_keys, B))
         ).append_column("__budget_rank__", pa.array(rank))
 
     def prefix_filter(g: pa.Table) -> pa.Table:
@@ -260,10 +261,7 @@ def budget_per_group(
         ].cumsum()
         out = pdf[run.to_numpy(dtype=np.float64) <= float(budget)]
         out = out.drop(columns=["__budget_rank__", "__budget_w__"])
-        cols = {}
-        for name in out.columns:
-            cols[name] = pa.array(out[name], type=schema.field(name).type)
-        return pa.table(cols)
+        return _rebuild_arrow(out, schema)
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
