@@ -2184,8 +2184,7 @@ def q_febrl_dedupe(sf_dir: str):
     from mismo_ray import playdata
     from mismo_ray.pipelines import febrl_match_pairs
 
-    lk = playdata.load_febrl1()
-    pred, _ = febrl_match_pairs(lk.left)
+    pred, _ = febrl_match_pairs(playdata.load_records("febrl1"))
     return pred.links_ds.select_columns(["record_id_l", "record_id_r"])
 
 
@@ -2195,7 +2194,7 @@ def q_playdata_patents(sf_dir: str):
     cover only the synthetic sf tables)."""
     from mismo_ray import playdata
 
-    return playdata.load_patents().left
+    return playdata.load_records("patents")
 
 
 def q_rldata_dedupe(sf_dir: str):
@@ -2205,8 +2204,7 @@ def q_rldata_dedupe(sf_dir: str):
     from mismo_ray import playdata
     from mismo_ray.pipelines import rldata_match_pairs
 
-    lk = playdata.load_rldata500()
-    return rldata_match_pairs(lk.left).links_ds
+    return rldata_match_pairs(playdata.load_records("rldata500")).links_ds
 
 
 def _decontam_split(sf_dir: str):
@@ -2513,8 +2511,7 @@ def q_febrl_link(sf_dir: str):
     from mismo_ray import playdata
     from mismo_ray.pipelines import febrl_link_pairs, febrl_split_link_task
 
-    lk = playdata.load_febrl1()
-    left, right = febrl_split_link_task(lk.left)
+    left, right = febrl_split_link_task(playdata.load_records("febrl1"))
     pred, _w = febrl_link_pairs(left, right)
     return pred.links_ds.select_columns(["record_id_l", "record_id_r"])
 
@@ -2527,8 +2524,7 @@ def q_affiliations_dedupe(sf_dir: str):
     from mismo_ray import playdata
     from mismo_ray.pipelines import affiliations_match_pairs
 
-    lk = playdata.load_affiliations()
-    return affiliations_match_pairs(lk.left).links_ds
+    return affiliations_match_pairs(playdata.load_records("affiliations")).links_ds
 
 
 def q_flagship(sf_dir: str):

@@ -45,9 +45,19 @@ def _linkage_from_labels(records: ray.data.Dataset) -> Linkage:
     return KeyLinker("label_true")(records, records)
 
 
+def load_records(name: str) -> ray.data.Dataset:
+    """Just the records table of a bundled dataset ("febrl1".."febrl3",
+    "patents", "rldata500", "rldata10000", "affiliations") — label_true
+    column included, true-pair links NOT built. Use this when only the
+    records are needed (e.g. running a matcher whose output is evaluated
+    elsewhere): the full loaders also run the label KeyLinker, which costs
+    a count prepass + pair shuffle that a records-only consumer never
+    reads."""
+    return ray.data.read_parquet(os.path.join(_DATA_DIR, f"{name}.parquet"))
+
+
 def _load(name: str) -> Linkage:
-    records = ray.data.read_parquet(os.path.join(_DATA_DIR, f"{name}.parquet"))
-    return _linkage_from_labels(records)
+    return _linkage_from_labels(load_records(name))
 
 
 def load_febrl1() -> Linkage:
