@@ -2305,6 +2305,20 @@ def q_bpe_tokens(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_word_counts(sf_dir: str):
+    """Corpus word-frequency table (textstats.word_counts — the BPE
+    trainer's one distributed pass): map-side value_counts partials +
+    one keyed shuffle, pinned [^a-z0-9]+ lowercase tokenizer. Hash-checked
+    against the same split in SQL."""
+    from mismo_ray.textstats import word_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    out = word_counts(docs, "text", min_count=2)
+    return out.map_batches(
+        lambda t: t.select(["word", "n"]), batch_format="pyarrow"
+    )
+
+
 def q_quality_classifier(sf_dir: str):
     """Trainable fastText-style quality gate (textstats.train_text_classifier
     + add_classifier_prob — the CCNet/LLaMA-practice linear classifier the
@@ -2644,6 +2658,7 @@ QUERIES = {
     "compression_stats": q_compression_stats,
     "token_budget": q_token_budget,
     "bpe_tokens": q_bpe_tokens,
+    "word_counts": q_word_counts,
 }
 
 
@@ -3308,6 +3323,12 @@ ORACLE_SQL = {
         " CAST(round(-sum(ln(bc.c + 1.0) - ln(uc.c + vocab.v)) / count(*) * 1e6) AS BIGINT) AS logppl_e6 "
         "FROM pw JOIN bc USING (w1, w2) JOIN uc ON pw.w1 = uc.w CROSS JOIN vocab "
         "GROUP BY pw.doc_id"
+    ),
+    "word_counts": (
+        # the pinned tokenizer family, min_count=2 prune
+        "WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '')) AS word FROM documents WHERE text IS NOT NULL) "
+        "SELECT word, count(*) AS n FROM w GROUP BY word HAVING count(*) >= 2"
     ),
     "quality_classifier": (
         # the generating rule: the hash check passes only when the fitted
