@@ -2550,6 +2550,44 @@ def q_flagship(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-8 most frequent tokens via the two-pass Misra-Gries sketch
+    (sketch.heavy_hitters): candidate generation never shuffles raw tokens —
+    only bounded per-block summaries — and the exact verification pass counts
+    just the <= 4k broadcast candidates. The ``guaranteed`` proof flag must
+    hold on this corpus (raise loudly rather than return an unproven set)."""
+    import pandas as pd
+
+    from mismo_ray.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t["text"].to_pylist(), dtype="object")
+        ex = texts.str.split().explode().dropna()
+        return pa.table({"term": pa.array(ex.to_numpy(), type=pa.string())})
+
+    terms = docs.map_batches(toks, batch_format="pyarrow")
+    hh = heavy_hitters(terms, "term", k=8)
+    if len(hh.table) and not hh.guaranteed:
+        raise AssertionError(
+            "heavy_hitters completeness proof failed on the test corpus "
+            f"(kth must exceed boundary({hh.boundary}) + E({hh.error_bound}))"
+        )
+    return hh.table
+
+
+def q_lang_distinct_approx(sf_dir: str):
+    """Per-language HyperLogLog distinct-text counts (sketch.add_approx_distinct):
+    only (lang, register, rho) triples cross the shuffle — never the text.
+    Rows-only (the estimate is deterministic but HLL math is outside SQL's
+    reach); pytest gates the error vs exact distinct."""
+    from mismo_ray.sketch import add_approx_distinct
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    return add_approx_distinct(docs, "lang", "text", precision=12)
+
+
 # Ordering contract: the driver's CORRECTNESS capture runs exactly the FIRST
 # 50 entries of this dict.  The first 50 therefore hold one representative of
 # every operator family — the webtext/LLM tier first (it is the round-3+
@@ -2608,9 +2646,15 @@ QUERIES = {
     "tf_lookup": q_tf_lookup,
     "postal_parse": q_postal_parse,
     "asof_join": q_asof_join,
-    "events_tumbling": q_events_tumbling,
+    # sketch family (round 4): exact heavy hitters via Misra-Gries + verify.
+    # Displaces events_tumbling from the 50-entry driver window — that op is
+    # already D-captured green in CORRECTNESS_r01 AND _r02 and stays in the
+    # local battery below.
+    "heavy_hitters": q_heavy_hitters,
     "febrl_dedupe": q_febrl_dedupe,
     # ------- entry 51+: family variants (local battery + pytest only) -------
+    "events_tumbling": q_events_tumbling,
+    "lang_distinct_approx": q_lang_distinct_approx,
     "key_counts": q_key_counts,
     "pair_counts": q_pair_counts,
     "key_linker_link": q_key_linker_link,
@@ -2795,6 +2839,12 @@ ORACLE_SQL = {
         "flat AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t), "
         "df AS (SELECT term, count(*) AS n FROM flat GROUP BY term) "
         "SELECT term FROM df WHERE n <= 100"
+    ),
+    "heavy_hitters": (
+        f"WITH t AS ({_TOKS_SQL}), "
+        "flat AS (SELECT unnest(toks) AS term FROM t), "
+        "c AS (SELECT term, count(*) AS n FROM flat GROUP BY term) "
+        "SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 8"
     ),
     "connected_components": (
         "WITH RECURSIVE edges AS ("

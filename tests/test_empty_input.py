@@ -82,6 +82,8 @@ QUERIES = [
     "quality_classifier",  # empty corpus: zero-weight model, empty scores
     "token_budget",  # empty groups -> empty prefix
     "bpe_tokens",  # empty vocab -> empty merge table, empty encode
+    "heavy_hitters",  # empty corpus -> empty sketch, guarantee trivially True
+    "lang_distinct_approx",  # no groups -> empty register table
 ]
 
 

@@ -60,6 +60,8 @@ QUERIES = [
     "quality_classifier",  # markers appended to filled-null text stay learnable
     "token_budget",  # null text -> zero weight, rows keep rank slots
     "bpe_tokens",  # all-null corpus -> empty merge table, zero-token docs
+    "heavy_hitters",  # all-null column -> empty sketch table
+    "lang_distinct_approx",  # null langs/texts filtered before registers
     "key_linker_pairs",
     "connected_components",
     "fs_score",
