@@ -148,6 +148,102 @@ class KeyLinker:
             "n", descending=True
         )
 
+    def hot_keys(
+        self,
+        ds: ray.data.Dataset,
+        *,
+        side: str = "left",
+        k: int = 10,
+        candidate_cap: int | None = None,
+    ):
+        """The ``k`` hottest blocking keys with EXACT record counts — the
+        salting/max_pairs advisory — via the Misra-Gries sketch
+        (:func:`mismo_ray.sketch.heavy_hitters`) instead of a full key
+        shuffle: :meth:`key_counts_left` moves every distinct key through a
+        groupby; this moves only bounded per-block summaries, then looks up
+        the <= k winning key tuples in one filtered scan.
+
+        Returns ``(table, guaranteed)``: a pa.Table of the key columns plus
+        ``n`` (exact count) and ``share_e6`` (count/total, micro-units),
+        sorted hottest first, and the sketch's completeness-proof flag
+        (False = data too flat for a provable top-k at this candidate_cap —
+        which itself means no salting is needed). Keys are profiled through
+        a 64-bit composite hash; a hash collision would merge two key
+        tuples (probability ~k*distinct/2^64 — negligible, and irrelevant
+        to the advisory use)."""
+        from mismo_ray._util import combine_hash_columns
+        from mismo_ray.sketch import heavy_hitters
+
+        keyed = project_keyed(ds, self.keys, side, None)
+        kcols = [f"__key_{k_.name}" for k_ in self.keys]
+
+        def hashed(t: pa.Table) -> pa.Table:
+            # int64 view (bit-reinterpret) of the uint64 composite hash:
+            # arrow kernels and the sketch groupby stay on a signed type
+            h = combine_hash_columns(t, kcols).view(np.int64)
+            return pa.table({"__kh": pa.array(h)})
+
+        hh = heavy_hitters(
+            keyed.map_batches(hashed, batch_format="pyarrow"),
+            "__kh",
+            k=k,
+            candidate_cap=candidate_cap,
+        )
+        names = [k_.name for k_ in self.keys]
+        if len(hh.table) == 0:
+            schema = base_schema_or(keyed, None)
+            empty = pa.table(
+                {
+                    **{
+                        n: pa.array([], type=schema.field(f"__key_{n}").type)
+                        for n in names
+                    },
+                    "n": pa.array([], type=pa.int64()),
+                    "share_e6": pa.array([], type=pa.int64()),
+                }
+            )
+            return empty, hh.guaranteed
+        top_hashes = np.asarray(hh.table["__kh"], dtype=np.int64)
+        hot_set = pa.array(top_hashes)
+
+        def lookup(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            h = combine_hash_columns(t, kcols).view(np.int64)
+            mask = pc.is_in(pa.array(h), value_set=hot_set)
+            sub = t.select(kcols).filter(mask)
+            sub = sub.append_column("__kh", pa.array(h[np.asarray(mask)]))
+            # one exemplar per hash per block: <= k rows out per block
+            return (
+                sub.group_by("__kh")
+                .aggregate([(c, "min") for c in kcols])
+                .rename_columns(["__kh", *kcols])
+            )
+
+        from mismo_ray._util import collect_table
+
+        exemplars = collect_table(
+            keyed.map_batches(lookup, batch_format="pyarrow")
+        )
+        # driver dedupe of <= blocks*k exemplar rows down to <= k
+        ex = exemplars.group_by("__kh").aggregate(
+            [(c, "min") for c in kcols]
+        ).rename_columns(["__kh", *kcols])
+        order = {int(h): i for i, h in enumerate(top_hashes)}
+        idx = sorted(range(len(ex)), key=lambda i: order[int(ex["__kh"][i].as_py())])
+        ex = ex.take(pa.array(idx, type=pa.int64()))
+        counts = np.asarray(hh.table["n"], dtype=np.int64)
+        total = max(hh.n_total, 1)
+        share = np.floor(counts * 1e6 / total + 0.5).astype(np.int64)
+        out = pa.table(
+            {
+                **{n: ex[f"__key_{n}"] for n in names},
+                "n": hh.table["n"],
+                "share_e6": pa.array(share),
+            }
+        )
+        return out, hh.guaranteed
+
     def key_counts_left(self, left: ray.data.Dataset) -> ray.data.Dataset:
         return self._key_counts(left, "left")
 

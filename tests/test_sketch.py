@@ -159,3 +159,52 @@ def test_add_approx_distinct_null_rows_skipped(ray_session):
         .set_index("g")["approx_distinct"]
     )
     assert dict(got) == {"a": 1, "b": 1}
+
+
+def test_keylinker_hot_keys_skew_advisory(ray_session):
+    from mismo_ray.linker import KeyLinker
+
+    rng = np.random.default_rng(3)
+    n_tail = 30_000
+    brand = np.concatenate(
+        [
+            np.repeat([f"H{i}" for i in range(5)], [10_000, 9_000, 8_000, 7_000, 6_000]),
+            np.char.add("b", rng.integers(0, 15_000, n_tail).astype(str)),
+        ]
+    )
+    size = np.concatenate(
+        [np.repeat(np.arange(5), [10_000, 9_000, 8_000, 7_000, 6_000]), rng.integers(0, 50, n_tail)]
+    )
+    t = pa.table(
+        {"record_id": np.arange(len(brand)), "brand": brand, "size": size}
+    )
+    ds = ray.data.from_arrow(t).repartition(9)
+    tbl, guaranteed = KeyLinker(["brand", "size"]).hot_keys(ds, k=5)
+    assert guaranteed
+    assert tbl.column_names == ["brand", "size", "n", "share_e6"]
+    assert tbl["brand"].to_pylist() == ["H0", "H1", "H2", "H3", "H4"]
+    assert tbl["n"].to_pylist() == [10_000, 9_000, 8_000, 7_000, 6_000]
+    total = len(brand)
+    assert tbl["share_e6"][0].as_py() == round(10_000 * 1e6 / total)
+
+
+def test_keylinker_hot_keys_flat_not_guaranteed_counts_exact(ray_session):
+    from mismo_ray.linker import KeyLinker
+
+    # one hot key over an otherwise flat tail: the hot row must surface with
+    # its EXACT count even when the tail is too flat to prove completeness
+    n = 60_000
+    rng = np.random.default_rng(5)
+    brand = np.where(
+        np.arange(n) % 3 == 0,
+        "HOT",
+        np.char.add("b", rng.integers(0, 4_000, n).astype(str)),
+    )
+    size = np.where(np.arange(n) % 3 == 0, 1, rng.integers(0, 50, n))
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": np.arange(n), "brand": brand, "size": size})
+    ).repartition(9)
+    tbl, guaranteed = KeyLinker(["brand", "size"]).hot_keys(ds, k=3)
+    assert tbl["brand"][0].as_py() == "HOT"
+    assert tbl["n"][0].as_py() == n // 3
+    assert not guaranteed  # the count-4 tail ties make top-3 unprovable
