@@ -31,7 +31,7 @@ from mismo_ray.linker import (
     sample_all_links,
 )
 from mismo_ray.types import Diff, Linkage, LinksTable, with_linked_values
-from mismo_ray.util_ops import explain
+from mismo_ray.util_ops import describe, explain
 
 __version__ = "0.1.0"
 
@@ -53,6 +53,7 @@ __all__ = [
     "UnnestLinker",
     "__version__",
     "compare",
+    "describe",
     "explain",
     "infer_task",
     "resolve_keys",

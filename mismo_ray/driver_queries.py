@@ -2577,6 +2577,17 @@ def q_heavy_hitters(sf_dir: str):
     return hh.table
 
 
+def q_describe(sf_dir: str):
+    """Distributed column profile (util_ops.describe): one partial row per
+    block through the fold, exact distinct via per-block unique + group
+    count. Exact mode here so every cell is SQL-reproducible; the approx
+    (HyperLogLog) mode is pytest-gated."""
+    from mismo_ray.util_ops import describe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return describe(docs, ["doc_id", "lang"], distinct="exact")
+
+
 def q_lang_distinct_approx(sf_dir: str):
     """Per-language HyperLogLog distinct-text counts (sketch.add_approx_distinct):
     only (lang, register, rho) triples cross the shuffle — never the text.
@@ -2655,6 +2666,7 @@ QUERIES = {
     # ------- entry 51+: family variants (local battery + pytest only) -------
     "events_tumbling": q_events_tumbling,
     "lang_distinct_approx": q_lang_distinct_approx,
+    "describe": q_describe,
     "key_counts": q_key_counts,
     "pair_counts": q_pair_counts,
     "key_linker_link": q_key_linker_link,
@@ -2845,6 +2857,20 @@ ORACLE_SQL = {
         "flat AS (SELECT unnest(toks) AS term FROM t), "
         "c AS (SELECT term, count(*) AS n FROM flat GROUP BY term) "
         "SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 8"
+    ),
+    "describe": (
+        "SELECT 'doc_id' AS \"column\", 'int64' AS dtype, "
+        " COUNT(doc_id) AS n, COUNT(*) - COUNT(doc_id) AS n_null, "
+        " COUNT(DISTINCT doc_id) AS n_distinct, "
+        " CAST(MIN(doc_id) AS VARCHAR) AS \"min\", "
+        " CAST(MAX(doc_id) AS VARCHAR) AS \"max\", "
+        " CAST(FLOOR(SUM(doc_id) * 1000000.0 / COUNT(doc_id) + 0.5) AS BIGINT)"
+        "  AS mean_e6 "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT 'lang', 'string', COUNT(lang), COUNT(*) - COUNT(lang), "
+        " COUNT(DISTINCT lang), MIN(lang), MAX(lang), CAST(NULL AS BIGINT) "
+        "FROM documents"
     ),
     "connected_components": (
         "WITH RECURSIVE edges AS ("

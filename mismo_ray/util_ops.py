@@ -614,3 +614,167 @@ def hash_split_datasets(
         name: labeled.map_batches(keep(name), batch_format="pyarrow")
         for name in fractions
     }
+
+
+def describe(
+    ds: "ray.data.Dataset",
+    columns: "list[str] | None" = None,
+    *,
+    distinct: str | None = "approx",
+    qs=None,
+) -> "pa.Table":
+    """Distributed column profile — the pre-pipeline "what is in this
+    corpus" answer: one row per column with row/null counts, distinct
+    counts, min/max and (numeric) mean.
+
+    Cost model at 100 TB: ONE ``map_batches`` pass emits a single partial
+    row per block (typed min/max/sum/counts per column — a few hundred
+    bytes however many rows the block has); the driver folds <= blocks
+    rows. ``distinct="approx"`` adds one HyperLogLog pass (bounded
+    register rows through a groupby-max, ~1.6% error); ``distinct="exact"``
+    adds one exact distinct-count shuffle per column (small tables only);
+    ``distinct=None`` skips it. ``qs=(0.25, 0.5, 0.75)`` adds exact radix
+    quantiles (:func:`quantiles`) per numeric column, ~3 passes each.
+
+    min/max/mean are computed in the column's own type and FORMATTED to
+    strings only in the final table (so "10" < "9" string traps never
+    touch the fold); mean is integer micro-units (``mean_e6``), exact for
+    |sum * 1e6| < 2^53.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mismo_ray._util import collect_table
+
+    schema = ds.schema(fetch_if_missing=True)
+    if schema is None:
+        raise ValueError("dataset is empty with unknown schema; nothing to profile")
+    base = schema.base_schema
+    cols = list(columns) if columns else list(base.names)
+    types = {c: base.field(c).type for c in cols}
+    numeric = {
+        c
+        for c in cols
+        if pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])
+    }
+    orderable = {
+        c
+        for c in cols
+        if c in numeric
+        or pa.types.is_string(types[c])
+        or pa.types.is_large_string(types[c])
+        or pa.types.is_temporal(types[c])
+        or pa.types.is_boolean(types[c])
+    }
+
+    def partials(t: pa.Table) -> pa.Table:
+        row: dict = {}
+        for c in cols:
+            col = t[c].combine_chunks()
+            n_null = col.null_count
+            row[f"__n_{c}"] = pa.array([len(col) - n_null], type=pa.int64())
+            row[f"__nn_{c}"] = pa.array([n_null], type=pa.int64())
+            if c in orderable:
+                mm = pc.min_max(col)
+                row[f"__min_{c}"] = pa.array([mm["min"].as_py()], type=types[c])
+                row[f"__max_{c}"] = pa.array([mm["max"].as_py()], type=types[c])
+            if c in numeric:
+                s = pc.sum(col.cast(pa.float64(), safe=False))
+                row[f"__sum_{c}"] = pa.array(
+                    [s.as_py() if s.is_valid else None], type=pa.float64()
+                )
+        return pa.table(row)
+
+    folded = collect_table(ds.map_batches(partials, batch_format="pyarrow"))
+
+    n_distinct: dict[str, int | None] = {c: None for c in cols}
+    if distinct == "approx":
+        from mismo_ray.sketch import approx_distinct
+
+        for c in cols:
+            n_distinct[c] = approx_distinct(ds, c)
+    elif distinct == "exact":
+        from ray.data.aggregate import Count
+
+        def block_unique(c):
+            def fn(t: pa.Table) -> pa.Table:
+                u = t[c].combine_chunks().unique()
+                return pa.table({"v": u.filter(u.is_valid())})
+
+            return fn
+
+        for c in cols:
+            # per-block unique first (map-side combine), then the group count
+            # IS the distinct count — no driver collect of the values
+            n_distinct[c] = (
+                ds.select_columns([c])
+                .map_batches(block_unique(c), batch_format="pyarrow")
+                .groupby("v")
+                .aggregate(Count())
+                .count()
+            )
+    elif distinct is not None:
+        raise ValueError("distinct must be 'approx', 'exact', or None")
+
+    q_results: dict[str, dict] = {}
+    if qs:
+        for c in cols:
+            if c in numeric:
+                q_results[c] = quantiles(ds, c, qs)
+
+    out_rows = {
+        "column": [],
+        "dtype": [],
+        "n": [],
+        "n_null": [],
+        "n_distinct": [],
+        "min": [],
+        "max": [],
+        "mean_e6": [],
+    }
+    for q in qs or ():
+        out_rows[f"q{int(round(q * 100))}"] = []
+    for c in cols:
+        n = int(pc.sum(folded[f"__n_{c}"]).as_py() or 0) if len(folded) else 0
+        nn = int(pc.sum(folded[f"__nn_{c}"]).as_py() or 0) if len(folded) else 0
+        out_rows["column"].append(c)
+        out_rows["dtype"].append(str(types[c]))
+        out_rows["n"].append(n)
+        out_rows["n_null"].append(nn)
+        out_rows["n_distinct"].append(n_distinct[c])
+        if c in orderable and len(folded):
+            mn = pc.min(folded[f"__min_{c}"])
+            mx = pc.max(folded[f"__max_{c}"])
+            out_rows["min"].append(str(mn.as_py()) if mn.is_valid else None)
+            out_rows["max"].append(str(mx.as_py()) if mx.is_valid else None)
+        else:
+            out_rows["min"].append(None)
+            out_rows["max"].append(None)
+        if c in numeric and n > 0 and len(folded):
+            total = float(pc.sum(folded[f"__sum_{c}"]).as_py() or 0.0)
+            out_rows["mean_e6"].append(int(np.floor(total * 1e6 / n + 0.5)))
+        else:
+            out_rows["mean_e6"].append(None)
+        for q in qs or ():
+            v = q_results.get(c, {}).get(q)
+            out_rows[f"q{int(round(q * 100))}"].append(
+                None if v is None or (isinstance(v, float) and np.isnan(v)) else float(v)
+            )
+    return pa.table(
+        {
+            "column": pa.array(out_rows["column"], type=pa.string()),
+            "dtype": pa.array(out_rows["dtype"], type=pa.string()),
+            "n": pa.array(out_rows["n"], type=pa.int64()),
+            "n_null": pa.array(out_rows["n_null"], type=pa.int64()),
+            "n_distinct": pa.array(out_rows["n_distinct"], type=pa.int64()),
+            "min": pa.array(out_rows["min"], type=pa.string()),
+            "max": pa.array(out_rows["max"], type=pa.string()),
+            "mean_e6": pa.array(out_rows["mean_e6"], type=pa.int64()),
+            **{
+                f"q{int(round(q * 100))}": pa.array(
+                    out_rows[f"q{int(round(q * 100))}"], type=pa.float64()
+                )
+                for q in qs or ()
+            },
+        }
+    )

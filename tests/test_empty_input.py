@@ -84,6 +84,7 @@ QUERIES = [
     "bpe_tokens",  # empty vocab -> empty merge table, empty encode
     "heavy_hitters",  # empty corpus -> empty sketch, guarantee trivially True
     "lang_distinct_approx",  # no groups -> empty register table
+    "describe",  # zero-row profile: n=0 rows per column, null min/max/mean
 ]
 
 
@@ -104,6 +105,12 @@ def queries(ray_session):
     return entry_mod.queries()
 
 
+# profiling queries legitimately emit one summary row per PROFILED COLUMN
+# even over zero data rows (their SQL oracles do the same); everything else
+# must yield zero rows
+_SUMMARY_ROWS = {"describe": 2}
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_handles_empty_input(queries, empty_sf_dir, name):
     result = queries[name](empty_sf_dir)
@@ -111,7 +118,11 @@ def test_query_handles_empty_input(queries, empty_sf_dir, name):
         n = result.count()
     else:
         n = len(result)
-    assert n == 0, f"{name} produced {n} rows from an empty input"
+    want = _SUMMARY_ROWS.get(name, 0)
+    assert n == want, f"{name} produced {n} rows from an empty input"
+    if name == "describe":
+        rows = result.to_pylist() if hasattr(result, "to_pylist") else []
+        assert all(r["n"] == 0 and r["n_null"] == 0 for r in rows)
 
 
 def test_clamp_pool_caps_fixed_pools():

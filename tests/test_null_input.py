@@ -62,6 +62,7 @@ QUERIES = [
     "bpe_tokens",  # all-null corpus -> empty merge table, zero-token docs
     "heavy_hitters",  # all-null column -> empty sketch table
     "lang_distinct_approx",  # null langs/texts filtered before registers
+    "describe",  # all-null columns profile to n=0 / null min-max
     "key_linker_pairs",
     "connected_components",
     "fs_score",
