@@ -2577,6 +2577,57 @@ def q_heavy_hitters(sf_dir: str):
     return hh.table
 
 
+def q_window_fns(sf_dir: str):
+    """Row-window functions (window.window_over): lag/lead, running and
+    trailing-3 sums, per-user row numbers over events ordered by ts — one
+    coarse-bucket shuffle, vectorized pandas window kernels per bucket.
+    Money values go through integer cents so the running sums are
+    exact-integer on both engines."""
+    from mismo_ray.window import window_over
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"].combine_chunks().cast(pa.float64()))
+        c = np.floor(v * 100 + 0.5)
+        mask = np.isnan(c)
+        arr = pa.array(
+            np.where(mask, 0, c).astype(np.int64), mask=mask
+        )
+        return t.drop_columns(["value"]).append_column("cents", arr)
+
+    out = window_over(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        partition_by="user_id",
+        order_by="ts",
+        specs=[
+            ("lag", "cents", "lag_cents"),
+            ("lead", "cents", "lead_cents"),
+            ("cumsum", "cents", "cum_cents"),
+            ("rolling_sum", "cents", "roll3_cents", 3),
+            ("row_number", None, "rn"),
+        ],
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(
+            [
+                "event_id",
+                "user_id",
+                "lag_cents",
+                "lead_cents",
+                "cum_cents",
+                "roll3_cents",
+                "rn",
+            ]
+        )
+        # strip the pandas schema metadata the window shuffle attached, so
+        # to_pandas() yields plain int64/float64 (like the DuckDB oracle df)
+        # instead of resurrecting pandas' Int64 extension dtype
+        return t.replace_schema_metadata(None)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_describe(sf_dir: str):
     """Distributed column profile (util_ops.describe): one partial row per
     block through the fold, exact distinct via per-block unique + group
@@ -2656,7 +2707,11 @@ QUERIES = {
     "connected_components": q_connected_components,
     "tf_lookup": q_tf_lookup,
     "postal_parse": q_postal_parse,
-    "asof_join": q_asof_join,
+    # window-function family (round 4): lag/lead/cumsum/rolling/row_number.
+    # Displaces asof_join from the 50-entry driver window — asof_join is
+    # already D-captured green in CORRECTNESS_r02 and stays in the local
+    # battery below.
+    "window_fns": q_window_fns,
     # sketch family (round 4): exact heavy hitters via Misra-Gries + verify.
     # Displaces events_tumbling from the 50-entry driver window — that op is
     # already D-captured green in CORRECTNESS_r01 AND _r02 and stays in the
@@ -2664,6 +2719,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "febrl_dedupe": q_febrl_dedupe,
     # ------- entry 51+: family variants (local battery + pytest only) -------
+    "asof_join": q_asof_join,
     "events_tumbling": q_events_tumbling,
     "lang_distinct_approx": q_lang_distinct_approx,
     "describe": q_describe,
@@ -2857,6 +2913,21 @@ ORACLE_SQL = {
         "flat AS (SELECT unnest(toks) AS term FROM t), "
         "c AS (SELECT term, count(*) AS n FROM flat GROUP BY term) "
         "SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 8"
+    ),
+    "window_fns": (
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        " LAG(cents) OVER (PARTITION BY user_id ORDER BY ts) AS lag_cents, "
+        " LEAD(cents) OVER (PARTITION BY user_id ORDER BY ts) AS lead_cents, "
+        " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        "  AS cum_cents, "
+        " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
+        "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
+        "  AS roll3_cents, "
+        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn "
+        "FROM e"
     ),
     "describe": (
         "SELECT 'doc_id' AS \"column\", 'int64' AS dtype, "

@@ -85,6 +85,7 @@ QUERIES = [
     "heavy_hitters",  # empty corpus -> empty sketch, guarantee trivially True
     "lang_distinct_approx",  # no groups -> empty register table
     "describe",  # zero-row profile: n=0 rows per column, null min/max/mean
+    "window_fns",  # zero events -> zero window rows
 ]
 
 

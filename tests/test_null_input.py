@@ -63,6 +63,7 @@ QUERIES = [
     "heavy_hitters",  # all-null column -> empty sketch table
     "lang_distinct_approx",  # null langs/texts filtered before registers
     "describe",  # all-null columns profile to n=0 / null min-max
+    "window_fns",  # null values flow through lag/sum as SQL nulls
     "key_linker_pairs",
     "connected_components",
     "fs_score",

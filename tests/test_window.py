@@ -1,0 +1,136 @@
+"""window.window_over — partitioned row-window functions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from mismo_ray.window import window_over
+
+
+def _run(df, specs, **kw):
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = window_over(
+        ds, partition_by="k", order_by="ts", specs=specs, **kw
+    ).to_pandas()
+    return out.sort_values(["k", "ts"]).reset_index(drop=True)
+
+
+def test_window_all_kinds_match_pandas_reference(ray_session):
+    rng = np.random.default_rng(4)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "ts": rng.permutation(n),
+            "v": pd.array(
+                np.where(rng.random(n) < 0.1, None, rng.integers(0, 100, n)),
+                dtype="Int64",
+            ),
+        }
+    )
+    out = _run(
+        df,
+        [
+            ("lag", "v", "lag1"),
+            ("lead", "v", "lead2", 2),
+            ("cumsum", "v", "cum"),
+            ("rolling_sum", "v", "roll3", 3),
+            ("row_number", None, "rn"),
+        ],
+    )
+    exp = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    gg = exp.groupby("k", sort=False)
+    exp["lag1"] = gg["v"].shift(1)
+    exp["lead2"] = gg["v"].shift(-2)
+    nn, filled = exp["v"].notna(), exp["v"].fillna(0)
+    cs = filled.groupby(exp["k"]).cumsum()
+    cnt = nn.groupby(exp["k"]).cumsum()
+    exp["cum"] = cs.mask(cnt == 0)
+    csp = cs.groupby(exp["k"]).shift(3).fillna(0)
+    cntp = cnt.groupby(exp["k"]).shift(3).fillna(0)
+    exp["roll3"] = (cs - csp).mask((cnt - cntp) == 0)
+    exp["rn"] = gg.cumcount() + 1
+    for c in ("lag1", "lead2", "cum", "roll3", "rn"):
+        a = out[c].astype("Float64")
+        b = exp[c].astype("Float64")
+        assert ((a.isna() & b.isna()) | (a == b)).all(), c
+
+
+def test_window_partition_invariant(ray_session):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, 2000),
+            "ts": rng.permutation(2000),
+            "v": rng.integers(0, 50, 2000),
+        }
+    )
+    specs = [("cumsum", "v", "cum"), ("row_number", None, "rn")]
+    a = (
+        window_over(
+            ray.data.from_pandas(df).repartition(2),
+            partition_by="k", order_by="ts", specs=specs,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        window_over(
+            ray.data.from_pandas(df).repartition(17),
+            partition_by="k", order_by="ts", specs=specs, num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_window_sql_null_semantics(ray_session):
+    # leading nulls: cumsum stays NULL until the first non-null; a rolling
+    # window containing only nulls is NULL (SQL SUM OVER semantics), never 0
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5,
+            "ts": range(5),
+            "v": pd.array([None, None, 3, None, 4], dtype="Int64"),
+        }
+    )
+    out = _run(df, [("cumsum", "v", "cum"), ("rolling_sum", "v", "roll2", 2)])
+    assert [None if pd.isna(v) else int(v) for v in out["cum"]] == [
+        None, None, 3, 3, 7,
+    ]
+    assert [None if pd.isna(v) else int(v) for v in out["roll2"]] == [
+        None, None, 3, 3, 4,
+    ]
+
+
+def test_window_float_column_and_edges(ray_session):
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": [1, 2, 1],
+            "v": [1.5, 2.5, 9.0],
+        }
+    )
+    out = _run(df, [("lag", "v", "prev"), ("lead", "v", "next")])
+    assert out["prev"].tolist()[0] is None or np.isnan(out["prev"][0])
+    assert out["prev"][1] == 1.5
+    # partitions are independent: b's single row has no neighbors
+    brow = out[out["k"] == "b"].iloc[0]
+    assert np.isnan(brow["prev"]) and np.isnan(brow["next"])
+
+
+def test_window_validation(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "ts": [1], "v": [1]}))
+    with pytest.raises(ValueError):
+        window_over(ds, partition_by="k", order_by="ts", specs=[("bogus", "v", "x")])
+    with pytest.raises(ValueError):
+        window_over(
+            ds, partition_by="k", order_by="ts", specs=[("rolling_sum", "v", "x", 0)]
+        )
+    with pytest.raises(ValueError):
+        window_over(ds, partition_by="k", order_by="ts", specs=[("lag", "v")])
