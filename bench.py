@@ -138,6 +138,23 @@ def run_bench() -> dict:
         # BPE train (word-count shuffle + driver merge loop) + actor-pool
         # encode (first anchor for the tokenizer path)
         dq.q_bpe_tokens(sf_dir).count()
+    with timed("heavy_hitters"):
+        # exact top-8 tokens via the Misra-Gries sketch + verify pass
+        # (first anchor for the sketch family)
+        len(dq.q_heavy_hitters(sf_dir))
+    with timed("describe_profile"):
+        # full-column profile, HLL distinct per column (one partial pass
+        # + one register pass per column)
+        from mismo_ray.util_ops import describe as _describe
+
+        _describe(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
+            ["doc_id", "lang", "text"],
+            distinct="approx",
+        )
+    with timed("window_fns"):
+        # lag/lead/cumsum/rolling/row_number over events in one bucket shuffle
+        dq.q_window_fns(sf_dir).count()
 
     # ---- EM-at-scale anchor: unsupervised FS training on the mult=100
     # amplified corpus (two seeds; cross-seed log-odds spread = estimator
