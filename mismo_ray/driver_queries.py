@@ -2628,6 +2628,29 @@ def q_window_fns(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_quantiles_by(sf_dir: str):
+    """Per-group exact discrete quantiles (util_ops.quantiles_by): one
+    coarse-bucket shuffle, vectorized rank gathers; integer cents keep the
+    cross-engine compare exact."""
+    from mismo_ray.util_ops import quantiles_by
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"].combine_chunks().cast(pa.float64()))
+        c = np.floor(v * 100 + 0.5)
+        mask = np.isnan(c)
+        arr = pa.array(np.where(mask, 0, c).astype(np.int64), mask=mask)
+        return t.drop_columns(["value"]).append_column("cents", arr)
+
+    return quantiles_by(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        "cents",
+        (0.25, 0.5, 0.75),
+    )
+
+
 def q_describe(sf_dir: str):
     """Distributed column profile (util_ops.describe): one partial row per
     block through the fold, exact distinct via per-block unique + group
@@ -2723,6 +2746,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "lang_distinct_approx": q_lang_distinct_approx,
     "describe": q_describe,
+    "quantiles_by": q_quantiles_by,
     "key_counts": q_key_counts,
     "pair_counts": q_pair_counts,
     "key_linker_link": q_key_linker_link,
@@ -2913,6 +2937,14 @@ ORACLE_SQL = {
         "flat AS (SELECT unnest(toks) AS term FROM t), "
         "c AS (SELECT term, count(*) AS n FROM flat GROUP BY term) "
         "SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 8"
+    ),
+    "quantiles_by": (
+        "WITH e AS (SELECT user_id, "
+        " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+        "SELECT user_id, quantile_disc(cents, 0.25) AS q25, "
+        " quantile_disc(cents, 0.5) AS q50, "
+        " quantile_disc(cents, 0.75) AS q75 "
+        "FROM e GROUP BY user_id"
     ),
     "window_fns": (
         "WITH e AS (SELECT event_id, user_id, ts, "

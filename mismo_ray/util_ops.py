@@ -778,3 +778,77 @@ def describe(
             },
         }
     )
+
+
+def quantiles_by(
+    ds: "ray.data.Dataset",
+    key: str,
+    column: str,
+    qs,
+    *,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT per-group discrete quantiles: one row per ``key`` with a
+    ``q<percent>`` column per requested quantile.
+
+    Semantics match DuckDB ``quantile_disc(col, q) GROUP BY key`` (the value
+    at 0-indexed rank ``max(0, ceil(q*n) - 1)`` of the group's ascending
+    sort, nulls excluded; a group whose values are all null keeps its row
+    with null quantiles) — and :func:`quantiles`, its global-scope sibling.
+
+    One shuffle over a COARSE bucket (hash(key) % ~2x CPUs, the repo-wide
+    bucketing rule — never a per-key ``map_groups``); inside each bucket one
+    mergesort by (key, value) and vectorized rank gathers per quantile. The
+    value column keeps its own type end to end.
+    """
+    import pyarrow as pa
+
+    from mismo_ray._joins import default_num_partitions
+    from mismo_ray._util import hash64
+
+    qs = [float(q) for q in qs]
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError("qs must be non-empty, each in [0, 1]")
+    qnames = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(qnames)) != len(qnames):
+        raise ValueError("quantiles collide at integer-percent names")
+    B = int(num_buckets) if num_buckets else default_num_partitions()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.select([key, column]).filter(t[key].combine_chunks().is_valid())
+        h = hash64(t[key]) % np.uint64(B)
+        return t.append_column("__qbkt__", pa.array(h.astype(np.int64)))
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.drop(columns=["__qbkt__"])
+        keys_all = pd.unique(g[key])
+        nn = g[g[column].notna()].sort_values([key, column], kind="mergesort")
+        out = pd.DataFrame({key: keys_all}).sort_values(key, kind="mergesort")
+        if len(nn):
+            kv = nn[key].to_numpy()
+            starts = np.ones(len(kv), dtype=bool)
+            starts[1:] = kv[1:] != kv[:-1]
+            start_idx = np.nonzero(starts)[0]
+            counts = np.diff(np.append(start_idx, len(kv)))
+            gkeys = kv[start_idx]
+            vals = nn[column].to_numpy()
+            per_q = {}
+            for q, qn in zip(qs, qnames):
+                rank = np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
+                per_q[qn] = vals[start_idx + np.minimum(rank, counts - 1)]
+            qdf = pd.DataFrame({key: gkeys, **per_q})
+            out = out.merge(qdf, on=key, how="left")
+        else:
+            for qn in qnames:
+                out[qn] = pd.Series([None] * len(out), dtype="object")
+        return out
+
+    return (
+        # batch_format="pandas" audit: input is pre-projected to (key, value)
+        # in bucketize, so only two scalar columns ever convert
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__qbkt__")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

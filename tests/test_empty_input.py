@@ -86,6 +86,7 @@ QUERIES = [
     "lang_distinct_approx",  # no groups -> empty register table
     "describe",  # zero-row profile: n=0 rows per column, null min/max/mean
     "window_fns",  # zero events -> zero window rows
+    "quantiles_by",  # zero groups -> zero quantile rows
 ]
 
 

@@ -64,6 +64,7 @@ QUERIES = [
     "lang_distinct_approx",  # null langs/texts filtered before registers
     "describe",  # all-null columns profile to n=0 / null min-max
     "window_fns",  # null values flow through lag/sum as SQL nulls
+    "quantiles_by",  # all-null values -> per-group null quantiles
     "key_linker_pairs",
     "connected_components",
     "fs_score",
