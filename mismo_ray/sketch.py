@@ -184,7 +184,6 @@ def heavy_hitters(
     sort_tbl = data.sort_by([("c", "descending"), ("v", "ascending")])
     boundary = int(sort_tbl["c"][4 * k].as_py()) if len(sort_tbl) > 4 * k else 0
     cand = sort_tbl.slice(0, 4 * k)["v"].combine_chunks()
-    cand_list = cand.to_pylist()
 
     def exact_counts(t: pa.Table) -> pa.Table:
         col = t[column].combine_chunks()
