@@ -218,6 +218,77 @@ def hash_join(
     )
 
 
+def keyed_filter(
+    ds: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    on: str,
+    *,
+    invert: bool = False,
+    num_partitions: int | None = None,
+    left_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Semi (or anti, ``invert=True``) filter of ``ds`` by the key set in
+    ``keys_ds[on]`` — WITHOUT an acero join, so payload columns of any type
+    survive (acero rejects list/struct non-key fields, which rules
+    :func:`hash_join` out for embedding tables).
+
+    Both sides bucket by ``hash(key) % B``; inside each bucket one
+    ``pc.is_in`` builds the mask — no row-level python, and the key set
+    never needs to fit on the driver (contrast ``broadcast_isin``).
+    """
+    import pyarrow.compute as pc
+
+    _ls = left_schema or ds.schema(fetch_if_missing=True)
+    if _ls is None:
+        return ds  # empty input: nothing to filter
+    lschema = _ls if isinstance(_ls, pa.Schema) else _ls.base_schema
+    _ks = keys_ds.schema(fetch_if_missing=True)
+    if _ks is None or keys_ds.count() == 0:
+        if invert:
+            return ds  # empty key set: anti keeps everything
+        # semi against an empty key set: nothing survives
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        )
+    B = num_partitions or default_num_partitions()
+    key_type = lschema.field(on).type
+    payload = [c for c in lschema.names if c != on]
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[on]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            k = k.cast(key_type)
+            cols = {on: k}
+            n = len(t)
+            for c in payload:
+                cols[c] = t[c] if side == 0 else pa.nulls(n, lschema.field(c).type)
+            cols["__side__"] = pa.array(np.full(n, side, dtype=np.int8))
+            out = pa.table(cols)
+            bucket = (_combine_hash(out, [on]) % np.uint64(B)).astype(np.int64)
+            return out.append_column("__bucket__", pa.array(bucket))
+
+        return fn
+
+    unioned = ds.map_batches(tag(0), batch_format="pyarrow").union(
+        keys_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def filter_bucket(t: pa.Table) -> pa.Table:
+        side = t["__side__"]
+        data = t.filter(pc.equal(side, 0))
+        keys = t.filter(pc.equal(side, 1))[on].combine_chunks().unique()
+        mask = pc.is_in(data[on].combine_chunks(), value_set=keys)
+        if invert:
+            mask = pc.invert(mask)
+        return data.filter(mask).drop_columns(["__side__", "__bucket__"])
+
+    return unioned.groupby("__bucket__").map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )
+
+
 def distinct(ds: ray.data.Dataset, cols: str | Sequence[str]) -> ray.data.Dataset:
     """Distinct rows over ``cols`` as a Dataset (``Dataset.unique`` returns a
     python list, so it cannot stay in the plan)."""

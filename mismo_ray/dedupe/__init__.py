@@ -1023,6 +1023,8 @@ from mismo_ray.dedupe._decontam import (  # noqa: E402
     benchmark_grams,
     contamination_stats,
     drop_contaminated,
+    drop_semantic_contaminated,
+    semantic_contamination,
 )
 from mismo_ray.dedupe._lines import (  # noqa: E402
     drop_dup_lines,

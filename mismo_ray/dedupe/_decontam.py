@@ -387,3 +387,85 @@ def drop_contaminated(
         left_schema=in_schema.base_schema,
         right_schema=pa.schema([pa.field(id_column, pa.int64())]),
     )
+
+
+def semantic_contamination(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    vector_column: str = "embedding",
+    id_column: str = "record_id",
+    tau: float = 0.95,
+    method: str = "auto",
+    **linker_kwargs,
+) -> ray.data.Dataset:
+    """Embedding-space decontamination stats: corpus documents whose
+    embedding has cosine >= ``tau`` to ANY benchmark/eval document.
+
+    The semantic counterpart of the n-gram rule (`contamination_stats`):
+    paraphrased or reformatted eval material shares no 13-gram but still
+    sits next to its source in embedding space. Routing follows
+    :class:`~mismo_ray.linker.EmbeddingLinker`: exact chunk-pair join at
+    small scale (recall 1), banded hyperplane LSH + exact verify at corpus
+    scale (``method="lsh"``, the 100 TB path).
+
+    Returns (id_column, n_hits) — one row per contaminated corpus doc with
+    the number of benchmark neighbors at or above ``tau``.
+    """
+    from ray.data.aggregate import Count
+
+    from mismo_ray.linker import EmbeddingLinker
+
+    linker = EmbeddingLinker(
+        vector_column,
+        tau=tau,
+        id_column=id_column,
+        method=method,
+        task="link",
+        **linker_kwargs,
+    )
+    links = linker(ds, benchmark).links_ds
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({id_column: t["record_id_l"]})
+
+    return (
+        links.map_batches(project, batch_format="pyarrow")
+        .groupby(id_column)
+        .aggregate(Count(alias_name="n_hits"))
+    )
+
+
+def drop_semantic_contaminated(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    vector_column: str = "embedding",
+    id_column: str = "record_id",
+    tau: float = 0.95,
+    method: str = "auto",
+    **linker_kwargs,
+) -> ray.data.Dataset:
+    """Remove corpus documents with embedding cosine >= ``tau`` to any
+    benchmark document (see :func:`semantic_contamination`).
+
+    ``ds`` is consumed twice (the pair join + the filter's anti side): pass
+    a materialized / checkpointed dataset for expensive upstreams.
+    """
+    from mismo_ray._joins import keyed_filter
+
+    bad = semantic_contamination(
+        ds,
+        benchmark,
+        vector_column=vector_column,
+        id_column=id_column,
+        tau=tau,
+        method=method,
+        **linker_kwargs,
+    )
+    # keyed_filter, not hash_join: the corpus carries a list<float> payload
+    # column, which acero rejects as a join field; the bucketed is_in filter
+    # shuffles it untouched
+    return keyed_filter(
+        ds, bad.select_columns([id_column]), id_column, invert=True
+    )

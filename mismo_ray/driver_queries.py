@@ -2628,6 +2628,30 @@ def q_window_fns(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_semantic_decontaminate(sf_dir: str):
+    """Embedding-space decontamination (dedupe.drop_semantic_contaminated):
+    corpus = vec_id < 400, benchmark = the rest; any corpus doc with cosine
+    >= 0.40 to a benchmark doc is dropped (the paraphrase-robust counterpart
+    of the 13-gram rule). Exact chunk-pair join here; the LSH path is
+    pytest-gated."""
+    from mismo_ray.dedupe import drop_semantic_contaminated
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = emb.filter(expr="vec_id < 400")
+    bench = emb.filter(expr="vec_id >= 400")
+    out = drop_semantic_contaminated(
+        corpus,
+        bench,
+        id_column="vec_id",
+        tau=0.40,
+        method="exact",
+        chunk_rows=64,
+    )
+    return out.map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow"
+    )
+
+
 def q_quantiles_by(sf_dir: str):
     """Per-group exact discrete quantiles (util_ops.quantiles_by): one
     coarse-bucket shuffle, vectorized rank gathers; integer cents keep the
@@ -2747,6 +2771,7 @@ QUERIES = {
     "lang_distinct_approx": q_lang_distinct_approx,
     "describe": q_describe,
     "quantiles_by": q_quantiles_by,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "key_counts": q_key_counts,
     "pair_counts": q_pair_counts,
     "key_linker_link": q_key_linker_link,
@@ -2937,6 +2962,11 @@ ORACLE_SQL = {
         "flat AS (SELECT unnest(toks) AS term FROM t), "
         "c AS (SELECT term, count(*) AS n FROM flat GROUP BY term) "
         "SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 8"
+    ),
+    "semantic_decontaminate": (
+        "SELECT a.vec_id FROM embeddings a WHERE a.vec_id < 400 "
+        "AND NOT EXISTS (SELECT 1 FROM embeddings b WHERE b.vec_id >= 400 "
+        " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.40)"
     ),
     "quantiles_by": (
         "WITH e AS (SELECT user_id, "

@@ -138,3 +138,100 @@ def test_double_space_and_null_handling(ray_session):
     # empty split segments are dropped: "a  b   c d" -> [a,b,c,d] -> 2 grams,
     # one of which ("a b c") is in the benchmark; "x y" has no 3-grams
     assert got == {0: (2, 1)}
+
+
+# ---------------------------------------------------------------- semantic
+def _emb_tables():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(12)
+    d = 16
+    # benchmark: 5 well-separated unit vectors; corpus: 40 docs, 10 of which
+    # are tiny perturbations of benchmark docs (cosine ~0.99), 30 random
+    bench = rng.normal(size=(5, d))
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    near = bench[rng.integers(0, 5, 10)] + rng.normal(scale=0.02, size=(10, d))
+    far = rng.normal(size=(30, d))
+    corpus = np.vstack([near, far])
+    to_tbl = lambda m, ids: pa.table(
+        {"record_id": ids, "embedding": [list(map(float, r)) for r in m]}
+    )
+    return (
+        to_tbl(corpus, list(range(40))),
+        to_tbl(bench, list(range(1000, 1005))),
+        set(range(10)),
+    )
+
+
+def test_semantic_contamination_finds_paraphrases(ray_session):
+    import ray.data
+
+    from mismo_ray.dedupe import drop_semantic_contaminated, semantic_contamination
+
+    corpus_t, bench_t, planted = _emb_tables()
+    corpus = ray.data.from_arrow(corpus_t).repartition(4)
+    bench = ray.data.from_arrow(bench_t)
+    stats = semantic_contamination(
+        corpus, bench, tau=0.9, method="exact", chunk_rows=8
+    ).to_pandas()
+    assert set(stats["record_id"]) == planted
+    assert (stats["n_hits"] >= 1).all()
+    kept = drop_semantic_contaminated(
+        corpus, bench, tau=0.9, method="exact", chunk_rows=8
+    )
+    kept_ids = set(kept.to_pandas()["record_id"])
+    assert kept_ids == set(range(10, 40))
+    # payload survives the anti filter intact
+    assert kept.schema().base_schema.field("embedding").type == corpus_t.schema.field("embedding").type
+
+
+def test_semantic_contamination_lsh_path_agrees(ray_session):
+    import ray.data
+
+    from mismo_ray.dedupe import semantic_contamination
+
+    corpus_t, bench_t, planted = _emb_tables()
+    corpus = ray.data.from_arrow(corpus_t).repartition(3)
+    bench = ray.data.from_arrow(bench_t)
+    got = semantic_contamination(
+        corpus, bench, tau=0.9, method="lsh", n_bands=16, bits_per_band=4
+    ).to_pandas()
+    # LSH + exact verify: no false positives; recall on near-identical
+    # vectors (cos ~0.99) must find all planted docs at these band settings
+    assert set(got["record_id"]) == planted
+
+
+def test_keyed_filter_semi_anti_list_payload(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray._joins import keyed_filter
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": [1, 2, 3, 4, 5],
+                "vec": [[1.0], [2.0], [3.0], [4.0], [5.0]],
+            }
+        )
+    ).repartition(3)
+    keys = ray.data.from_arrow(pa.table({"id": [2, 4, 9]}))
+    semi = keyed_filter(ds, keys, "id").to_pandas()
+    assert sorted(semi["id"]) == [2, 4]
+    anti = keyed_filter(ds, keys, "id", invert=True).to_pandas()
+    anti = anti.sort_values("id").reset_index(drop=True)
+    assert anti["id"].tolist() == [1, 3, 5]
+    assert [list(v) for v in anti["vec"]] == [[1.0], [3.0], [5.0]]
+
+
+def test_keyed_filter_empty_key_set(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray._joins import keyed_filter
+
+    ds = ray.data.from_arrow(pa.table({"id": [1, 2], "vec": [[1.0], [2.0]]}))
+    empty = ray.data.from_arrow(pa.table({"id": pa.array([], type=pa.int64())}))
+    assert keyed_filter(ds, empty, "id", invert=True).count() == 2
+    assert keyed_filter(ds, empty, "id").count() == 0

@@ -87,6 +87,7 @@ QUERIES = [
     "describe",  # zero-row profile: n=0 rows per column, null min/max/mean
     "window_fns",  # zero events -> zero window rows
     "quantiles_by",  # zero groups -> zero quantile rows
+    "semantic_decontaminate",  # empty corpus -> empty survivors
 ]
 
 

@@ -65,6 +65,7 @@ QUERIES = [
     "describe",  # all-null columns profile to n=0 / null min-max
     "window_fns",  # null values flow through lag/sum as SQL nulls
     "quantiles_by",  # all-null values -> per-group null quantiles
+    "semantic_decontaminate",  # null embeddings never pair; all rows survive
     "key_linker_pairs",
     "connected_components",
     "fs_score",
