@@ -242,8 +242,14 @@ def keyed_filter(
     if _ls is None:
         return ds  # empty input: nothing to filter
     lschema = _ls if isinstance(_ls, pa.Schema) else _ls.base_schema
+    # NOTE: no keys_ds.count() pre-check — that would execute the (possibly
+    # expensive) keys pipeline once just to test emptiness and then again in
+    # the union. A zero-ROW keys side flows through naturally: is_in against
+    # an empty value set is all-false, which is already the correct semi
+    # (empty) / anti (everything) answer. Only a zero-BLOCK keys side with
+    # unobservable schema needs the short-circuit below.
     _ks = keys_ds.schema(fetch_if_missing=True)
-    if _ks is None or keys_ds.count() == 0:
+    if _ks is None:
         if invert:
             return ds  # empty key set: anti keeps everything
         # semi against an empty key set: nothing survives

@@ -2577,6 +2577,17 @@ def q_heavy_hitters(sf_dir: str):
     return hh.table
 
 
+def _to_cents(t: pa.Table, src: str = "value", dst: str = "cents") -> pa.Table:
+    """round(src*100) as nullable int64 — the ONE fixed-point rule shared by
+    every money-column oracle (SQL mirror: CAST(FLOOR(v*100+0.5) AS BIGINT));
+    change it here and in the SQL together."""
+    v = np.asarray(t[src].combine_chunks().cast(pa.float64()))
+    c = np.floor(v * 100 + 0.5)
+    mask = np.isnan(c)
+    arr = pa.array(np.where(mask, 0, c).astype(np.int64), mask=mask)
+    return t.drop_columns([src]).append_column(dst, arr)
+
+
 def q_window_fns(sf_dir: str):
     """Row-window functions (window.window_over): lag/lead, running and
     trailing-3 sums, per-user row numbers over events ordered by ts — one
@@ -2587,17 +2598,8 @@ def q_window_fns(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def cents(t: pa.Table) -> pa.Table:
-        v = np.asarray(t["value"].combine_chunks().cast(pa.float64()))
-        c = np.floor(v * 100 + 0.5)
-        mask = np.isnan(c)
-        arr = pa.array(
-            np.where(mask, 0, c).astype(np.int64), mask=mask
-        )
-        return t.drop_columns(["value"]).append_column("cents", arr)
-
     out = window_over(
-        ev.map_batches(cents, batch_format="pyarrow"),
+        ev.map_batches(_to_cents, batch_format="pyarrow"),
         partition_by="user_id",
         order_by="ts",
         specs=[
@@ -2660,15 +2662,8 @@ def q_quantiles_by(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["user_id", "value"])
 
-    def cents(t: pa.Table) -> pa.Table:
-        v = np.asarray(t["value"].combine_chunks().cast(pa.float64()))
-        c = np.floor(v * 100 + 0.5)
-        mask = np.isnan(c)
-        arr = pa.array(np.where(mask, 0, c).astype(np.int64), mask=mask)
-        return t.drop_columns(["value"]).append_column("cents", arr)
-
     return quantiles_by(
-        ev.map_batches(cents, batch_format="pyarrow"),
+        ev.map_batches(_to_cents, batch_format="pyarrow"),
         "user_id",
         "cents",
         (0.25, 0.5, 0.75),

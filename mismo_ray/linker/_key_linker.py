@@ -168,30 +168,31 @@ class KeyLinker:
         sorted hottest first, and the sketch's completeness-proof flag
         (False = data too flat for a provable top-k at this candidate_cap —
         which itself means no salting is needed). Keys are profiled through
-        a 64-bit composite hash; a hash collision would merge two key
-        tuples (probability ~k*distinct/2^64 — negligible, and irrelevant
-        to the advisory use)."""
-        from mismo_ray._util import combine_hash_columns
+        the 64-bit composite ``__block__`` hash project_keyed already emits
+        (computed ONCE per row, shared by both passes); a hash collision
+        would merge two key tuples (probability ~k*distinct/2^64 —
+        negligible, and irrelevant to the advisory use)."""
         from mismo_ray.sketch import heavy_hitters
 
         keyed = project_keyed(ds, self.keys, side, None)
         kcols = [f"__key_{k_.name}" for k_ in self.keys]
 
-        def hashed(t: pa.Table) -> pa.Table:
-            # int64 view (bit-reinterpret) of the uint64 composite hash:
-            # arrow kernels and the sketch groupby stay on a signed type
-            h = combine_hash_columns(t, kcols).view(np.int64)
-            return pa.table({"__kh": pa.array(h)})
-
         hh = heavy_hitters(
-            keyed.map_batches(hashed, batch_format="pyarrow"),
-            "__kh",
+            keyed.map_batches(
+                lambda t: t.select(["__block__"]), batch_format="pyarrow"
+            ),
+            "__block__",
             k=k,
             candidate_cap=candidate_cap,
         )
         names = [k_.name for k_ in self.keys]
         if len(hh.table) == 0:
-            schema = base_schema_or(keyed, None)
+            schema = base_schema_or(
+                keyed,
+                # empty input downstream of a map: key types unobservable,
+                # and with zero rows any consistent type is safe
+                pa.schema([pa.field(c, pa.null()) for c in kcols]),
+            )
             empty = pa.table(
                 {
                     **{
@@ -203,16 +204,15 @@ class KeyLinker:
                 }
             )
             return empty, hh.guaranteed
-        top_hashes = np.asarray(hh.table["__kh"], dtype=np.int64)
+        top_hashes = np.asarray(hh.table["__block__"], dtype=np.int64)
         hot_set = pa.array(top_hashes)
 
         def lookup(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            h = combine_hash_columns(t, kcols).view(np.int64)
-            mask = pc.is_in(pa.array(h), value_set=hot_set)
-            sub = t.select(kcols).filter(mask)
-            sub = sub.append_column("__kh", pa.array(h[np.asarray(mask)]))
+            mask = pc.is_in(t["__block__"].combine_chunks(), value_set=hot_set)
+            sub = t.select(["__block__", *kcols]).filter(mask)
+            sub = sub.rename_columns(["__kh", *kcols])
             # one exemplar per hash per block: <= k rows out per block
             return (
                 sub.group_by("__kh")

@@ -689,10 +689,75 @@ def describe(
 
     n_distinct: dict[str, int | None] = {c: None for c in cols}
     if distinct == "approx":
-        from mismo_ray.sketch import approx_distinct
+        # ONE pass for every column: each block emits (col_idx, register,
+        # rho) rows for all profiled columns together — 20 columns cost one
+        # corpus scan, not twenty (the HLL register key already composes
+        # with a column index through the same groupby-max)
+        from mismo_ray._util import hash64
+        from mismo_ray.sketch import _HLL_SEED, _bit_length_u64, _hll_estimate
+        from ray.data.aggregate import Max
 
-        for c in cols:
-            n_distinct[c] = approx_distinct(ds, c)
+        p = 12
+        m = 1 << p
+        shift = np.uint64(64 - p)
+        # nested (list/struct) columns are not hashable by the row hash;
+        # their n_distinct stays None rather than crashing the profile
+        prof_cols = [c for c in cols if not pa.types.is_nested(types[c])]
+
+        def regs_all(t: pa.Table) -> pa.Table:
+            ci, ii, rr = [], [], []
+            for cidx, c in enumerate(prof_cols):
+                col = t[c].combine_chunks()
+                col = col.filter(col.is_valid())
+                if len(col) == 0:
+                    continue
+                h = hash64(col, _HLL_SEED)
+                idx = (h >> shift).astype(np.int64)
+                w = h & ((np.uint64(1) << shift) - np.uint64(1))
+                rho = (64 - p - _bit_length_u64(w) + 1).astype(np.int64)
+                regs = np.zeros(m, dtype=np.int64)
+                np.maximum.at(regs, idx, rho)
+                nz = np.nonzero(regs)[0]
+                ci.append(np.full(len(nz), cidx, dtype=np.int64))
+                ii.append(nz)
+                rr.append(regs[nz])
+            if not ci:
+                return pa.table(
+                    {
+                        "c": pa.array([], type=pa.int64()),
+                        "i": pa.array([], type=pa.int64()),
+                        "r": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "c": pa.array(np.concatenate(ci)),
+                    "i": pa.array(np.concatenate(ii)),
+                    "r": pa.array(np.concatenate(rr)),
+                }
+            )
+
+        from mismo_ray._util import collect_table as _collect
+
+        merged = _collect(
+            ds.map_batches(regs_all, batch_format="pyarrow")
+            .groupby(["c", "i"])
+            .aggregate(Max("r", alias_name="r"))
+        )
+        if len(merged):
+            mc = np.asarray(merged["c"], dtype=np.int64)
+            mi = np.asarray(merged["i"], dtype=np.int64)
+            mr = np.asarray(merged["r"], dtype=np.int64)
+            for cidx, c in enumerate(prof_cols):
+                sel = mc == cidx
+                regs = np.zeros(m, dtype=np.int64)
+                regs[mi[sel]] = mr[sel]
+                n_distinct[c] = (
+                    int(round(_hll_estimate(regs))) if regs.any() else 0
+                )
+        else:
+            for c in prof_cols:
+                n_distinct[c] = 0
     elif distinct == "exact":
         from ray.data.aggregate import Count
 
@@ -704,6 +769,8 @@ def describe(
             return fn
 
         for c in cols:
+            if pa.types.is_nested(types[c]):
+                continue  # arrow unique/groupby cannot key nested types
             # per-block unique first (map-side combine), then the group count
             # IS the distinct count — no driver collect of the values
             n_distinct[c] = (
@@ -794,14 +861,17 @@ def quantiles_by(
     Semantics match DuckDB ``quantile_disc(col, q) GROUP BY key`` (the value
     at 0-indexed rank ``max(0, ceil(q*n) - 1)`` of the group's ascending
     sort, nulls excluded; a group whose values are all null keeps its row
-    with null quantiles) — and :func:`quantiles`, its global-scope sibling.
+    with null quantiles; NULL keys form their own group) — and
+    :func:`quantiles`, its global-scope sibling.
 
     One shuffle over a COARSE bucket (hash(key) % ~2x CPUs, the repo-wide
     bucketing rule — never a per-key ``map_groups``); inside each bucket one
-    mergesort by (key, value) and vectorized rank gathers per quantile. The
-    value column keeps its own type end to end.
+    arrow sort by (key, value) and vectorized rank gathers per quantile.
+    Key and value columns keep their own arrow types end to end (rank
+    gathers are arrow ``take`` calls, never numpy round-trips).
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from mismo_ray._joins import default_num_partitions
     from mismo_ray._util import hash64
@@ -815,40 +885,56 @@ def quantiles_by(
     B = int(num_buckets) if num_buckets else default_num_partitions()
 
     def bucketize(t: pa.Table) -> pa.Table:
-        t = t.select([key, column]).filter(t[key].combine_chunks().is_valid())
+        t = t.select([key, column])
+        # null keys keep their rows: hash64 sends them all to one sentinel
+        # bucket, so the NULL group is co-resident like any other group
         h = hash64(t[key]) % np.uint64(B)
         return t.append_column("__qbkt__", pa.array(h.astype(np.int64)))
 
-    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+    def per_bucket(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        g = g.drop(columns=["__qbkt__"])
-        keys_all = pd.unique(g[key])
-        nn = g[g[column].notna()].sort_values([key, column], kind="mergesort")
-        out = pd.DataFrame({key: keys_all}).sort_values(key, kind="mergesort")
-        if len(nn):
-            kv = nn[key].to_numpy()
-            starts = np.ones(len(kv), dtype=bool)
-            starts[1:] = kv[1:] != kv[:-1]
-            start_idx = np.nonzero(starts)[0]
-            counts = np.diff(np.append(start_idx, len(kv)))
-            gkeys = kv[start_idx]
-            vals = nn[column].to_numpy()
-            per_q = {}
-            for q, qn in zip(qs, qnames):
-                rank = np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
-                per_q[qn] = vals[start_idx + np.minimum(rank, counts - 1)]
-            qdf = pd.DataFrame({key: gkeys, **per_q})
-            out = out.merge(qdf, on=key, how="left")
-        else:
-            for qn in qnames:
-                out[qn] = pd.Series([None] * len(out), dtype="object")
-        return out
+        t = t.drop_columns(["__qbkt__"])
+        # key asc + value asc, nulls last: within each key group the first
+        # n_valid slots are exactly the ascending non-null values
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key, "ascending"), (column, "ascending")],
+            null_placement="at_end",
+        )
+        st = t.take(idx)
+        kcol = st[key].combine_chunks()
+        karr = kcol.to_pandas().to_numpy()
+        n = len(karr)
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.chunked_array([kcol]),
+                    **{qn: st[column] for qn in qnames},
+                }
+            ).select([key, *qnames])
+        isna = pd.isna(karr)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = ~((karr[1:] == karr[:-1]) | (isna[1:] & isna[:-1]))
+        start_idx = np.nonzero(starts)[0]
+        ends = np.append(start_idx[1:], n)
+        valid = np.asarray(st[column].combine_chunks().is_valid())
+        vcum = np.concatenate([[0], np.cumsum(valid)])
+        n_valid = vcum[ends] - vcum[start_idx]
+        cols = {key: kcol.take(pa.array(start_idx, type=pa.int64()))}
+        vchunk = st[column].combine_chunks()
+        for q, qn in zip(qs, qnames):
+            rank = np.maximum(0, np.ceil(q * n_valid).astype(np.int64) - 1)
+            pos = start_idx + np.minimum(rank, np.maximum(n_valid - 1, 0))
+            take_idx = pa.array(
+                np.where(n_valid > 0, pos, -1), type=pa.int64(),
+                mask=n_valid == 0,
+            )
+            cols[qn] = vchunk.take(take_idx)  # null index -> null quantile
+        return pa.table(cols)
 
     return (
-        # batch_format="pandas" audit: input is pre-projected to (key, value)
-        # in bucketize, so only two scalar columns ever convert
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("__qbkt__")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -99,33 +99,33 @@ def window_over(
         g = g.drop(columns=["__wbkt__"]).sort_values(
             [partition_by, *order_cols], kind="mergesort"
         )
-        grp = g.groupby(partition_by, sort=False)
+        # dropna=False everywhere: SQL's PARTITION BY treats NULL keys as ONE
+        # partition (they all land in the hash64(null)-sentinel bucket, so
+        # the whole null partition is co-resident here)
+        grp = g.groupby(partition_by, sort=False, dropna=False)
+        gkeys = g[partition_by]
+
+        def by_key(s: pd.Series):
+            return s.groupby(gkeys.to_numpy(), sort=False, dropna=False)
+
         for kind, col, name, param in norm:
             if kind == "row_number":
                 g[name] = (grp.cumcount() + 1).astype("int64")
                 continue
             x = _as_nullable(g[col])
-            xg = x.groupby(g[partition_by].to_numpy(), sort=False)
             if kind == "lag":
-                g[name] = xg.shift(param)
+                g[name] = by_key(x).shift(param)
             elif kind == "lead":
-                g[name] = xg.shift(-param)
+                g[name] = by_key(x).shift(-param)
             else:
                 nn = x.notna()
-                filled = x.fillna(0)
-                fg = filled.groupby(g[partition_by].to_numpy(), sort=False)
-                cg = nn.groupby(g[partition_by].to_numpy(), sort=False)
-                cs = fg.cumsum()
-                cnt = cg.cumsum()
+                cs = by_key(x.fillna(0)).cumsum()
+                cnt = by_key(nn).cumsum()
                 if kind == "cumsum":
                     g[name] = cs.mask(cnt == 0)
                 else:  # rolling_sum over the trailing `param` rows
-                    cs_prev = cs.groupby(
-                        g[partition_by].to_numpy(), sort=False
-                    ).shift(param)
-                    cnt_prev = cnt.groupby(
-                        g[partition_by].to_numpy(), sort=False
-                    ).shift(param)
+                    cs_prev = by_key(cs).shift(param)
+                    cnt_prev = by_key(cnt).shift(param)
                     roll = cs - cs_prev.fillna(0)
                     rcnt = cnt - cnt_prev.fillna(0)
                     g[name] = roll.mask(rcnt == 0)

@@ -79,3 +79,21 @@ def test_quantiles_by_validation(ray_session):
         quantiles_by(ds, "k", "v", (1.5,))
     with pytest.raises(ValueError):
         quantiles_by(ds, "k", "v", (0.251, 0.252))  # integer-percent collision
+
+
+def test_quantiles_by_null_key_group_kept(ray_session):
+    # SQL GROUP BY emits a row for the NULL key group; it must survive here
+    df = pd.DataFrame(
+        {"k": ["a", None, "a", None], "v": [1.0, 9.0, 3.0, 11.0]}
+    )
+    got = (
+        quantiles_by(ray.data.from_pandas(df).repartition(3), "k", "v", (0.5,))
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.5) q50 FROM df GROUP BY k "
+        "ORDER BY k NULLS LAST"
+    ).df()
+    assert got.equals(exp)

@@ -134,3 +134,31 @@ def test_window_validation(ray_session):
         )
     with pytest.raises(ValueError):
         window_over(ds, partition_by="k", order_by="ts", specs=[("lag", "v")])
+
+
+def test_window_null_partition_key_is_one_partition(ray_session):
+    # SQL PARTITION BY groups NULL keys into ONE partition; row_number must
+    # not crash (pandas dropna would yield NaN cumcounts) and lag/cumsum
+    # must treat the null-key rows as ordinary partition members
+    df = pd.DataFrame(
+        {
+            "k": ["a", None, "a", None, "b"],
+            "ts": [1, 1, 2, 2, 1],
+            "v": [10, 20, 30, 40, 50],
+        }
+    )
+    out = window_over(
+        ray.data.from_pandas(df).repartition(3),
+        partition_by="k",
+        order_by="ts",
+        specs=[
+            ("row_number", None, "rn"),
+            ("cumsum", "v", "cum"),
+            ("lag", "v", "prev"),
+        ],
+    ).to_pandas()
+    out = out.sort_values(["k", "ts"], na_position="last").reset_index(drop=True)
+    nulls = out[out["k"].isna()].reset_index(drop=True)
+    assert nulls["rn"].tolist() == [1, 2]
+    assert nulls["cum"].tolist() == [20, 60]
+    assert pd.isna(nulls["prev"][0]) and nulls["prev"][1] == 20
