@@ -35,13 +35,14 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     ap.add_argument(
         "--pipeline",
-        choices=["er", "crawl_clean", "linkgraph", "pretrain"],
+        choices=["er", "crawl_clean", "linkgraph", "pretrain", "profile"],
         default="er",
         help="er = flagship entity resolution; crawl_clean = the webtext "
         "cleaning chain (canonical URL -> PII redact -> lang-ID + quality "
         "gate -> line dedup -> exact dedupe); linkgraph = href extraction "
         "-> host edges -> fixed-point PageRank; pretrain = crawl_clean -> "
-        "CCNet LM gate -> hash split -> packed training shards",
+        "CCNet LM gate -> hash split -> packed training shards; profile = "
+        "corpus pre-pass (column describe, hot hosts, per-lang distinct)",
     )
     ap.add_argument(
         "--multiplier", type=int, default=60, help="crawl_clean corpus amplification"
@@ -76,6 +77,24 @@ def main() -> None:
         )
         summary = {
             "pipeline": "linkgraph",
+            "seconds": round(time.time() - t0, 3),
+            "counters": counters,
+            "output": args.output,
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return
+
+    if args.pipeline == "profile":
+        from mismo_ray.pipelines._profile import profile_pipeline
+
+        t0 = time.time()
+        counters = profile_pipeline(args.sf_dir, output_dir=args.output)
+        summary = {
+            "pipeline": "profile",
             "seconds": round(time.time() - t0, 3),
             "counters": counters,
             "output": args.output,
