@@ -1019,6 +1019,58 @@ def dedupe_report(
     )
 
 
+
+def subtract_exact(
+    ds: ray.data.Dataset,
+    ref: ray.data.Dataset,
+    column: str = "text",
+    *,
+    normalize: Callable[[str], str] | None = None,
+    invert: bool = False,
+) -> ray.data.Dataset:
+    """Cross-corpus exact subtraction: drop every row of ``ds`` whose
+    ``column`` content (optionally normalized) appears ANYWHERE in ``ref``
+    — the one-shot "remove the eval set from the training set byte-exactly"
+    operation (the cross-RUN flavor lives in state.dedup_index).
+
+    Both sides reduce to the same 128-bit content hash exact_dedupe uses
+    (two independently-seeded siphash folds, hex-encoded into one key), so
+    only ~40 B/row crosses the shuffle; the anti side is
+    :func:`mismo_ray._joins.keyed_filter` (bucketed ``is_in``, no acero),
+    so payload columns of any type survive. ``invert=True`` returns the
+    INTERSECTION instead (rows of ``ds`` that do appear in ref — the audit
+    view). Null content never matches anything.
+    """
+    from mismo_ray._joins import keyed_filter
+    from mismo_ray._util import hash64_base, hash64_fold
+
+    def add_key(t: pa.Table) -> pa.Table:
+        import binascii
+
+        vals = t[column].to_pylist()
+        if normalize is not None:
+            vals = [None if v is None else normalize(v) for v in vals]
+        base = hash64_base(vals)
+        n = len(base)
+        combined = np.empty((n, 2), dtype=">u8")
+        combined[:, 0] = hash64_fold(base, 0xE0)
+        combined[:, 1] = hash64_fold(base, 0xE1)
+        # one C hexlify over the whole batch, then a vectorized 32-char split
+        key = np.frombuffer(binascii.hexlify(combined.tobytes()), dtype="S32")
+        null_mask = np.array([v is None for v in vals], dtype=bool)
+        return t.append_column(
+            "__ch__",
+            pa.array(key.astype("U32"), type=pa.string(), mask=null_mask),
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    ref_keys = ref.map_batches(
+        lambda t: add_key(t).select(["__ch__"]), batch_format="pyarrow"
+    )
+    out = keyed_filter(keyed, ref_keys, "__ch__", invert=not invert)
+    return out.drop_columns(["__ch__"])
+
+
 from mismo_ray.dedupe._decontam import (  # noqa: E402
     benchmark_grams,
     contamination_stats,

@@ -2654,6 +2654,32 @@ def q_semantic_decontaminate(sf_dir: str):
     )
 
 
+def q_subtract_exact(sf_dir: str):
+    """Cross-corpus exact subtraction (dedupe.subtract_exact): train =
+    doc_id % 3 != 0, ref = doc_id % 5 == 0; any train doc whose text appears
+    byte-exactly in ref is dropped (the one-shot remove-eval-from-train op).
+    128-bit content-hash keys through the acero-free keyed_filter; null text
+    never matches and always survives."""
+    from mismo_ray.dedupe import subtract_exact
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mod_filter(m: int, keep_zero: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            did = np.asarray(t["doc_id"], dtype=np.int64)
+            mask = (did % m == 0) if keep_zero else (did % m != 0)
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    train = docs.map_batches(mod_filter(3, False), batch_format="pyarrow")
+    ref = docs.map_batches(mod_filter(5, True), batch_format="pyarrow")
+    out = subtract_exact(train, ref, "text")
+    return out.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
 def q_quantiles_by(sf_dir: str):
     """Per-group exact discrete quantiles (util_ops.quantiles_by): one
     coarse-bucket shuffle, vectorized rank gathers; integer cents keep the
@@ -2767,6 +2793,7 @@ QUERIES = {
     "describe": q_describe,
     "quantiles_by": q_quantiles_by,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "subtract_exact": q_subtract_exact,
     "key_counts": q_key_counts,
     "pair_counts": q_pair_counts,
     "key_linker_link": q_key_linker_link,
@@ -2962,6 +2989,11 @@ ORACLE_SQL = {
         "SELECT a.vec_id FROM embeddings a WHERE a.vec_id < 400 "
         "AND NOT EXISTS (SELECT 1 FROM embeddings b WHERE b.vec_id >= 400 "
         " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.40)"
+    ),
+    "subtract_exact": (
+        "SELECT a.doc_id FROM documents a WHERE a.doc_id % 3 != 0 "
+        "AND NOT EXISTS (SELECT 1 FROM documents b WHERE b.doc_id % 5 = 0 "
+        " AND b.text = a.text)"
     ),
     "quantiles_by": (
         "WITH e AS (SELECT user_id, "

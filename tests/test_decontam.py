@@ -235,3 +235,46 @@ def test_keyed_filter_empty_key_set(ray_session):
     empty = ray.data.from_arrow(pa.table({"id": pa.array([], type=pa.int64())}))
     assert keyed_filter(ds, empty, "id", invert=True).count() == 2
     assert keyed_filter(ds, empty, "id").count() == 0
+
+
+def test_subtract_exact_content_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.dedupe import subtract_exact
+
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": list(range(6)),
+                "text": ["a", "b", "c", "d", "e", None],
+            }
+        )
+    ).repartition(3)
+    ref = ray.data.from_arrow(pa.table({"x": [0, 1], "text": ["b", "d"]}))
+    out = subtract_exact(train, ref, "text").to_pandas().sort_values("record_id")
+    # content matches drop; null text never matches and survives
+    assert out["record_id"].tolist() == [0, 2, 4, 5]
+    hits = (
+        subtract_exact(train, ref, "text", invert=True)
+        .to_pandas()
+        .sort_values("record_id")
+    )
+    assert hits["record_id"].tolist() == [1, 3]
+
+
+def test_subtract_exact_normalize_and_empty_ref(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.dedupe import subtract_exact
+
+    train = ray.data.from_arrow(
+        pa.table({"record_id": [1, 2], "text": ["  Hello  World ", "x"]})
+    )
+    ref = ray.data.from_arrow(pa.table({"text": ["hello world"]}))
+    norm = lambda s: " ".join(s.lower().split())
+    out = subtract_exact(train, ref, "text", normalize=norm).to_pandas()
+    assert out["record_id"].tolist() == [2]
+    empty_ref = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    assert subtract_exact(train, empty_ref, "text").count() == 2

@@ -88,6 +88,7 @@ QUERIES = [
     "window_fns",  # zero events -> zero window rows
     "quantiles_by",  # zero groups -> zero quantile rows
     "semantic_decontaminate",  # empty corpus -> empty survivors
+    "subtract_exact",  # empty corpus -> empty survivors
 ]
 
 

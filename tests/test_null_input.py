@@ -66,6 +66,7 @@ QUERIES = [
     "window_fns",  # null values flow through lag/sum as SQL nulls
     "quantiles_by",  # all-null values -> per-group null quantiles
     "semantic_decontaminate",  # null embeddings never pair; all rows survive
+    "subtract_exact",  # null text never matches; survives the anti
     "key_linker_pairs",
     "connected_components",
     "fs_score",
