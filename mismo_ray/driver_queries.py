@@ -2606,6 +2606,7 @@ def q_window_fns(sf_dir: str):
             ("lag", "cents", "lag_cents"),
             ("lead", "cents", "lead_cents"),
             ("cumsum", "cents", "cum_cents"),
+            ("cummax", "cents", "max_cents"),
             ("rolling_sum", "cents", "roll3_cents", 3),
             ("row_number", None, "rn"),
         ],
@@ -2618,6 +2619,7 @@ def q_window_fns(sf_dir: str):
                 "lag_cents",
                 "lead_cents",
                 "cum_cents",
+                "max_cents",
                 "roll3_cents",
                 "rn",
             ]
@@ -3012,6 +3014,8 @@ ORACLE_SQL = {
         " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
         "  AS cum_cents, "
+        " MAX(cents) OVER (PARTITION BY user_id ORDER BY ts "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_cents, "
         " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
         "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
         "  AS roll3_cents, "

@@ -35,7 +35,15 @@ import ray.data
 
 __all__ = ["window_over"]
 
-_KINDS = ("lag", "lead", "cumsum", "rolling_sum", "row_number")
+_KINDS = (
+    "lag",
+    "lead",
+    "cumsum",
+    "cummax",
+    "cummin",
+    "rolling_sum",
+    "row_number",
+)
 
 
 def window_over(
@@ -54,6 +62,9 @@ def window_over(
       rows before/after within the partition (default n=1), null at edges;
     - ``("cumsum", col, name)`` — running sum in order, nulls skipped
       (SQL ``SUM(col) OVER (... ROWS UNBOUNDED PRECEDING)``);
+    - ``("cummax", col, name)`` / ``("cummin", col, name)`` — running
+      max/min, nulls skipped (NULL only while every value so far is null
+      — SQL ``MAX/MIN OVER`` semantics, NOT pandas' NaN-at-null-rows);
     - ``("rolling_sum", col, name, w)`` — trailing w-row sum including the
       current row (SQL ``ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW``);
     - ``("row_number", None, name)`` — 1-based position in order
@@ -117,6 +128,28 @@ def window_over(
                 g[name] = by_key(x).shift(param)
             elif kind == "lead":
                 g[name] = by_key(x).shift(-param)
+            elif kind in ("cummax", "cummin"):
+                # SQL running MAX/MIN skips nulls (result at a null row is
+                # the running extreme so far); pandas cummax leaves NaN at
+                # null rows — fill with the dtype's identity, then null out
+                # rows before the first non-null value
+                nn = x.notna()
+                if pd.api.types.is_integer_dtype(x.dtype):
+                    ident = (
+                        np.iinfo(np.int64).min
+                        if kind == "cummax"
+                        else np.iinfo(np.int64).max
+                    )
+                else:
+                    ident = -np.inf if kind == "cummax" else np.inf
+                filled = x.fillna(ident)
+                run = (
+                    by_key(filled).cummax()
+                    if kind == "cummax"
+                    else by_key(filled).cummin()
+                )
+                cnt = by_key(nn).cumsum()
+                g[name] = run.mask(cnt == 0)
             else:
                 nn = x.notna()
                 cs = by_key(x.fillna(0)).cumsum()

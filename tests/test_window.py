@@ -162,3 +162,49 @@ def test_window_null_partition_key_is_one_partition(ray_session):
     assert nulls["rn"].tolist() == [1, 2]
     assert nulls["cum"].tolist() == [20, 60]
     assert pd.isna(nulls["prev"][0]) and nulls["prev"][1] == 20
+
+
+def test_window_cummax_cummin_sql_null_semantics(ray_session):
+    # SQL MAX/MIN OVER skip nulls: the running extreme carries THROUGH null
+    # rows, and is NULL only while every value so far is null
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "ts": list(range(5)) + [0, 1],
+            "v": pd.array([None, 3, None, 1, 7, 2, None], dtype="Int64"),
+        }
+    )
+    out = _run(df, [("cummax", "v", "mx"), ("cummin", "v", "mn")])
+    a = out[out["k"] == "a"]
+    assert [None if pd.isna(x) else int(x) for x in a["mx"]] == [
+        None, 3, 3, 3, 7,
+    ]
+    assert [None if pd.isna(x) else int(x) for x in a["mn"]] == [
+        None, 3, 3, 1, 1,
+    ]
+    b = out[out["k"] == "b"]
+    assert [None if pd.isna(x) else int(x) for x in b["mx"]] == [2, 2]
+
+
+def test_window_cummax_float_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 1000),
+            "ts": rng.permutation(1000),
+            "v": np.where(rng.random(1000) < 0.1, np.nan, rng.normal(size=1000)),
+        }
+    )
+    out = _run(df, [("cummax", "v", "mx"), ("cummin", "v", "mn")])
+    exp = duckdb.sql(
+        "SELECT k, ts, MAX(v) OVER (PARTITION BY k ORDER BY ts "
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) mx, "
+        "MIN(v) OVER (PARTITION BY k ORDER BY ts "
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) mn "
+        "FROM df ORDER BY k, ts"
+    ).df()
+    for c in ("mx", "mn"):
+        a, b = out[c], exp[c]
+        assert ((a.isna() & b.isna()) | (a == b)).all(), c
