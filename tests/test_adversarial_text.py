@@ -59,6 +59,9 @@ QUERIES = [
     "quality_classifier",  # unicode/huge docs through featurize + training
     "bpe_tokens",  # merge loop + encoder over degenerate vocabularies
     "token_budget",  # utf8_length weights over huge/multibyte docs
+    "heavy_hitters",  # token sketch over 50k-char tokens / zero-width runs
+    "subtract_exact",  # content-hash keys over NUL bytes / max code points
+    "describe",  # min/max/distinct over extreme unicode strings
 ]
 
 
