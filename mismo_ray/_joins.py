@@ -285,6 +285,13 @@ def keyed_filter(
         side = t["__side__"]
         data = t.filter(pc.equal(side, 0))
         keys = t.filter(pc.equal(side, 1))[on].combine_chunks().unique()
+        # SQL semi/anti semantics: a NULL key never equals anything, so a
+        # null in the key SET must not match null inputs.  pc.is_in's
+        # default SetLookupOptions matches null-to-null, which would make
+        # e.g. subtract_exact silently drop null-content rows whenever the
+        # reference side contains any null.  Drop nulls from the value set;
+        # null inputs then probe to False (semi drops them, anti keeps them).
+        keys = keys.drop_null()
         mask = pc.is_in(data[on].combine_chunks(), value_set=keys)
         if invert:
             mask = pc.invert(mask)
@@ -323,7 +330,10 @@ def broadcast_isin(
     """
     import pyarrow.compute as pc
 
-    vals = list(values)
+    # SQL semi/anti semantics: NULL never equals anything, so a None in the
+    # broadcast value set must not match null inputs (same rule as
+    # keyed_filter's drop_null on the bucketed path).
+    vals = [v for v in values if v is not None]
     try:
         value_set = pa.array(vals)
         if pa.types.is_nested(value_set.type):

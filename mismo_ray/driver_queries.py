@@ -2601,7 +2601,10 @@ def q_window_fns(sf_dir: str):
     out = window_over(
         ev.map_batches(_to_cents, batch_format="pyarrow"),
         partition_by="user_id",
-        order_by="ts",
+        # event_id tie-break: window_over's determinism contract needs
+        # (partition_by, *order_by) to be a unique key; (user_id, ts) alone
+        # is not guaranteed unique on an arbitrary corpus
+        order_by=["ts", "event_id"],
         specs=[
             ("lag", "cents", "lag_cents"),
             ("lead", "cents", "lead_cents"),
@@ -3009,17 +3012,17 @@ ORACLE_SQL = {
         "WITH e AS (SELECT event_id, user_id, ts, "
         " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
         "SELECT event_id, user_id, "
-        " LAG(cents) OVER (PARTITION BY user_id ORDER BY ts) AS lag_cents, "
-        " LEAD(cents) OVER (PARTITION BY user_id ORDER BY ts) AS lead_cents, "
-        " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
+        " LAG(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_cents, "
+        " LEAD(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead_cents, "
+        " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
         "  AS cum_cents, "
-        " MAX(cents) OVER (PARTITION BY user_id ORDER BY ts "
+        " MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_cents, "
-        " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
+        " CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
         "  AS roll3_cents, "
-        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn "
+        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
         "FROM e"
     ),
     "describe": (

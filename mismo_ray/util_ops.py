@@ -646,6 +646,13 @@ def describe(
 
     from mismo_ray._util import collect_table
 
+    if qs:
+        # same guard as quantiles_by: q values that round to the same integer
+        # percent (0.333 vs 0.334) would silently overwrite each other's
+        # q{pct} column, last writer winning
+        _qnames = [f"q{int(round(float(q) * 100))}" for q in qs]
+        if len(set(_qnames)) != len(_qnames):
+            raise ValueError("quantiles collide at integer-percent names")
     schema = ds.schema(fetch_if_missing=True)
     if schema is None:
         raise ValueError("dataset is empty with unknown schema; nothing to profile")
@@ -892,8 +899,6 @@ def quantiles_by(
         return t.append_column("__qbkt__", pa.array(h.astype(np.int64)))
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         t = t.drop_columns(["__qbkt__"])
         # key asc + value asc, nulls last: within each key group the first
         # n_valid slots are exactly the ascending non-null values
@@ -904,8 +909,7 @@ def quantiles_by(
         )
         st = t.take(idx)
         kcol = st[key].combine_chunks()
-        karr = kcol.to_pandas().to_numpy()
-        n = len(karr)
+        n = len(kcol)
         if n == 0:
             return pa.table(
                 {
@@ -913,9 +917,19 @@ def quantiles_by(
                     **{qn: st[column] for qn in qnames},
                 }
             ).select([key, *qnames])
-        isna = pd.isna(karr)
+        # group boundaries via dictionary CODES, not a pandas round-trip:
+        # int64 keys with any null would convert to float64 there, so
+        # distinct keys above 2^53 could compare equal and silently merge
+        # adjacent groups.  Codes are small ints; nulls all take code -1
+        # (and sort contiguously, so they still form exactly one group).
+        codes = (
+            pc.dictionary_encode(kcol)
+            .indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         starts = np.ones(n, dtype=bool)
-        starts[1:] = ~((karr[1:] == karr[:-1]) | (isna[1:] & isna[:-1]))
+        starts[1:] = codes[1:] != codes[:-1]
         start_idx = np.nonzero(starts)[0]
         ends = np.append(start_idx[1:], n)
         valid = np.asarray(st[column].combine_chunks().is_valid())

@@ -261,6 +261,21 @@ def test_subtract_exact_content_and_nulls(ray_session):
         .sort_values("record_id")
     )
     assert hits["record_id"].tolist() == [1, 3]
+    # REF-side nulls must not match train-side nulls (SQL: NULL = NULL is
+    # not true) — regression for keyed_filter's is_in null-to-null match
+    ref_null = ray.data.from_arrow(
+        pa.table({"x": [0, 1], "text": ["b", None]})
+    )
+    out2 = (
+        subtract_exact(train, ref_null, "text").to_pandas().sort_values("record_id")
+    )
+    assert out2["record_id"].tolist() == [0, 2, 3, 4, 5]
+    hits2 = (
+        subtract_exact(train, ref_null, "text", invert=True)
+        .to_pandas()
+        .sort_values("record_id")
+    )
+    assert hits2["record_id"].tolist() == [1]
 
 
 def test_subtract_exact_normalize_and_empty_ref(ray_session):

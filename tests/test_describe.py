@@ -71,3 +71,9 @@ def test_describe_rejects_bad_distinct(ray_session):
     ds = ray.data.from_arrow(pa.table({"x": [1]}))
     with pytest.raises(ValueError):
         describe(ds, distinct="bogus")
+
+
+def test_describe_rejects_colliding_quantile_names(ray_session):
+    ds = ray.data.from_arrow(pa.table({"x": [1.0, 2.0]}))
+    with pytest.raises(ValueError):
+        describe(ds, qs=(0.333, 0.334))  # both round to q33

@@ -97,3 +97,31 @@ def test_quantiles_by_null_key_group_kept(ray_session):
         "ORDER BY k NULLS LAST"
     ).df()
     assert got.equals(exp)
+
+
+def test_quantiles_by_huge_int_keys_with_null(ray_session):
+    # int64 keys above 2^53 with a null in the column: a pandas float64
+    # round-trip would merge adjacent distinct keys — boundaries must be
+    # detected on exact codes (regression for the dictionary-code fix)
+    import pyarrow as pa
+
+    k1 = 2**53 + 0  # 9007199254740992
+    k2 = 2**53 + 1  # adjacent, equal as float64
+    t = pa.table(
+        {
+            "k": pa.array([k1, k1, k2, k2, None], type=pa.int64()),
+            "v": pa.array([1.0, 3.0, 10.0, 30.0, 7.0]),
+        }
+    )
+    from mismo_ray._util import collect_table
+
+    # stay in Arrow end-to-end: a pandas round-trip would itself collapse
+    # these keys to the same float64
+    got = collect_table(
+        quantiles_by(ray.data.from_arrow(t).repartition(2), "k", "v", (0.5,))
+    )
+    rows = sorted(
+        got.to_pylist(), key=lambda r: (r["k"] is None, r["k"])
+    )
+    assert [r["k"] for r in rows] == [k1, k2, None]
+    assert [r["q50"] for r in rows] == [1.0, 10.0, 7.0]
