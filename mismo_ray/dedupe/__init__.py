@@ -645,18 +645,33 @@ def hamming64(a: int, b: int) -> int:
 
 def simhash_pairs(
     ds: ray.data.Dataset,
-    column: str,
+    column: str | None,
     *,
     max_hamming: int = 3,
     shingle_w: int = 4,
     seed: int = 11,
     max_pairs: int | None = None,
+    signature_column: str | None = None,
 ) -> Linkage:
     """Candidates via 4x16-bit simhash bands (any equal band blocks the pair
     — catches all pairs within hamming distance 3 of each other by
-    pigeonhole), verified by exact hamming distance."""
+    pigeonhole), verified by exact hamming distance.
+
+    ``signature_column`` feeds PRECOMPUTED int64 fingerprints straight into
+    the banding (the text kernel is skipped; ``column`` may be None) — for
+    corpora whose simhashes were computed upstream, and for SQL-oracle
+    verification of the banding+hamming machinery with signatures both
+    engines can derive (null signatures pair with nothing).
+    """
 
     def add_simhash(t: pa.Table) -> pa.Table:
+        if signature_column is not None:
+            return pa.table(
+                {
+                    "record_id": t["record_id"],
+                    "__simhash__": t[signature_column].cast(pa.int64()),
+                }
+            )
         hs = simhash64_batch(
             t[column].to_pylist(), shingle_w=shingle_w, seed=seed
         )

@@ -1178,6 +1178,40 @@ def q_minhash_lsh_link(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """Simhash banding + exact-hamming verification (dedupe.simhash_pairs)
+    over PRECOMPUTED signatures both engines can derive bit-exactly:
+    sig(doc) = splitmix64(doc_id % 97 + 1) XOR low-bit prefix mask of
+    min(doc_id // 97, 6) bits — so same-group replicas sit at exact known
+    hamming distances and cross-group pairs are random 64-bit points.  The
+    SQL oracle reproduces the signatures (same splitmix64 mixer as the
+    hash_split oracle) and checks bit_count(xor()) <= 3 over all pairs —
+    the banding/merge machinery is value-checked end to end.  The text
+    simhash kernel itself is exercised rows-only by simhash_text below and
+    bit-level by tests/test_dedupe.py."""
+    from mismo_ray._util import splitmix64
+    from mismo_ray.dedupe import simhash_pairs
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+
+    def add_sig(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        base = splitmix64((ids % 97 + 1).astype(np.uint64))
+        nbits = np.minimum(ids // 97, 6).astype(np.uint64)
+        mask = (np.uint64(1) << nbits) - np.uint64(1)
+        return t.append_column(
+            "sig", pa.array((base ^ mask).astype(np.int64))
+        )
+
+    keyed = docs.map_batches(add_sig, batch_format="pyarrow")
+    return simhash_pairs(
+        keyed, None, max_hamming=3, signature_column="sig"
+    ).links_ds
+
+
+def q_simhash_text(sf_dir: str):
+    """The text-kernel flavor of simhash_pairs: char-shingle simhash of the
+    document text, banded + hamming-verified. Rows-only (the siphash
+    shingle fold has no SQL expression); kernel parity is pytest-gated."""
     from mismo_ray.dedupe import simhash_pairs
 
     docs = _with_record_id(_read(sf_dir, "documents", ["doc_id", "text"]), "doc_id")
@@ -2724,23 +2758,78 @@ def q_lang_distinct_approx(sf_dir: str):
 
 
 # Ordering contract: the driver's CORRECTNESS capture runs exactly the FIRST
-# 50 entries of this dict.  The first 50 therefore hold one representative of
-# every operator family — the webtext/LLM tier first (it is the round-3+
-# surface the capture previously missed), then the core ER families.  Entries
-# 51+ are family variants / redundant shapes; they stay fully exercised by
-# tools/check_queries.py (the 90-query local battery) and pytest.
+# 50 entries of this dict.  Round-5 rotation (VERDICT r4 'Next round' #1):
+# the window now holds the flagship plus the 26 queries never captured in
+# any prior round's CORRECTNESS_r0N.json (the r4 sketch/trainable tier,
+# pr_curve/quantiles/blocking_report, bloom, warc, golden-data link legs),
+# then 23 strong family representatives.  Every entry displaced to 51+
+# (gopher_quality, c4_clean, canonical_url, registered_domain,
+# blocked_hosts, extract_links, anchor_stats, html_text, host_stats,
+# cap_per_host, hash_split, row_number, redact_pii, repetition_stats,
+# lang_id, token_stats, ccnet_buckets, dup_line_stats, media_features,
+# dedupe_report, unnest_linker, sorted_neighborhood, filter_links_best,
+# with_n_links, tf_lookup, postal_parse, febrl_dedupe, asof_join,
+# events_tumbling, key_counts, pair_counts, ...) is already D-captured
+# green in CORRECTNESS_r01-r04; all entries stay fully exercised by
+# tools/check_queries.py (the full local battery) and pytest.
 QUERIES = {
-    # --- flagship + webtext/LLM tier ---------------------------------------
+    # --- driver window: flagship + the 26 never-captured queries -----------
     "flagship_er": q_flagship,
+    "lang_distinct_approx": q_lang_distinct_approx,
+    "describe": q_describe,
+    "quantiles_by": q_quantiles_by,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "subtract_exact": q_subtract_exact,
+    "ivfpq_topk": q_ivfpq_topk,
+    "dsir_sample": q_dsir_sample,
+    "substring_spans": q_substring_spans,
+    "substring_strip": q_substring_strip,
+    "drop_dup_lines_domain": q_drop_dup_lines_domain,
+    "extract_anchors": q_extract_anchors,
+    "read_warc": q_read_warc,
+    "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
+    "drop_contaminated": q_drop_contaminated,
+    "affiliations_dedupe": q_affiliations_dedupe,
+    "incremental_neardup": q_incremental_neardup,
+    "febrl_link": q_febrl_link,
+    "pr_curve": q_pr_curve,
+    "quantiles": q_quantiles,
+    "blocking_report": q_blocking_report,
+    "incremental_dedupe_bloom": q_incremental_dedupe_bloom,
+    "embedding_linker_link": q_embedding_linker_link,
+    "compression_stats": q_compression_stats,
+    "token_budget": q_token_budget,
+    "bpe_tokens": q_bpe_tokens,
+    "word_counts": q_word_counts,
+    # --- driver window: family representatives (all previously D-green) ----
+    "ivf_topk": q_ivf_topk,
+    "simhash_pairs": q_simhash_pairs,
     "drop_dup_lines": q_drop_dup_lines,
     "substring_dedupe": q_substring_dedupe,
     "lm_perplexity": q_lm_perplexity,
+    "decontaminate": q_decontaminate,
+    "exact_dedupe": q_exact_dedupe,
+    "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "semdedup": q_semdedup,
+    "fuzzy_dedupe": q_fuzzy_dedupe,
+    "incremental_dedupe": q_incremental_dedupe,
+    "ann_topk": q_ann_topk,
+    "key_linker_pairs": q_key_linker_pairs,
+    "fs_score": q_fs_score,
+    "connected_components": q_connected_components,
+    "window_fns": q_window_fns,
+    "heavy_hitters": q_heavy_hitters,
+    "quality_classifier": q_quality_classifier,
+    "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
+    "host_pagerank": q_host_pagerank,
+    # ------- entry 51+: previously-captured entries + family variants -------
+    "simhash_text": q_simhash_text,
     "gopher_quality": q_gopher_quality,
     "c4_clean": q_c4_clean,
     "canonical_url": q_canonical_url,
-    "host_pagerank": q_host_pagerank,
-    "pack_sequences": q_pack_sequences,
-    "decontaminate": q_decontaminate,
     "dup_line_stats": q_dup_line_stats,
     "ccnet_buckets": q_ccnet_buckets,
     "registered_domain": q_registered_domain,
@@ -2749,56 +2838,24 @@ QUERIES = {
     "anchor_stats": q_anchor_stats,
     "html_text": q_html_text,
     "host_stats": q_host_stats,
-    "mixture_sample": q_mixture_sample,
     "cap_per_host": q_cap_per_host,
     "hash_split": q_hash_split,
     "row_number": q_row_number,
     "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
-    "quality_classifier": q_quality_classifier,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
-    # --- dedupe family ------------------------------------------------------
-    "exact_dedupe": q_exact_dedupe,
-    "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
-    "simhash_pairs": q_simhash_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_neardup": q_embedding_neardup,
-    "semdedup": q_semdedup,
-    "fuzzy_dedupe": q_fuzzy_dedupe,
-    "incremental_dedupe": q_incremental_dedupe,
-    "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "dedupe_report": q_dedupe_report,
-    # --- core ER families ---------------------------------------------------
-    "key_linker_pairs": q_key_linker_pairs,
     "unnest_linker": q_unnest_linker,
     "sorted_neighborhood": q_sorted_neighborhood,
-    "fs_score": q_fs_score,
     "filter_links_best": q_filter_links_best,
     "with_n_links": q_with_n_links,
-    "connected_components": q_connected_components,
     "tf_lookup": q_tf_lookup,
     "postal_parse": q_postal_parse,
-    # window-function family (round 4): lag/lead/cumsum/rolling/row_number.
-    # Displaces asof_join from the 50-entry driver window — asof_join is
-    # already D-captured green in CORRECTNESS_r02 and stays in the local
-    # battery below.
-    "window_fns": q_window_fns,
-    # sketch family (round 4): exact heavy hitters via Misra-Gries + verify.
-    # Displaces events_tumbling from the 50-entry driver window — that op is
-    # already D-captured green in CORRECTNESS_r01 AND _r02 and stays in the
-    # local battery below.
-    "heavy_hitters": q_heavy_hitters,
     "febrl_dedupe": q_febrl_dedupe,
-    # ------- entry 51+: family variants (local battery + pytest only) -------
     "asof_join": q_asof_join,
     "events_tumbling": q_events_tumbling,
-    "lang_distinct_approx": q_lang_distinct_approx,
-    "describe": q_describe,
-    "quantiles_by": q_quantiles_by,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "subtract_exact": q_subtract_exact,
     "key_counts": q_key_counts,
     "pair_counts": q_pair_counts,
     "key_linker_link": q_key_linker_link,
@@ -2825,28 +2882,6 @@ QUERIES = {
     "range_join": q_range_join,
     "diff_updates": q_diff_updates,
     "minhash_lsh_link": q_minhash_lsh_link,
-    "ivf_topk": q_ivf_topk,
-    "ivfpq_topk": q_ivfpq_topk,
-    "dsir_sample": q_dsir_sample,
-    "substring_spans": q_substring_spans,
-    "substring_strip": q_substring_strip,
-    "drop_dup_lines_domain": q_drop_dup_lines_domain,
-    "extract_anchors": q_extract_anchors,
-    "read_warc": q_read_warc,
-    "fuzzy_dedupe_best": q_fuzzy_dedupe_best,
-    "drop_contaminated": q_drop_contaminated,
-    "affiliations_dedupe": q_affiliations_dedupe,
-    "incremental_neardup": q_incremental_neardup,
-    "febrl_link": q_febrl_link,
-    "pr_curve": q_pr_curve,
-    "quantiles": q_quantiles,
-    "blocking_report": q_blocking_report,
-    "incremental_dedupe_bloom": q_incremental_dedupe_bloom,
-    "embedding_linker_link": q_embedding_linker_link,
-    "compression_stats": q_compression_stats,
-    "token_budget": q_token_budget,
-    "bpe_tokens": q_bpe_tokens,
-    "word_counts": q_word_counts,
 }
 
 
@@ -3359,6 +3394,25 @@ ORACLE_SQL = {
         "UNION ALL "
         "SELECT 'update', b.record_id, b.p_name, a.p_name "
         "FROM before_t b JOIN after_t a USING (record_id) WHERE b.p_name <> a.p_name"
+    ),
+    "simhash_pairs": (
+        "WITH ids AS (SELECT doc_id, CAST(doc_id % 97 + 1 AS UBIGINT) AS x, "
+        " LEAST(doc_id // 97, 6) AS nb FROM documents), "
+        "s1 AS (SELECT doc_id, nb, CAST((CAST(x AS HUGEINT) + 11400714819323198527) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM ids), "
+        "s2 AS (SELECT doc_id, nb, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) "
+        " * 13787848793156543929 % 4294967296) * 4294967296 "
+        " + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+        "s3 AS (SELECT doc_id, nb, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) "
+        " * 10723151780598845931 % 4294967296) * 4294967296 "
+        " + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) "
+        " % 18446744073709551616 AS UBIGINT) AS z FROM s2), "
+        "sig AS (SELECT doc_id, xor(xor(z, z >> 31), "
+        " (CAST(1 AS UBIGINT) << nb) - 1) AS sig FROM s3) "
+        "SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
     ),
     "ngram_jaccard": (
         "WITH d AS (SELECT doc_id, substr(text, 1, 80) AS text FROM documents "

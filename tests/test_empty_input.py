@@ -55,6 +55,7 @@ QUERIES = [
     "exact_dedupe",
     "minhash_lsh_dedupe",
     "simhash_pairs",  # was: NoneType.base_schema (UnnestLinker)
+    "simhash_text",  # text-kernel flavor (empty corpus -> no signatures)
     "ngram_jaccard",  # was: NoneType.base_schema (with_both collect)
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",

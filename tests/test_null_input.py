@@ -41,6 +41,8 @@ QUERIES = [
     "diff_updates",  # was: None + "X" in the update fixture
     "exact_dedupe",
     "minhash_lsh_dedupe",
+    "simhash_pairs",  # id-derived signatures unaffected by null text
+    "simhash_text",  # all-null text -> no signatures, no pairs
     "ngram_jaccard",
     "lang_id",
     "token_stats",
