@@ -80,6 +80,7 @@ QUERIES = [
     "hash_split",
     "media_features",
     "read_warc",  # was: KeyError doc_id (empty shard frame)
+    "compression_stats",  # zero docs -> zero stat rows
     "quality_classifier",  # empty corpus: zero-weight model, empty scores
     "token_budget",  # empty groups -> empty prefix
     "bpe_tokens",  # empty vocab -> empty merge table, empty encode

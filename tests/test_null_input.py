@@ -64,6 +64,8 @@ QUERIES = [
     "bpe_tokens",  # all-null corpus -> empty merge table, zero-token docs
     "heavy_hitters",  # all-null column -> empty sketch table
     "lang_distinct_approx",  # null langs/texts filtered before registers
+    "compression_stats",  # null text -> 0 bytes / 0 entropy, bounds hold
+    "read_warc",  # null text renders as the empty page body
     "describe",  # all-null columns profile to n=0 / null min-max
     "window_fns",  # null values flow through lag/sum as SQL nulls
     "quantiles_by",  # all-null values -> per-group null quantiles
