@@ -83,38 +83,138 @@ def _distinct_lists(lists: pa.ListArray) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()), kept_flat)
 
 
+def _block_keys_distributed(
+    feat: ray.data.Dataset, rare: ray.data.Dataset, keyed_filter
+) -> ray.data.Dataset:
+    """The scale path of rare-token blocking: keys exploded to
+    (record_id, term, pos) rows, semi-filtered against the rare-term
+    Dataset (bucketed ``pc.is_in``, nothing collected), regrouped to
+    ``block_keys`` lists per coarse hash bucket (vectorized lexsort, not
+    per-record python), and attached back to ``feat`` with the same
+    bucketed lookup join the cluster code uses for list payloads."""
+    from mismo_ray._joins import default_num_partitions
+    from mismo_ray._util import hash64
+    from mismo_ray.cluster._connected_components import bucketed_lookup_join
+
+    B = default_num_partitions()
+
+    def explode(t: pa.Table) -> pa.Table:
+        lists = t["keys"].combine_chunks()
+        offsets = np.asarray(lists.offsets, dtype=np.int64)
+        sizes = np.diff(offsets)
+        rid = np.repeat(np.asarray(t["record_id"], dtype=np.int64), sizes)
+        pos = np.arange(len(lists.values), dtype=np.int64) - np.repeat(
+            offsets[:-1], sizes
+        )
+        return pa.table(
+            {
+                "record_id": pa.array(rid),
+                "term": lists.values,
+                "pos": pa.array(pos),
+            }
+        )
+
+    exploded = feat.map_batches(explode, batch_format="pyarrow")
+    kept = keyed_filter(exploded, rare, on="term")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = hash64(np.asarray(t["record_id"], dtype=np.int64))
+        return t.append_column(
+            "__bkt__", pa.array((h % np.uint64(B)).astype(np.int64))
+        )
+
+    def regroup(g: pa.Table) -> pa.Table:
+        rid = np.asarray(g["record_id"], dtype=np.int64)
+        if len(rid) == 0:
+            return pa.table(
+                {
+                    "record_id": pa.array([], type=pa.int64()),
+                    "block_keys": pa.array([], type=pa.list_(pa.string())),
+                }
+            )
+        pos = np.asarray(g["pos"], dtype=np.int64)
+        order = np.lexsort((pos, rid))
+        terms = g["term"].combine_chunks().take(
+            pa.array(order, type=pa.int64())
+        )
+        rs = rid[order]
+        starts = np.concatenate([[0], np.nonzero(rs[1:] != rs[:-1])[0] + 1])
+        offsets = np.concatenate([starts, [len(rs)]])
+        return pa.table(
+            {
+                "record_id": pa.array(rs[starts]),
+                "block_keys": pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), terms
+                ),
+            }
+        )
+
+    regrouped = (
+        kept.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bkt__")
+        .map_groups(regroup, batch_format="pyarrow")
+    )
+    return bucketed_lookup_join(
+        feat,
+        "record_id",
+        regrouped,
+        key_name="record_id",
+        val_name="block_keys",
+        out_type=pa.list_(pa.string()),
+        result_name="block_keys",
+        # records whose keys are all hot have no rare terms: empty block set
+        on_missing=lambda missing: pa.array(
+            [[]] * len(missing), type=pa.list_(pa.string())
+        ),
+    )
+
+
 def affiliations_match_pairs(
     records: ray.data.Dataset,
     *,
     bar: float = 0.45,
     max_df: int = 200,
+    max_broadcast_terms: int = 5_000_000,
 ) -> Linkage:
     """Predicted duplicate pairs: rare-token blocking + token-set jaccard
-    >= ``bar`` over the full key sets."""
-    from mismo_ray._joins import partition_hint
+    >= ``bar`` over the full key sets.
+
+    The rare-term set is broadcast (one ``ray.put`` array, read per actor)
+    only while it holds <= ``max_broadcast_terms`` terms; past that — the
+    rare-term TAIL of a web corpus grows with the corpus — blocking flips
+    to the distributed path: explode keys -> ``keyed_filter`` semi join
+    against the rare Dataset (never collected) -> regroup per record.
+    Both paths produce identical block_keys (order preserved via element
+    position); tests/test_affiliations.py forces the join path and checks
+    pair-set equality."""
+    from mismo_ray._joins import keyed_filter, partition_hint
     from mismo_ray.sets import rare_terms
 
     feat = featurize_affiliations(records).materialize()
 
     with partition_hint(8):
-        rare = rare_terms(feat, "keys", max_records_n=max_df)
-        rare_set = set(r["term"] for r in rare.take_all())
-        rare_ref = ray.put(pa.array(sorted(rare_set)))
-
-        def block_keys(t: pa.Table) -> pa.Table:
-            vs = ray.get(rare_ref)
-            lists = t["keys"].combine_chunks()
-            flat = lists.values
-            ok = np.asarray(pc.is_in(flat, value_set=vs), dtype=bool)
-            offsets = np.asarray(lists.offsets, dtype=np.int64)
-            csum = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
-            kept = flat.filter(pa.array(ok))
-            lists2 = pa.ListArray.from_arrays(
-                pa.array(csum[offsets], type=pa.int32()), kept
+        rare = rare_terms(feat, "keys", max_records_n=max_df).materialize()
+        if rare.count() <= max_broadcast_terms:
+            rare_ref = ray.put(
+                pa.array(sorted(r["term"] for r in rare.take_all()))
             )
-            return t.append_column("block_keys", lists2)
 
-        blocked = feat.map_batches(block_keys, batch_format="pyarrow")
+            def block_keys(t: pa.Table) -> pa.Table:
+                vs = ray.get(rare_ref)
+                lists = t["keys"].combine_chunks()
+                flat = lists.values
+                ok = np.asarray(pc.is_in(flat, value_set=vs), dtype=bool)
+                offsets = np.asarray(lists.offsets, dtype=np.int64)
+                csum = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+                kept = flat.filter(pa.array(ok))
+                lists2 = pa.ListArray.from_arrays(
+                    pa.array(csum[offsets], type=pa.int32()), kept
+                )
+                return t.append_column("block_keys", lists2)
+
+            blocked = feat.map_batches(block_keys, batch_format="pyarrow")
+        else:
+            blocked = _block_keys_distributed(feat, rare, keyed_filter)
         linkage = UnnestLinker("block_keys")(blocked, blocked)
         pairs = linkage.links
 

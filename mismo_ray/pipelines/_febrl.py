@@ -202,28 +202,47 @@ def febrl_match_pairs(
 
 def febrl_split_link_task(
     records: ray.data.Dataset,
+    *,
+    max_broadcast_ids: int = 5_000_000,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Turn a FEBRL dedupe table into a two-table LINK task: left = one
     canonical record per entity (min record_id per label_true), right = the
     rest (the noisy duplicates). The clean-vs-dirty lookup shape of the
-    reference's address_linkage example, on golden labeled data."""
+    reference's address_linkage example, on golden labeled data.
+
+    The canonical-id set is broadcast (one ``ray.put`` array) only while it
+    holds <= ``max_broadcast_ids`` ids — at web scale one id per ENTITY is
+    corpus-sized, so past the gate the split flips to a ``keyed_filter``
+    anti join (bucketed, nothing collected).  tests/test_playdata.py forces
+    the join path and checks both splits are identical."""
+    from mismo_ray._joins import keyed_filter
     from mismo_ray.util_ops import top_k_per_group
 
     canon = top_k_per_group(
         records, ["label_true"], [("record_id", "asc")], 1
     ).materialize()
-    canon_ids = set(
-        r["record_id"] for r in canon.select_columns(["record_id"]).take_all()
-    )
-    import ray as _ray
+    if canon.count() <= max_broadcast_ids:
+        canon_ids = set(
+            r["record_id"] for r in canon.select_columns(["record_id"]).take_all()
+        )
+        import ray as _ray
 
-    ids_ref = _ray.put(pa.array(sorted(canon_ids)))
+        ids_ref = _ray.put(pa.array(sorted(canon_ids)))
 
-    def rest(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t["record_id"].combine_chunks(), value_set=_ray.get(ids_ref))
-        return t.filter(pc.invert(mask))
+        def rest(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                t["record_id"].combine_chunks(), value_set=_ray.get(ids_ref)
+            )
+            return t.filter(pc.invert(mask))
 
-    dirty = records.map_batches(rest, batch_format="pyarrow").materialize()
+        dirty = records.map_batches(rest, batch_format="pyarrow").materialize()
+    else:
+        dirty = keyed_filter(
+            records,
+            canon.select_columns(["record_id"]),
+            on="record_id",
+            invert=True,
+        ).materialize()
     return canon, dirty
 
 

@@ -76,3 +76,18 @@ def test_featurize_affiliations_keys(ray_session):
         "science",
     ]
     assert sorted(out.loc[1, "keys"]) == ["almaden", "center", "ibm", "research"]
+
+
+def test_affiliations_join_path_matches_broadcast(ray_session):
+    """max_broadcast_terms=0 forces the distributed explode->keyed_filter->
+    regroup blocking; the pair set must equal the broadcast path's."""
+    from mismo_ray.pipelines import affiliations_match_pairs
+    from mismo_ray.playdata import load_affiliations
+
+    records = load_affiliations().left
+    broadcast = _pair_set(affiliations_match_pairs(records).links_ds)
+    joined = _pair_set(
+        affiliations_match_pairs(records, max_broadcast_terms=0).links_ds
+    )
+    assert joined == broadcast
+    assert len(joined) > 0

@@ -233,3 +233,21 @@ def test_febrl_link_two_table_f1_gate(ray_session):
     p, r = tp / len(pred_pairs), tp / len(truth)
     f1 = 2 * p * r / (p + r)
     assert f1 >= 0.99, (p, r, f1)
+
+
+def test_febrl_split_join_path_matches_broadcast(ray_session):
+    """max_broadcast_ids=0 forces the keyed_filter anti-join split; both
+    sides must be identical to the broadcast split."""
+    from mismo_ray.pipelines._febrl import febrl_split_link_task
+    from mismo_ray.playdata import load_febrl1
+
+    records = load_febrl1().left
+    bl, br = febrl_split_link_task(records)
+    jl, jr = febrl_split_link_task(records, max_broadcast_ids=0)
+
+    def ids(ds):
+        return sorted(r["record_id"] for r in ds.select_columns(["record_id"]).take_all())
+
+    assert ids(bl) == ids(jl)
+    assert ids(br) == ids(jr)
+    assert len(ids(jr)) == 500
