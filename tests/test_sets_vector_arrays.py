@@ -242,3 +242,36 @@ def test_stratified_sample_deterministic(ray_session):
     # different seed -> (almost surely) different selection
     s3 = stratified_sample(ds, "lang", 5, seed=99)
     assert sorted(r["record_id"] for r in s3.take_all()) != rows1
+
+
+def test_add_tfidf_null_elements_and_unnormalized(ray_session):
+    """Counter-semantics parity of the vectorized kernel: null TERMS are a
+    countable key (document_counts counts them, so idf covers them), null
+    ROWS stay null, [] stays {}, and normalize=False returns raw tf*idf."""
+    import math
+
+    rows = [["a", None, "a"], [], None, ["b"], [None]]
+    ds = ray.data.from_arrow(
+        pa.table({"terms": pa.array(rows, type=pa.list_(pa.string()))})
+    )
+
+    def as_dicts(out):
+        return [
+            None
+            if r["terms_tfidf"] is None
+            else {d["key"]: d["value"] for d in r["terms_tfidf"]}
+            for r in out
+        ]
+
+    idf = {"a": math.log(4 / 1), None: math.log(4 / 2), "b": math.log(4 / 1)}
+    got = as_dicts(sets.add_tfidf(ds, "terms").take_all())
+    nrm = math.sqrt(2 * 2 + 1)
+    assert got[0] == pytest.approx(
+        {"a": 2 / nrm * idf["a"], None: 1 / nrm * idf[None]}
+    )
+    assert got[1] == {} and got[2] is None
+    assert got[3] == pytest.approx({"b": idf["b"]})
+    assert got[4] == pytest.approx({None: idf[None]})
+
+    raw = as_dicts(sets.add_tfidf(ds, "terms", normalize=False).take_all())
+    assert raw[0] == pytest.approx({"a": 2 * idf["a"], None: idf[None]})
