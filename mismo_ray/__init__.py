@@ -30,6 +30,16 @@ from mismo_ray.linker import (
     infer_task,
     sample_all_links,
 )
+from mismo_ray.structs import (
+    struct_drop,
+    struct_equal,
+    struct_isnull,
+    struct_mutate,
+    struct_rename,
+    struct_select,
+    struct_unpack,
+    unpack_struct,
+)
 from mismo_ray.types import Diff, Linkage, LinksTable, with_linked_values
 from mismo_ray.util_ops import describe, explain
 
@@ -58,5 +68,13 @@ __all__ = [
     "infer_task",
     "resolve_keys",
     "sample_all_links",
+    "struct_drop",
+    "struct_equal",
+    "struct_isnull",
+    "struct_mutate",
+    "struct_rename",
+    "struct_select",
+    "struct_unpack",
+    "unpack_struct",
     "with_linked_values",
 ]

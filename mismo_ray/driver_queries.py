@@ -675,14 +675,17 @@ def q_postal_parse(sf_dir: str):
             addrs.append(f"{house} {name} {suf}, {city}, {state} {zipc}")
         parsed = tag_address_array(addrs)
         fps = fingerprint_address_array(parsed)
-        st = parsed.combine_chunks() if isinstance(parsed, pa.ChunkedArray) else parsed
-        return pa.table(
+        # structs.struct_select/struct_unpack (reference _structs.py family)
+        # project the tagger's struct straight into the output columns
+        from mismo_ray.structs import struct_select, struct_unpack
+
+        picked = struct_select(
+            parsed, "street1", "city", "state", "postal_code"
+        )
+        base = pa.table(
             {
                 "record_id": pa.array(keys),
-                "street1": st.field("street1"),
-                "city": st.field("city"),
-                "state": st.field("state"),
-                "postal_code": st.field("postal_code"),
+                "__addr__": picked,
                 "fp0": pa.array([v[0] if v else None for v in fps.to_pylist()]),
                 "n_fp": pa.array(
                     [len(v) if v is not None else None for v in fps.to_pylist()],
@@ -690,6 +693,7 @@ def q_postal_parse(sf_dir: str):
                 ),
             }
         )
+        return struct_unpack(base, "__addr__")
 
     return cust.map_batches(build_and_parse, batch_format="pyarrow")
 

@@ -1,0 +1,123 @@
+"""Struct-utility family parity with reference mismo/_structs.py:10-127:
+mutate/drop/select/rename/unpack + struct_equal/struct_isnull, with the
+top-level-null preservation the Arrow layout makes easy to get wrong."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from mismo_ray.structs import (
+    struct_drop,
+    struct_equal,
+    struct_isnull,
+    struct_mutate,
+    struct_rename,
+    struct_select,
+    struct_unpack,
+    unpack_struct,
+)
+
+
+@pytest.fixture
+def arr():
+    return pa.array(
+        [
+            {"a": 1, "b": "x", "c": 1.5},
+            {"a": 2, "b": None, "c": 2.5},
+            None,
+            {"a": None, "b": "z", "c": None},
+        ],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())]),
+    )
+
+
+def test_mutate_add_and_replace(arr):
+    out = struct_mutate(arr, d=pa.array([10, 20, 30, 40]), a=99)
+    assert [f.name for f in out.type] == ["a", "b", "c", "d"]
+    rows = out.to_pylist()
+    assert rows[0] == {"a": 99, "b": "x", "c": 1.5, "d": 10}
+    assert rows[2] is None  # null struct row preserved
+    assert rows[3]["d"] == 40
+
+
+def test_drop(arr):
+    out = struct_drop(arr, "b")
+    assert [f.name for f in out.type] == ["a", "c"]
+    assert out.to_pylist()[2] is None
+    with pytest.raises(KeyError):
+        struct_drop(arr, "nope")
+    with pytest.raises(ValueError):
+        struct_drop(arr, "a", "b", "c")
+
+
+def test_select_order(arr):
+    out = struct_select(arr, "c", "a")
+    assert [f.name for f in out.type] == ["c", "a"]
+    assert out.to_pylist()[0] == {"c": 1.5, "a": 1}
+    assert out.to_pylist()[2] is None
+    with pytest.raises(KeyError):
+        struct_select(arr, "nope")
+
+
+def test_rename_moves_to_end(arr):
+    # reference semantics: dict pop + reinsert appends the renamed field
+    out = struct_rename(arr, alpha="a")
+    assert [f.name for f in out.type] == ["b", "c", "alpha"]
+    assert out.to_pylist()[1] == {"b": None, "c": 2.5, "alpha": 2}
+    assert out.to_pylist()[2] is None
+    with pytest.raises(KeyError):
+        struct_rename(arr, x="nope")
+
+
+def test_struct_equal_null_propagation(arr):
+    other = pa.array(
+        [
+            {"a": 1, "b": "x", "c": 1.5},
+            {"a": 2, "b": "y", "c": 2.5},
+            {"a": 3, "b": "q", "c": 3.5},
+            {"a": None, "b": "z", "c": None},
+        ],
+        type=arr.type,
+    )
+    eq = struct_equal(arr, other)
+    # row0 all equal -> True; row1 b null -> null; row2 left struct null ->
+    # null; row3 nulls in compared fields -> null
+    assert eq.to_pylist() == [True, None, None, None]
+    eq_b = struct_equal(arr, other, fields=["b"])
+    assert eq_b.to_pylist() == [True, None, None, True]
+
+
+def test_struct_isnull(arr):
+    assert struct_isnull(arr, how="any").to_pylist() == [False, True, True, True]
+    assert struct_isnull(arr, how="all").to_pylist() == [False, False, True, False]
+    assert struct_isnull(arr, how="any", fields=["a"]).to_pylist() == [
+        False,
+        False,
+        True,
+        True,
+    ]
+    with pytest.raises(ValueError):
+        struct_isnull(arr, how="none")
+
+
+def test_struct_unpack_table(arr):
+    t = pa.table({"id": pa.array([1, 2, 3, 4]), "s": arr})
+    out = struct_unpack(t, "s")
+    assert out.column_names == ["id", "a", "b", "c"]
+    # null struct row unpacks to all-null fields (parent bitmap propagated)
+    assert out["a"].to_pylist() == [1, 2, None, None]
+    assert out["b"].to_pylist() == ["x", None, None, "z"]
+    kept = struct_unpack(t, "s", prefix="s_", keep=True)
+    assert kept.column_names == ["id", "s", "s_a", "s_b", "s_c"]
+    with pytest.raises(ValueError):
+        struct_unpack(pa.table({"a": [1, 2, 3, 4], "s": arr}), "s")
+
+
+def test_unpack_struct_dataset(ray_session, arr):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"id": pa.array([1, 2, 3, 4]), "s": arr}))
+    out = unpack_struct(ds, "s").to_pandas()
+    assert sorted(out.columns) == ["a", "b", "c", "id"]
+    assert out["a"].tolist()[:2] == [1, 2]
