@@ -470,3 +470,64 @@ def dedupe_report_chart(report) -> dict:
             ],
         },
     }
+
+
+def lsh_curves_chart(
+    band_params: "list[tuple[int, int]] | None" = None,
+) -> dict:
+    """The MinHash-LSH S-curve picker (reference linker/_lsh.py:105-193):
+    P(pair blocks | jaccard J) = 1 - (1 - J^band_size)^n_bands for each
+    (band_size, n_bands) setting, J swept 0..1 in 1/50 steps.  Use it to
+    pick ``MinhashLshLinker(num_hashes=band_size*n_bands, n_bands=...)``
+    — runtime grows with band_size * n_bands, so prefer the smallest
+    setting whose curve steps near your target jaccard.  Pure numpy (a
+    parameter-grid chart needs no Dataset); same default grid as the
+    reference."""
+    import numpy as np
+
+    if band_params is None:
+        band_params = [
+            (2, 10), (2, 25), (2, 50), (2, 100),
+            (5, 20), (5, 40),
+            (10, 10), (10, 20), (10, 50),
+            (20, 5), (20, 10),
+            (50, 2), (50, 4),
+        ]
+    j = np.arange(51, dtype=np.float64) / 50.0
+    values = []
+    for band_size, n_bands in band_params:
+        pr = 1.0 - (1.0 - j**band_size) ** n_bands
+        values.extend(
+            {
+                "band_size": int(band_size),
+                "n_bands": int(n_bands),
+                "label": f"({band_size}, {n_bands})",
+                "jaccard": float(x),
+                "pr": float(p),
+            }
+            for x, p in zip(j, pr)
+        )
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": "Probability of LSH blocking a pair given a Jaccard similarity",
+        "width": 400,
+        "height": 400,
+        "data": {"values": values},
+        "mark": {"type": "line", "strokeWidth": 2, "point": True},
+        "encoding": {
+            "x": {"field": "jaccard", "type": "quantitative"},
+            "y": {"field": "pr", "type": "quantitative"},
+            "color": {
+                "field": "label",
+                "type": "nominal",
+                "title": "Band size, Number of bands",
+                "sort": {"field": "band_size"},
+            },
+            "tooltip": [
+                {"field": "band_size", "type": "quantitative"},
+                {"field": "n_bands", "type": "quantitative"},
+                {"field": "jaccard", "type": "quantitative"},
+                {"field": "pr", "type": "quantitative"},
+            ],
+        },
+    }

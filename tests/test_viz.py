@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 
 import pyarrow as pa
+import pytest
 import ray.data
 
 
@@ -157,3 +158,24 @@ def test_dedupe_report_chart():
     assert spec["mark"] == "bar"
     assert [v["cluster_size"] for v in spec["data"]["values"]] == [2, 3]
     assert "6" in spec["title"][1] and "150" in spec["title"][1]
+
+
+def test_lsh_curves_chart():
+    from mismo_ray.linker import MinhashLshLinker
+    from mismo_ray.viz import lsh_curves_chart
+
+    spec = lsh_curves_chart()
+    vals = spec["data"]["values"]
+    assert len(vals) == 13 * 51  # reference default grid x 51 jaccard steps
+    # curve values must agree with the linker's own cost model
+    lk = MinhashLshLinker("text", num_hashes=100, n_bands=50)  # band_size 2
+    for row in vals:
+        if row["band_size"] == 2 and row["n_bands"] == 50:
+            assert row["pr"] == pytest.approx(
+                lk.blocking_probability(row["jaccard"])
+            )
+    # monotone S-curve endpoints
+    by = [r for r in vals if r["band_size"] == 10 and r["n_bands"] == 20]
+    assert by[0]["pr"] == 0.0 and by[-1]["pr"] == 1.0
+    custom = lsh_curves_chart([(3, 7)])
+    assert len(custom["data"]["values"]) == 51
