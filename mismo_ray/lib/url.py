@@ -416,3 +416,74 @@ def add_registered_domain(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def load_public_suffix_list(path: str) -> frozenset:
+    """Parse a file in the Mozilla Public Suffix List format into the
+    ``suffixes=`` set :func:`registered_domain_batch` consumes, so a real
+    deployment drops in the full, current ``public_suffix_list.dat``
+    without code changes.
+
+    Format handled (publicsuffix.org/list spec): one rule per line;
+    ``//`` comments and blank lines skipped; rules lowercased; a leading
+    ``.`` stripped (some mirrors ship dotted rules); wildcard rules
+    (``*.X``) kept verbatim.  PSL EXCEPTION rules (``!host``) are dropped
+    with the same caveat registered_domain_batch documents — the engine's
+    vectorized kernel does not interpret them.  Entries survive whatever
+    their label count; the kernel consults the 1-3-label ones.
+    """
+    rules = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip().lower()
+            if not line or line.startswith("//"):
+                continue
+            # spec: everything after the first whitespace is ignored
+            line = line.split()[0]
+            if line.startswith("!"):
+                continue  # exception rules: not interpreted (documented)
+            rules.add(line.lstrip("."))
+    return frozenset(rules)
+
+
+def load_ut1_blocklist(
+    root: str, categories: "Sequence[str] | None" = None
+) -> frozenset:
+    """Load UT1-style blocklists (the université Toulouse 1 'blacklists'
+    layout C4/RefinedWeb curation uses): ``root/<category>/domains`` text
+    files, one hostname per line, ``#`` comments allowed; ``domains.gz``
+    accepted too.  Returns the host set for
+    :func:`drop_blocked_hosts(..., blocklist=...)`.
+
+    ``categories=None`` loads every subdirectory that has a ``domains``
+    file.  Raises FileNotFoundError when an EXPLICITLY requested category
+    is missing (a typo should not silently unblock a category).
+    """
+    import gzip
+    import os
+
+    if categories is None:
+        categories = sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isfile(os.path.join(root, d, "domains"))
+            or os.path.isfile(os.path.join(root, d, "domains.gz"))
+        )
+    hosts = set()
+    for cat in categories:
+        plain = os.path.join(root, cat, "domains")
+        gz = os.path.join(root, cat, "domains.gz")
+        if os.path.isfile(plain):
+            fh = open(plain, encoding="utf-8", errors="replace")
+        elif os.path.isfile(gz):
+            fh = gzip.open(gz, "rt", encoding="utf-8", errors="replace")
+        else:
+            raise FileNotFoundError(
+                f"UT1 category {cat!r} has no domains file under {root}"
+            )
+        with fh:
+            for line in fh:
+                line = line.strip().lower()
+                if line and not line.startswith("#"):
+                    hosts.add(line)
+    return frozenset(hosts)

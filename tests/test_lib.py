@@ -272,3 +272,60 @@ def test_double_metaphone_known_vectors():
     # homophones share a primary code
     assert double_metaphone("Bryan")[0] == double_metaphone("Brian")[0]
     assert double_metaphone("Philip")[0] == double_metaphone("Phillip")[0]
+
+
+def test_load_public_suffix_list(tmp_path):
+    from mismo_ray.lib.url import load_public_suffix_list, registered_domain_batch
+
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "psl_excerpt.dat")
+    rules = load_public_suffix_list(path)
+    assert "co.uk" in rules and "*.kawasaki.jp" in rules and "*.ck" in rules
+    assert "com.mx" in rules  # lowercased
+    assert "net.br" in rules  # leading dot stripped
+    assert "br" in rules  # trailing annotation truncated
+    assert not any(r.startswith("!") for r in rules)  # exceptions dropped
+    got = registered_domain_batch(
+        pa.array(
+            [
+                "a.b.example.co.uk",
+                "x.yahoo.kawasaki.jp",  # wildcard third-level suffix
+                "foo.blogspot.com",  # private-section 2-label entry
+                "plain.example.org",
+            ]
+        ),
+        suffixes=rules,
+    ).to_pylist()
+    assert got == [
+        "example.co.uk",
+        "x.yahoo.kawasaki.jp",
+        "foo.blogspot.com",
+        "example.org",
+    ]
+
+
+def test_load_ut1_blocklist():
+    import os
+
+    import pytest as _pytest
+
+    from mismo_ray.lib.url import load_ut1_blocklist
+
+    root = os.path.join(os.path.dirname(__file__), "data", "ut1")
+    all_hosts = load_ut1_blocklist(root)
+    assert all_hosts == frozenset(
+        {
+            "ads.example.com",
+            "tracker.example.net",
+            "doubleclick.example",
+            "casino.example.org",
+            "bet.example.io",
+        }
+    )
+    only_ads = load_ut1_blocklist(root, ["ads"])
+    assert only_ads == frozenset(
+        {"ads.example.com", "tracker.example.net", "doubleclick.example"}
+    )
+    with _pytest.raises(FileNotFoundError):
+        load_ut1_blocklist(root, ["empty_cat"])
