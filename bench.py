@@ -171,6 +171,15 @@ def run_bench() -> dict:
     with timed("train_em_scaled"):
         em = train_em_at_scale(sf_dir, multiplier=100, seeds=(0, 1))
 
+    # ---- EM-under-skew anchor (VERDICT r4 #9): same corpus with 1/178 of
+    # pages rerouted onto ONE mirror domain (the skewed_er hot key). The
+    # cross-seed spread here shows whether one dominating block destabilizes
+    # the estimator at the 200k-pair sample size.
+    with timed("train_em_skewed"):
+        em_skew = train_em_at_scale(
+            sf_dir, multiplier=100, seeds=(0, 1), hot_mod=178
+        )
+
     # ---- webtext cleaning chain (canonical URL -> PII redact -> lang-ID ->
     # quality gate -> C4 line dedup -> exact dedupe) over an amplified corpus.
     # Deliberately LAST: dozens of prior executions age the Ray session and
@@ -232,6 +241,12 @@ def run_bench() -> dict:
             "seconds_corpus": em["seconds_corpus"],
             "seconds_per_seed": [r["seconds"] for r in em["per_seed"]],
             "max_log_odds_spread": em["max_log_odds_spread"],
+        },
+        "train_em_skewed": {
+            "hot_mod": em_skew["hot_mod"],
+            "n_pages": em_skew["n_pages"],
+            "seconds_per_seed": [r["seconds"] for r in em_skew["per_seed"]],
+            "max_log_odds_spread": em_skew["max_log_odds_spread"],
         },
         "crawl_docs_per_sec": round(crawl["n_records"] / crawl["seconds"]),
         "scaled_pages_per_sec": round(

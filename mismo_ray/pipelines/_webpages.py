@@ -886,6 +886,7 @@ def train_em_at_scale(
     max_pairs: int = 200_000,
     seeds: Sequence[int] = (0, 1),
     n_blocks: int = 96,
+    hot_mod: int | None = None,
 ) -> dict:
     """Unsupervised-EM training anchor at amplified-corpus scale.
 
@@ -900,6 +901,13 @@ def train_em_at_scale(
     samples — the spread measures estimator variance at this corpus scale,
     not RNG noise.
 
+    ``hot_mod`` reroutes 1/hot_mod of the corpus onto ONE mirror domain
+    (:func:`reroute_hot_domain`) BEFORE training — the EM-under-skew
+    witness (VERDICT r4 #9): when one block dominates, the sampled-pair
+    agreement distribution shifts, and the reported spreads show whether
+    the estimator stays put.  Compare against a ``hot_mod=None`` run of
+    the same corpus (bench leg ``train_em_skewed``).
+
     The featurized corpus is built ONCE and materialized: every seed's
     sample pass re-reads it (sampling is a cheap hash-filter map; the
     expensive synth/extract/featurize lineage must not re-run per seed).
@@ -910,9 +918,10 @@ def train_em_at_scale(
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     ).repartition(n_blocks)
-    pages = featurize(
-        add_extracted_text(synth_pages(docs, multiplier=multiplier))
-    ).materialize()
+    pages = featurize(add_extracted_text(synth_pages(docs, multiplier=multiplier)))
+    if hot_mod is not None:
+        pages = reroute_hot_domain(pages, hot_mod)
+    pages = pages.materialize()
     n_pages = pages.count()
     t_corpus = time.time() - t0
 
@@ -946,6 +955,7 @@ def train_em_at_scale(
         "n_pages": n_pages,
         "max_pairs": max_pairs,
         "multiplier": multiplier,
+        "hot_mod": hot_mod,
         "per_seed": per_seed,
         "max_log_odds_spread": round(spread, 4),
     }
