@@ -567,7 +567,10 @@ def ivf_topk(
             vector_column=vector_column,
             seed=seed,
         )
-    cm = np.asarray(centroids, dtype=np.float64)
+    # caller-supplied centroids may be raw means / float32-rounded unit
+    # vectors; normalize so assignment and probe rank by COSINE (matching
+    # the learned spherical-k-means path and the SQL oracle), not dot
+    cm = _normalize_rows(np.asarray(centroids, dtype=np.float64))
     nprobe = min(nprobe, len(cm))
     # queries -> nprobe nearest lists (tiny driver-side matmul)
     qsims = qm @ cm.T

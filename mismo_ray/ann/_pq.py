@@ -145,7 +145,10 @@ def pq_train(
     if len(xn) == 0:
         raise ValueError("pq_train: all sampled embeddings are null/zero")
     if centroids is not None:
-        cm = np.asarray(centroids, dtype=np.float64)
+        # normalize caller-supplied centroids: assignment must rank by
+        # cosine (matching ivfpq_topk/pq_encode, which normalize the same
+        # way so residuals subtract the identical unit centroid)
+        cm = _normalize_rows(np.asarray(centroids, dtype=np.float64))
         assign = np.argmax(xn @ cm.T, axis=1)
         xn = xn - cm[assign]
     dsub = d // m
@@ -175,7 +178,11 @@ def pq_encode(
     m, _, dsub = cb.shape
     # per-subspace -||c||^2/2 terms, precomputed once per actor call
     cb_norm = 0.5 * (cb * cb).sum(axis=2)  # (m, ksub)
-    cm = None if centroids is None else np.asarray(centroids, dtype=np.float64)
+    cm = (
+        None
+        if centroids is None
+        else _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    )
     c_ref = ray.put((cb, cb_norm, cm))
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -284,7 +291,7 @@ def ivfpq_topk(
             vector_column=vector_column,
             seed=seed,
         )
-    cm = np.asarray(centroids, dtype=np.float64)
+    cm = _normalize_rows(np.asarray(centroids, dtype=np.float64))
     if codebooks is None:
         codebooks = pq_train(
             ds,

@@ -666,10 +666,18 @@ def simhash_pairs(
 
     def add_simhash(t: pa.Table) -> pa.Table:
         if signature_column is not None:
+            sig = t[signature_column].combine_chunks()
+            if pa.types.is_unsigned_integer(sig.type):
+                # uint64 fingerprints (~half have the top bit set): BIT-
+                # REINTERPRET instead of a checked cast, which would raise
+                # on values >= 2**63; banding/hamming only need the bits
+                sig = sig.cast(pa.uint64()).view(pa.int64())
+            else:
+                sig = sig.cast(pa.int64())
             return pa.table(
                 {
                     "record_id": t["record_id"],
-                    "__simhash__": t[signature_column].cast(pa.int64()),
+                    "__simhash__": sig,
                 }
             )
         hs = simhash64_batch(

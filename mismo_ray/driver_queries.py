@@ -1116,7 +1116,10 @@ def q_ivfpq_topk(sf_dir: str):
         nprobe=10,
         m=8,
         ksub=64,
-        refine=2000,  # >= any list size: every probed candidate re-ranked
+        # refine >= CORPUS size => wider than any list at every sf, so the
+        # output is the exact restricted top-3 the oracle computes (a fixed
+        # constant would silently break at a larger fixture)
+        refine=max(2000, emb.count()),
         iters=5,
         centroids=_fixed_ivf_centroids(emb),
         id_column="vec_id",

@@ -12,9 +12,10 @@ Null semantics (pinned by tests/test_structs.py):
 
 - mutate/drop/select/rename preserve the TOP-LEVEL validity of the input
   struct (a null struct row stays a null struct row).
-- ``struct_equal`` is the AND of per-field equality with SQL null
-  propagation (any compared field null on either side -> null), mirroring
-  the reference's ``ibis.and_(left[f] == right[f])``.
+- ``struct_equal`` is the Kleene AND of per-field equality, mirroring the
+  reference's ``ibis.and_(left[f] == right[f])`` (SQL AND): a null
+  comparison yields null UNLESS another compared field is definitely
+  unequal, in which case FALSE wins.
 - ``struct_isnull`` counts a null STRUCT row as null in every field
   (reference ``struct.isnull() | ...``).
 """
@@ -68,7 +69,10 @@ def struct_mutate(arr, **kwargs) -> pa.StructArray:
     fields = _field_dict(arr)
     for name, val in kwargs.items():
         if not isinstance(val, (pa.Array, pa.ChunkedArray)):
-            val = pa.array([val] * len(arr))
+            # pa.repeat infers the type from the SCALAR, so a zero-row
+            # batch gets the same field type as a populated one (a bare
+            # pa.array([]) would infer null and split the Dataset schema)
+            val = pa.repeat(pa.scalar(val), len(arr))
         fields[name] = val
     return _rebuild(fields, _null_mask(arr))
 
@@ -131,9 +135,11 @@ def struct_equal(left, right, *, fields: Iterable[str] | None = None):
     out = None
     for f in fields:
         # pc.struct_field propagates the parent null bitmap (a null struct
-        # row has null fields); raw .field() children may hold garbage there
+        # row has null fields); raw .field() children may hold garbage there.
+        # and_kleene = SQL/ibis AND: FALSE AND NULL is FALSE, so one
+        # definitely-unequal field decides even when another is null
         eq = pc.equal(pc.struct_field(left, f), pc.struct_field(right, f))
-        out = eq if out is None else pc.and_(out, eq)
+        out = eq if out is None else pc.and_kleene(out, eq)
     return out
 
 

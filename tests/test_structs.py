@@ -86,6 +86,14 @@ def test_struct_equal_null_propagation(arr):
     assert eq.to_pylist() == [True, None, None, None]
     eq_b = struct_equal(arr, other, fields=["b"])
     assert eq_b.to_pylist() == [True, None, None, True]
+    # Kleene AND (SQL/ibis semantics): a definitely-unequal field decides
+    # even when another compared field is null — FALSE AND NULL = FALSE
+    l2 = pa.array(
+        [{"a": 1, "b": None}],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    r2 = pa.array([{"a": 2, "b": "x"}], type=pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    assert struct_equal(l2, r2).to_pylist() == [False]
 
 
 def test_struct_isnull(arr):
@@ -121,3 +129,15 @@ def test_unpack_struct_dataset(ray_session, arr):
     out = unpack_struct(ds, "s").to_pandas()
     assert sorted(out.columns) == ["a", "b", "c", "id"]
     assert out["a"].tolist()[:2] == [1, 2]
+
+
+def test_struct_mutate_scalar_type_stable_on_empty():
+    """Scalar broadcast must infer the field type from the SCALAR so empty
+    and populated batches agree (zero-row blocks in a Dataset otherwise
+    split the schema)."""
+    t = pa.struct([("a", pa.int64())])
+    empty = pa.array([], type=t)
+    full = pa.array([{"a": 1}], type=t)
+    oe = struct_mutate(empty, x=1.5)
+    of = struct_mutate(full, x=1.5)
+    assert oe.type.field("x").type == of.type.field("x").type == pa.float64()
