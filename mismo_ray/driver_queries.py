@@ -2137,23 +2137,33 @@ def q_redact_pii(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Real-codec multimodal path (multimodal/codecs.py + actor-pool
-    featurizer): deterministic 8x8 PPM payloads synthesized per doc_id,
-    decoded by the pure-numpy netpbm parser inside the ImageFeaturizer
-    actor pool, channel/luminance features returned as 1e6-scaled ints.
-    Rows-only (binary payload construction is not SQL-expressible)."""
+    featurizer): deterministic 8x8 PPM payloads synthesized per doc_id
+    with the SQL-expressible pixel rule pix(y,x,c) = (doc_id*31 + y*8 +
+    x + c*7) % 256, encoded by encode_ppm, decoded by the pure-numpy
+    netpbm parser inside the ImageFeaturizer actor pool, channel means +
+    2x2 luminance-grid means returned as 1e6-scaled ints.  The oracle
+    recomputes every feature from the pixel rule with AVG over a
+    generated (y, x, c) grid — so the PPM encode -> decode -> featurize
+    chain is value-checked byte-for-byte (all features are means of
+    integers; sums are exact in double on both engines, and the e6
+    half-up rounding never lands on a boundary: k*1e6/64 is an integer
+    and k*1e6/48 is an integer or a clean third)."""
     from mismo_ray.multimodal import featurize_images
     from mismo_ray.multimodal.codecs import decode_ppm, encode_ppm
 
     docs = _read(sf_dir, "documents", ["doc_id"])
+    base = (
+        np.arange(8)[:, None, None] * 8
+        + np.arange(8)[None, :, None]
+        + np.arange(3)[None, None, :] * 7
+    )
 
     def synth(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"], dtype=np.int64)
-        payloads = []
-        for did in ids:
-            rng = np.random.default_rng(int(did) + 1)
-            payloads.append(
-                encode_ppm(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
-            )
+        payloads = [
+            encode_ppm(((int(did) * 31 + base) % 256).astype(np.uint8))
+            for did in ids
+        ]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -3314,6 +3324,27 @@ ORACLE_SQL = {
     # tie-breaks mirror the engine's argmax / lexsort((nids, -sims)).
     "ivf_topk": _IVF_ORACLE,
     "ivfpq_topk": _IVF_ORACLE,
+    # f0-f2 = channel means, f3-f6 = 2x2 luminance-grid means (TL,TR,BL,BR)
+    # of the arithmetic pixel rule; averaging over all channels in a
+    # quadrant equals the mean of per-pixel luminances (equal channel count)
+    "media_features": (
+        "WITH px AS (SELECT d.doc_id, g.y, g.x, g.c, "
+        "  (d.doc_id * 31 + g.y * 8 + g.x + g.c * 7) % 256 AS v "
+        " FROM documents d CROSS JOIN ("
+        "  SELECT yy.y, xx.x, cc.c FROM "
+        "   (SELECT unnest(generate_series(0, 7)) AS y) yy, "
+        "   (SELECT unnest(generate_series(0, 7)) AS x) xx, "
+        "   (SELECT unnest(generate_series(0, 2)) AS c) cc) g) "
+        "SELECT doc_id, "
+        " CAST(floor(AVG(v) FILTER (c = 0) * 1000000 + 0.5) AS BIGINT) AS f0, "
+        " CAST(floor(AVG(v) FILTER (c = 1) * 1000000 + 0.5) AS BIGINT) AS f1, "
+        " CAST(floor(AVG(v) FILTER (c = 2) * 1000000 + 0.5) AS BIGINT) AS f2, "
+        " CAST(floor(AVG(v) FILTER (y < 4 AND x < 4) * 1000000 + 0.5) AS BIGINT) AS f3, "
+        " CAST(floor(AVG(v) FILTER (y < 4 AND x >= 4) * 1000000 + 0.5) AS BIGINT) AS f4, "
+        " CAST(floor(AVG(v) FILTER (y >= 4 AND x < 4) * 1000000 + 0.5) AS BIGINT) AS f5, "
+        " CAST(floor(AVG(v) FILTER (y >= 4 AND x >= 4) * 1000000 + 0.5) AS BIGINT) AS f6 "
+        "FROM px GROUP BY doc_id"
+    ),
     "lang_distinct_approx": (
         "SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct, "
         " TRUE AS hll_within_20pct FROM documents "
