@@ -141,3 +141,57 @@ def test_struct_mutate_scalar_type_stable_on_empty():
     oe = struct_mutate(empty, x=1.5)
     of = struct_mutate(full, x=1.5)
     assert oe.type.field("x").type == of.type.field("x").type == pa.float64()
+
+
+# ---------------------------------------------------------------- property
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+
+if _HAS_HYP:
+    _rows = st.lists(
+        st.one_of(
+            st.none(),
+            st.fixed_dictionaries(
+                {
+                    "a": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+                    "b": st.one_of(st.none(), st.text(max_size=6)),
+                }
+            ),
+        ),
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=_rows)
+    def test_struct_roundtrip_properties(rows):
+        """select+rename+mutate preserve row-level content and top-level
+        validity for arbitrary null layouts."""
+        t = pa.struct([("a", pa.int64()), ("b", pa.string())])
+        arr = pa.array(rows, type=t)
+        # select is a projection: field values and struct validity unchanged
+        sel = struct_select(arr, "b", "a")
+        assert sel.is_valid().to_pylist() == arr.is_valid().to_pylist()
+        for f in ("a", "b"):
+            import pyarrow.compute as pc
+
+            assert pc.struct_field(sel, f).to_pylist() == pc.struct_field(
+                arr, f
+            ).to_pylist()
+        # rename then rename back is identity up to field order
+        back = struct_rename(struct_rename(arr, z="a"), a="z")
+        assert struct_select(back, "a", "b").to_pylist() == arr.to_pylist()
+        # mutate with an existing field's own values is identity
+        import pyarrow.compute as pc
+
+        same = struct_mutate(arr, a=pc.struct_field(arr, "a"))
+        assert same.to_pylist() == arr.to_pylist()
+        # drop + unpack agree with the original fields
+        tbl = pa.table({"s": arr})
+        unp = struct_unpack(tbl, "s")
+        assert unp["a"].to_pylist() == pc.struct_field(arr, "a").to_pylist()
