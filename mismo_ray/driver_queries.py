@@ -997,6 +997,46 @@ def q_minhash_lsh_dedupe(sf_dir: str):
     return minhash_lsh_pairs(docs, "text", verify_jaccard=0.8).links_ds
 
 
+def q_spelling_pairs(sf_dir: str):
+    """SymSpell deletion-neighborhood typo blocking (linker.SpellingLinker):
+    a typo corpus is derived deterministically from part-name first tokens
+    (every third part gets one interior character deleted), then all pairs
+    within Levenshtein distance 1 are found via hashed delete-variant
+    blocking + the exact vectorized edit-distance verify.  The SQL oracle
+    rebuilds the identical corpus with substr arithmetic and checks
+    levenshtein(a,b) <= 1 over ALL pairs — blocking recall is therefore
+    value-checked as COMPLETE, not sampled.  p_partkey < 1500 keeps the
+    oracle's all-pairs comparison bounded at any scale factor."""
+    from mismo_ray.linker import SpellingLinker
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"]).filter(
+        expr="p_partkey < 1500"
+    )
+
+    def synth_typos(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["p_partkey"], dtype=np.int64)
+        names = t["p_name"].to_pylist()
+        out = []
+        for k, nm in zip(keys, names):
+            if nm is None:
+                out.append(None)
+                continue
+            tok = nm.split(" ")[0]
+            if k % 3 == 0 and len(tok) > 3:
+                pos = int(k) % max(len(tok) - 2, 1) + 1
+                tok = tok[:pos] + tok[pos + 1 :]
+            out.append(tok)
+        return pa.table(
+            {
+                "record_id": pa.array(keys),
+                "name": pa.array(out, type=pa.string()),
+            }
+        )
+
+    records = parts.map_batches(synth_typos, batch_format="pyarrow")
+    return SpellingLinker("name", max_edits=1)(records, records).links_ds
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Character-3-gram jaccard near-dup pairs (dedupe.ngram_jaccard_pairs,
     no hot-gram drop so the SQL gram-join oracle is exact; text truncated to
@@ -2928,7 +2968,10 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "exact_dedupe": q_exact_dedupe,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
-    "ngram_jaccard": q_ngram_jaccard,
+    # spelling_pairs (round-5 SpellingLinker family) displaces ngram_jaccard
+    # from the 50-entry driver window — ngram_jaccard is D-captured green in
+    # CORRECTNESS_r04 and stays in the local battery at entry 51+.
+    "spelling_pairs": q_spelling_pairs,
     "embedding_neardup": q_embedding_neardup,
     "semdedup": q_semdedup,
     "fuzzy_dedupe": q_fuzzy_dedupe,
@@ -2945,6 +2988,7 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     # ------- entry 51+: previously-captured entries + family variants -------
     "simhash_text": q_simhash_text,
+    "ngram_jaccard": q_ngram_jaccard,
     "gopher_quality": q_gopher_quality,
     "c4_clean": q_c4_clean,
     "canonical_url": q_canonical_url,
@@ -3324,6 +3368,21 @@ ORACLE_SQL = {
     # tie-breaks mirror the engine's argmax / lexsort((nids, -sims)).
     "ivf_topk": _IVF_ORACLE,
     "ivfpq_topk": _IVF_ORACLE,
+    # the same typo corpus rebuilt with substr arithmetic; the all-pairs
+    # levenshtein join is the COMPLETE-recall check of the delete-variant
+    # blocking (dedupe task: record_id_l < record_id_r)
+    "spelling_pairs": (
+        "WITH toks AS (SELECT p_partkey, string_split(p_name, ' ')[1] AS tok "
+        " FROM part WHERE p_partkey < 1500 AND p_name IS NOT NULL), "
+        "r AS (SELECT p_partkey AS record_id, "
+        " CASE WHEN p_partkey % 3 = 0 AND strlen(tok) > 3 "
+        "  THEN substr(tok, 1, p_partkey % greatest(strlen(tok) - 2, 1) + 1) "
+        "    || substr(tok, p_partkey % greatest(strlen(tok) - 2, 1) + 3) "
+        "  ELSE tok END AS name FROM toks) "
+        "SELECT a.record_id AS record_id_l, b.record_id AS record_id_r "
+        "FROM r a JOIN r b ON a.record_id < b.record_id "
+        "WHERE levenshtein(a.name, b.name) <= 1"
+    ),
     # f0-f2 = channel means, f3-f6 = 2x2 luminance-grid means (TL,TR,BL,BR)
     # of the arithmetic pixel rule; averaging over all channels in a
     # quadrant equals the mean of per-pixel luminances (equal channel count)

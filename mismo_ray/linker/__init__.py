@@ -8,6 +8,7 @@ from mismo_ray.linker._fused_or import FusedOrLinker
 from mismo_ray.linker._or_linker import OrLinker
 from mismo_ray.linker._sample import sample_all_links, sample_records
 from mismo_ray.linker._sorted_neighborhood import SortedNeighborhoodLinker
+from mismo_ray.linker._spelling import SpellingLinker
 from mismo_ray.linker._unnest import UnnestLinker
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "FusedOrLinker",
     "OrLinker",
     "SortedNeighborhoodLinker",
+    "SpellingLinker",
     "Task",
     "UnnestLinker",
     "infer_task",

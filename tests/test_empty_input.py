@@ -57,6 +57,7 @@ QUERIES = [
     "simhash_pairs",  # was: NoneType.base_schema (UnnestLinker)
     "simhash_text",  # text-kernel flavor (empty corpus -> no signatures)
     "ngram_jaccard",  # was: NoneType.base_schema (with_both collect)
+    "spelling_pairs",  # empty corpus -> no variants, no pairs
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",
     "drop_dup_lines",  # was: NoneType.base_schema (rewrite join)

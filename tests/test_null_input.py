@@ -44,6 +44,7 @@ QUERIES = [
     "simhash_pairs",  # id-derived signatures unaffected by null text
     "simhash_text",  # all-null text -> no signatures, no pairs
     "ngram_jaccard",
+    "spelling_pairs",  # null names -> no variants, no pairs
     "lang_id",
     "token_stats",
     "gopher_quality",
