@@ -78,12 +78,21 @@ def asof_join(
     out_names = list(lschema.names) + [f"{c}{right_suffix}" for c in rvals] + [
         f"{on}{right_suffix}"
     ]
+    # merge keys stay int64 when BOTH sides are integer/timestamp — a
+    # float64 detour silently rounds |on| > 2^53 (ns-epoch scale), merging
+    # rows 100ns apart onto one key
+    _int_on = all(
+        pa.types.is_integer(s.field(on).type)
+        or pa.types.is_temporal(s.field(on).type)
+        for s in (lschema, rschema)
+    )
+    _on_type = pa.int64() if _int_on else pa.float64()
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             cols: dict = {
                 "__by__": t[by].combine_chunks(),
-                "__on__": t[on].combine_chunks().cast(pa.float64()),
+                "__on__": t[on].combine_chunks().cast(_on_type),
                 "__side__": pa.array(np.full(len(t), side, dtype=np.int8)),
             }
             for c in lschema.names:
@@ -107,18 +116,26 @@ def asof_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g[g["__side__"] == 0]
         rpart = g[g["__side__"] == 1]
+        # null `on` values: pd.merge_asof raises ValueError on null merge
+        # keys, where SQL ASOF (l.on >= r.on) simply never matches them —
+        # segregate them: left null-on rows come back unmatched below,
+        # right null-on rows can never be anyone's match
+        lnull = lpart[lpart["__on__"].isna()]
+        lpart = lpart[lpart["__on__"].notna()]
+        rpart = rpart[rpart["__on__"].notna()]
+        _np_on = "int64" if _int_on else "float64"
         ldf = pd.DataFrame(
             {
                 "__by__": lpart["__by__"],
-                "__on__": lpart["__on__"],
+                "__on__": lpart["__on__"].astype(_np_on),
                 **{c: lpart[f"__l_{c}"] for c in lschema.names},
             }
         ).sort_values("__on__", kind="mergesort")
         rdf = pd.DataFrame(
             {
                 "__by__": rpart["__by__"],
-                "__on__": rpart["__on__"],
-                "__r_on__": rpart["__on__"],
+                "__on__": rpart["__on__"].astype(_np_on),
+                "__r_on__": rpart["__on__"].astype(_np_on),
                 **{f"{c}{right_suffix}": rpart[f"__r_{c}"] for c in rvals},
             }
         ).sort_values("__on__", kind="mergesort")
@@ -131,6 +148,14 @@ def asof_join(
             tolerance=tolerance,
         )
         merged = merged.rename(columns={"__r_on__": f"{on}{right_suffix}"})
+        if len(lnull):
+            unmatched = pd.DataFrame(
+                {c: lnull[f"__l_{c}"].to_numpy() for c in lschema.names}
+            )
+            for c in rvals:
+                unmatched[f"{c}{right_suffix}"] = None
+            unmatched[f"{on}{right_suffix}"] = None
+            merged = pd.concat([merged, unmatched], ignore_index=True)
         # rebuild EXACT arrow types: the pandas detour coerces int columns
         # that saw NaN to float64 (NaN -> null on the way back)
         out_types = {c: lschema.field(c).type for c in lschema.names}
@@ -196,6 +221,11 @@ def interval_join(
     out_names = list(lschema.names) + [f"{c}{right_suffix}" for c in rcols]
 
     def tag_left(t: pa.Table) -> pa.Table:
+        vcol = t[left_value].combine_chunks()
+        if vcol.null_count:
+            # null value: lo <= v <= hi is never true in SQL; also guards
+            # the undefined NaN -> int64 band cast (platform-dependent)
+            t = t.filter(vcol.is_valid())
         v = np.asarray(t[left_value], dtype=np.float64)
         cols: dict = {"__band__": pa.array(np.floor(v / w).astype(np.int64))}
         cols["__side__"] = pa.array(np.zeros(len(t), dtype=np.int8))
@@ -206,6 +236,15 @@ def interval_join(
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
+        locol = t[right_lo].combine_chunks()
+        hicol = t[right_hi].combine_chunks()
+        if locol.null_count or hicol.null_count:
+            # a null bound never contains anything (SQL BETWEEN semantics);
+            # and NaN -> int64 is undefined — on platforms casting NaN to 0
+            # a null lo with a big hi would replicate O(hi/width) rows
+            import pyarrow.compute as _pc
+
+            t = t.filter(_pc.and_(locol.is_valid(), hicol.is_valid()))
         lo = np.asarray(t[right_lo], dtype=np.float64)
         hi = np.asarray(t[right_hi], dtype=np.float64)
         b0 = np.floor(lo / w).astype(np.int64)

@@ -36,15 +36,26 @@ def tumbling_window_agg(
         tcol = t[ts]
         if isinstance(tcol, pa.ChunkedArray):
             tcol = tcol.combine_chunks()
+        if tcol.null_count:
+            # an event without a timestamp has no window: dropped (SQL
+            # would put them in one NULL-window group, but a null groupby
+            # key crashes Ray's sort-based shuffle — documented divergence)
+            t = t.filter(tcol.is_valid())
+            tcol = t[ts]
+            if isinstance(tcol, pa.ChunkedArray):
+                tcol = tcol.combine_chunks()
         epoch_us = tcol.cast(pa.int64())
         win = np.asarray(epoch_us) // (window_s * 1_000_000)
-        vals = np.asarray(t[value], dtype=np.float64)
+        # arrow cast (NOT np.asarray): null values STAY null so the Sum
+        # aggregate skips them like SQL SUM — a NaN float would poison the
+        # whole window's sum
+        vals = t[value].combine_chunks().cast(pa.float64())
         return pa.table(
             {
                 key: t[key],
                 "window_start": pa.array(win * window_s),  # seconds since epoch
                 "n": pa.array(np.ones(len(t), dtype=np.int64)),
-                "value_sum": pa.array(vals),
+                "value_sum": vals,
             }
         )
 
@@ -79,6 +90,12 @@ def sliding_window_agg(
         tcol = t[ts]
         if isinstance(tcol, pa.ChunkedArray):
             tcol = tcol.combine_chunks()
+        if tcol.null_count:
+            # no timestamp -> no windows (same documented rule as tumbling)
+            t = t.filter(tcol.is_valid())
+            tcol = t[ts]
+            if isinstance(tcol, pa.ChunkedArray):
+                tcol = tcol.combine_chunks()
         epoch_s = np.asarray(tcol.cast(pa.int64())) // 1_000_000
         base = (epoch_s // hop_s) * hop_s
         n = len(t)
@@ -88,13 +105,14 @@ def sliding_window_agg(
         )
         keep = starts + window_s > np.repeat(epoch_s, n_hops)
         rep = t.take(pa.array(idx[keep]))
-        vals = np.asarray(rep[value], dtype=np.float64)
+        # arrow cast keeps null values null (SQL SUM-skips-nulls semantics)
+        vals = rep[value].combine_chunks().cast(pa.float64())
         return pa.table(
             {
                 key: rep[key],
                 "window_start": pa.array(starts[keep]),
                 "n": pa.array(np.ones(len(rep), dtype=np.int64)),
-                "value_sum": pa.array(vals),
+                "value_sum": vals,
             }
         )
 
@@ -132,14 +150,20 @@ def sessionize(
         return t.append_column("__sbkt__", pa.array(h.astype(np.int64)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="mergesort")
+        # events with no timestamp cannot sessionize (same rule as the
+        # window aggs); a NULL KEY is one partition (SQL PARTITION BY
+        # semantics, like window.py) — achieved below by comparing
+        # factorize codes (NaN/None -> one shared -1 code), never raw
+        # values (float NaN != NaN would make per-event sessions)
+        g = g.dropna(subset=[ts]).sort_values([key, ts], kind="mergesort")
         kv = g[key].to_numpy()
+        codes, _ = pd.factorize(g[key], use_na_sentinel=True)
         t_us = g[ts].astype("int64").to_numpy()  # microseconds
         t_s = t_us // 1_000_000  # seconds (output granularity)
         new_key = np.ones(len(g), dtype=bool)
         brk = np.zeros(len(g), dtype=np.int64)
         if len(g) > 1:
-            new_key[1:] = kv[1:] != kv[:-1]
+            new_key[1:] = codes[1:] != codes[:-1]
             # gap comparison in exact microseconds (sub-second gaps matter)
             brk[1:] = (
                 (np.diff(t_us) > gap_s * 1_000_000) & ~new_key[1:]
@@ -148,11 +172,14 @@ def sessionize(
         # below (sessions of one key are contiguous after the sort)
         gsid = (new_key.astype(np.int64) | brk).cumsum() - 1
         agg = (
-            pd.DataFrame({key: kv, "__gsid__": gsid, "t": t_s})
+            pd.DataFrame(
+                {key: kv, "__code__": codes, "__gsid__": gsid, "t": t_s}
+            )
             .groupby("__gsid__", sort=True)
             .agg(
                 **{
                     key: (key, "first"),
+                    "__code__": ("__code__", "first"),
                     "session_start_s": ("t", "min"),
                     "session_end_s": ("t", "max"),
                     "n_events": ("t", "size"),
@@ -160,7 +187,9 @@ def sessionize(
             )
             .reset_index(drop=True)
         )
-        agg["session_id"] = agg.groupby(key, sort=False).cumcount()
+        # number sessions per key via the null-safe integer codes (a raw-key
+        # groupby would drop NaN keys and emit float NaN session ids)
+        agg["session_id"] = agg.groupby("__code__", sort=False).cumcount()
         return agg[[key, "session_id", "session_start_s", "session_end_s", "n_events"]]
 
     return (

@@ -89,6 +89,25 @@ def window_over(
         if kind == "rolling_sum" and (len(spec) < 4 or int(param) < 1):
             raise ValueError("rolling_sum needs a window size >= 1")
         norm.append((kind, col, name, int(param)))
+    # result-name collisions silently overwrite the partition key, an order
+    # column, or an input a LATER spec still reads — reject up front (the
+    # same collision class asof._check_suffix_collisions rejects)
+    reserved = {partition_by, *order_cols}
+    seen_names: set = set()
+    for i, (kind, col, name, _param) in enumerate(norm):
+        if name in reserved:
+            raise ValueError(
+                f"window result name {name!r} collides with the partition/"
+                "order columns"
+            )
+        if name in seen_names:
+            raise ValueError(f"duplicate window result name {name!r}")
+        if any(later_col == name for _k, later_col, _n, _p in norm[i + 1 :]):
+            raise ValueError(
+                f"window result name {name!r} is read as an input column by "
+                "a later spec; reorder or rename"
+            )
+        seen_names.add(name)
 
     from mismo_ray._joins import default_num_partitions
     from mismo_ray._util import hash64
@@ -110,14 +129,18 @@ def window_over(
         g = g.drop(columns=["__wbkt__"]).sort_values(
             [partition_by, *order_cols], kind="mergesort"
         )
-        # dropna=False everywhere: SQL's PARTITION BY treats NULL keys as ONE
-        # partition (they all land in the hash64(null)-sentinel bucket, so
-        # the whole null partition is co-resident here)
-        grp = g.groupby(partition_by, sort=False, dropna=False)
-        gkeys = g[partition_by]
+        # SQL's PARTITION BY treats NULL keys as ONE partition (they all
+        # land in the hash64(null)-sentinel bucket, so the whole null
+        # partition is co-resident here).  Factorize the key column ONCE —
+        # use_na_sentinel=False gives nulls a real shared code — and group
+        # every derived Series by the cached integer codes: a fresh
+        # groupby(gkeys) per call would re-hash the key objects up to 4x
+        # per spec inside this hot per-bucket kernel
+        codes, _ = pd.factorize(g[partition_by], use_na_sentinel=False)
+        grp = g.groupby(codes, sort=False)
 
         def by_key(s: pd.Series):
-            return s.groupby(gkeys.to_numpy(), sort=False, dropna=False)
+            return s.groupby(codes, sort=False)
 
         for kind, col, name, param in norm:
             if kind == "row_number":
