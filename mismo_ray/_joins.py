@@ -74,11 +74,12 @@ def default_num_partitions() -> int:
 
 
 def _combine_hash(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
-    out = np.full(len(table), np.uint64(1469598103934665603), dtype=np.uint64)
-    for c in cols:
-        with np.errstate(over="ignore"):
-            out = splitmix64(out ^ hash64(table[c]))
-    return out
+    # thin alias of the shared row-wise multi-column hash so every module
+    # buckets identically (two drifting copies would silently break
+    # cross-module bucketing consistency)
+    from mismo_ray._util import combine_hash_columns
+
+    return combine_hash_columns(table, cols)
 
 
 def hash_join(
@@ -113,22 +114,32 @@ def hash_join(
 
     _ls = left_schema or left.schema(fetch_if_missing=True)
     if _ls is None:
-        # empty left (zero blocks, schema unobservable): every supported join
-        # flavor produces zero rows from an empty left side, and downstream
-        # map UDFs never execute on zero blocks, so the empty input IS the
-        # correct (and only constructible) result.
+        if how in ("right_outer", "full_outer"):
+            # those flavors must still emit every RIGHT row null-padded with
+            # left columns, which need left's names/types — unknowable here;
+            # returning the empty left would silently drop the right side.
+            raise ValueError(
+                "hash_join: left side is empty with unknown schema; pass "
+                f"left_schema= to {how}-join against a derived empty dataset"
+            )
+        # inner/left_outer/left_semi/left_anti of an empty left are all
+        # empty, and downstream map UDFs never execute on zero blocks, so
+        # the empty input IS the correct (and only constructible) result.
         return left
     _rs = right_schema or right.schema(fetch_if_missing=True)
     if _rs is None:
-        if how in ("inner", "left_semi"):
-            return right  # empty right: no keys can match -> empty result
+        if how in ("inner", "left_semi", "right_outer"):
+            # no right rows: inner/semi match nothing; right_outer has no
+            # rows to null-pad -> empty result either way
+            return right
         if how == "left_anti":
             return left  # nothing to subtract
-        # left_outer with a non-empty left needs right's column names/types
-        # to append null columns — unknowable here; fail with intent.
+        # left_outer/full_outer with a non-empty left need right's column
+        # names/types to append null columns — unknowable here; fail with
+        # intent.
         raise ValueError(
             "hash_join: right side is empty with unknown schema; pass "
-            "right_schema= to left_outer-join against a derived empty dataset"
+            f"right_schema= to {how}-join against a derived empty dataset"
         )
     lschema = _ls if isinstance(_ls, pa.Schema) else _ls.base_schema
     rschema = _rs if isinstance(_rs, pa.Schema) else _rs.base_schema
@@ -137,13 +148,24 @@ def hash_join(
     semi = how in ("left_semi", "left_anti")
     if semi:
         rvals = []
-    overlap = set(lvals) & set(rvals)
-    lout = {c: f"{c}{left_suffix}" if c in overlap and left_suffix else c for c in lvals}
-    rout = {c: f"{c}{right_suffix}" if c in overlap and right_suffix else c for c in rvals}
-    if set(lout.values()) & set(rout.values()):
-        raise ValueError(
-            f"Column collision after suffixing: {set(lout.values()) & set(rout.values())}"
-        )
+    # the output keeps the LEFT key names, so a right payload named like a
+    # left key collides just as hard as a left/right payload overlap — a
+    # silent duplicate column otherwise (right payload "id" vs key "id")
+    overlap_l = set(lvals) & set(rvals)
+    overlap_r = (set(lvals) | set(on)) & set(rvals)
+    lout = {
+        c: f"{c}{left_suffix}" if c in overlap_l and left_suffix else c
+        for c in lvals
+    }
+    rout = {
+        c: f"{c}{right_suffix}" if c in overlap_r and right_suffix else c
+        for c in rvals
+    }
+    clash = (set(lout.values()) & set(rout.values())) | (
+        (set(lout.values()) | set(rout.values())) & set(on)
+    )
+    if clash:
+        raise ValueError(f"Column collision after suffixing: {sorted(clash)}")
     jk = [f"__jk{i}" for i in range(len(on))]
     key_types = [lschema.field(c).type for c in on]
     ltypes = {lout[c]: lschema.field(c).type for c in lvals}
@@ -304,15 +326,44 @@ def keyed_filter(
 
 def distinct(ds: ray.data.Dataset, cols: str | Sequence[str]) -> ray.data.Dataset:
     """Distinct rows over ``cols`` as a Dataset (``Dataset.unique`` returns a
-    python list, so it cannot stay in the plan)."""
-    from ray.data.aggregate import Count
+    python list, so it cannot stay in the plan).
+
+    NULL keys are first-class (SQL DISTINCT keeps one null row): the shuffle
+    key is the null-safe ``hash64`` bucket — grouping the raw columns would
+    hit Ray's sort-based groupby, which rejects None keys (the repo-wide
+    pitfall) — and each bucket dedupes with Arrow's own null-aware
+    ``group_by``. Identical rows hash identically, so per-bucket distinct IS
+    global distinct."""
+    from mismo_ray._util import combine_hash_columns
 
     cols = [cols] if isinstance(cols, str) else list(cols)
+    B = default_num_partitions()
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        # per-block pre-dedup: the shuffle carries each distinct row once
+        t = t.group_by(cols).aggregate([])
+        bkt = (combine_hash_columns(t, cols) % np.uint64(B)).astype(np.int64)
+        return t.append_column("__dbkt__", pa.array(bkt))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["__dbkt__"]).group_by(cols).aggregate([])
+
     return (
-        ds.groupby(cols)
-        .aggregate(Count(alias_name="__distinct_n"))
-        .drop_columns(["__distinct_n"])
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("__dbkt__")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def _freeze_key(v):
+    """Recursively hashable form of a nested key value (list cells from
+    ``to_pylist`` become tuples, struct dicts become sorted item tuples)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze_key(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze_key(x)) for k, x in v.items()))
+    return v
 
 
 def broadcast_isin(
@@ -340,7 +391,11 @@ def broadcast_isin(
             raise pa.ArrowInvalid("nested keys -> python path")
     except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
         value_set = None
-    ref = ray.put(value_set if value_set is not None else frozenset(vals))
+    ref = ray.put(
+        value_set
+        if value_set is not None
+        else frozenset(_freeze_key(v) for v in vals)
+    )
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
@@ -353,8 +408,14 @@ def broadcast_isin(
             ).to_numpy(zero_copy_only=False)
             mask = np.asarray(mask, dtype=bool)
         else:
+            # list/struct cells come back as python lists/dicts — freeze
+            # both sides the same way or the set probe raises unhashable
             pyl = col.to_pylist()
-            mask = np.fromiter((v in keys for v in pyl), dtype=bool, count=len(pyl))
+            mask = np.fromiter(
+                (v is not None and _freeze_key(v) in keys for v in pyl),
+                dtype=bool,
+                count=len(pyl),
+            )
         if invert:
             mask = ~mask
         return batch.filter(pa.array(mask))

@@ -73,6 +73,7 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     B = n_buckets or default_num_partitions()
     shift = np.uint64(64 - max(1, int(np.ceil(np.log2(B)))))
+    boundaries: np.ndarray | None = None  # set below for order="id"
 
     def ids_of(col) -> np.ndarray:
         """Non-null integer ids as uint64 (hash64 for other types). Type is
@@ -83,18 +84,22 @@ def pack_sequences(
         if pa.types.is_integer(col.type):
             if col.null_count:
                 raise ValueError("id column contains nulls")
-            return np.asarray(col).astype(np.uint64)
+            return np.asarray(col).astype(np.int64).astype(np.uint64)
         return hash64(col, seed=0x1D5)
 
-    def key_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        """(order key, bucket) for a batch."""
+    _SIGN = np.uint64(1 << 63)
+
+    def key_of(t: pa.Table) -> np.ndarray:
+        """uint64 order key for a batch. order="id" uses the OFFSET-BINARY
+        form (sign bit flipped): a raw two's-complement uint64 view would
+        sort negative ids AFTER positive ones, diverging from the documented
+        id order and any SQL ORDER BY oracle. order="hash" mixes the raw
+        ids (a bijection — numeric order is irrelevant, only determinism)."""
         ids = ids_of(t[id_column])
         if order == "hash":
             with np.errstate(over="ignore"):
-                key = splitmix64(ids + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
-        else:
-            key = ids
-        return key, (key >> shift).astype(np.int64)
+                return splitmix64(ids + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+        return ids ^ _SIGN
 
     def toks_of(t: pa.Table) -> np.ndarray:
         v = t[tokens_column].combine_chunks()
@@ -102,22 +107,62 @@ def pack_sequences(
             v.fill_null(0).cast(pa.int64(), safe=False), dtype=np.int64
         )
 
-    # pass 1: per-bucket token sums -> driver (<= n_buckets rows) ->
-    # exclusive prefix in bucket (= key range) order -> broadcast
+    def bucket_of(key: np.ndarray) -> np.ndarray:
+        if boundaries is None:  # hash order: keys uniform, high bits balance
+            return (key >> shift).astype(np.int64)
+        return np.searchsorted(boundaries, key, side="right").astype(np.int64)
+
+    if order == "id":
+        # id keys are NOT uniform (dense small ids would all share the top
+        # bucket's high bits -> one giant map_groups group); range-partition
+        # on exact global [min, max] instead. Linspace boundaries assume
+        # roughly uniform id DENSITY — the docstring points skewed-id
+        # corpora at order="hash" (the training default, always uniform).
+        def key_range(t: pa.Table) -> pa.Table:
+            k = key_of(t)
+            if len(k) == 0:
+                return pa.table(
+                    {"__lo__": pa.array([], pa.uint64()),
+                     "__hi__": pa.array([], pa.uint64())}
+                )
+            return pa.table(
+                {
+                    "__lo__": pa.array([k.min()], pa.uint64()),
+                    "__hi__": pa.array([k.max()], pa.uint64()),
+                }
+            )
+
+        from mismo_ray._util import collect_table
+
+        rng = collect_table(ds.map_batches(key_range, batch_format="pyarrow"))
+        if rng.num_columns and len(rng):
+            lo = np.asarray(rng["__lo__"], dtype=np.uint64).min()
+            hi = np.asarray(rng["__hi__"], dtype=np.uint64).max()
+            if hi > lo:
+                edges = np.linspace(float(lo), float(hi), B, endpoint=False)[1:]
+                boundaries = edges.astype(np.uint64)
+
+    # pass 1: per-bucket token sums -> driver (<= n_buckets rows/block,
+    # zero-copy arrow collect) -> exclusive prefix in bucket (= key range)
+    # order -> broadcast
     def bucket_sums(t: pa.Table) -> pa.Table:
-        _, bkt = key_of(t)
+        bkt = bucket_of(key_of(t))
         toks = toks_of(t)
         u, inv = np.unique(bkt, return_inverse=True)
         s = np.zeros(len(u), dtype=np.int64)
         np.add.at(s, inv, toks)
         return pa.table({"__pbkt__": pa.array(u), "__sum__": pa.array(s)})
 
-    partial = ds.map_batches(bucket_sums, batch_format="pyarrow")
+    from mismo_ray._util import collect_table as _collect
+
+    partial = _collect(ds.map_batches(bucket_sums, batch_format="pyarrow"))
     sums: dict[int, int] = {}
-    for row in partial.take_all():
-        sums[int(row["__pbkt__"])] = sums.get(int(row["__pbkt__"]), 0) + int(
-            row["__sum__"]
-        )
+    if partial.num_columns:
+        for b, s in zip(
+            np.asarray(partial["__pbkt__"], dtype=np.int64),
+            np.asarray(partial["__sum__"], dtype=np.int64),
+        ):
+            sums[int(b)] = sums.get(int(b), 0) + int(s)
     offsets: dict[int, int] = {}
     acc = 0
     for b in sorted(sums):
@@ -128,7 +173,8 @@ def pack_sequences(
     # the key crosses the shuffle as uint64 (an int64 cast would flip the
     # order at the sign bit)
     def add_bucket_u(t: pa.Table) -> pa.Table:
-        key, bkt = key_of(t)
+        key = key_of(t)
+        bkt = bucket_of(key)
         return t.append_column("__pkey__", pa.array(key, type=pa.uint64())).append_column(
             "__pbkt__", pa.array(bkt)
         )

@@ -98,6 +98,13 @@ def heavy_hitters(
     if cap < k:
         raise ValueError("candidate_cap must be >= k")
     out_name = result_name or column
+    if out_name == "n":
+        # pa.table({out_name: ..., "n": ...}) is a dict literal — a value
+        # column named "n" would silently vanish under the count column
+        raise ValueError(
+            "heavy_hitters result column collides with the count column "
+            "'n'; pass result_name="
+        )
 
     def mg_summary(t: pa.Table) -> pa.Table:
         col = t[column].combine_chunks()
@@ -317,6 +324,11 @@ def add_approx_distinct(
     duplicate rows a group has. Groups never need to co-reside with their
     raw values; only (group, register, rho) triples move.
     """
+    if result_name == group_key:
+        raise ValueError(
+            "add_approx_distinct result_name collides with the group key; "
+            "the estimate column would silently overwrite it"
+        )
     m = 1 << precision
     shift = np.uint64(64 - precision)
 

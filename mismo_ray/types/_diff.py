@@ -44,6 +44,24 @@ class Diff:
         a_pruned = after.select_columns(["record_id", *self._shared]).map_batches(
             tag("__in_a__"), batch_format="pyarrow"
         )
+        # schemas are fully known here (pruned cols + the bool tag), so pass
+        # them: a zero-block before/after side has an unobservable schema,
+        # and full_outer cannot null-pad the missing side without one
+        def pruned_schema(src: pa.Schema, types: dict, tag_name: str) -> pa.Schema:
+            rid = (
+                src.field("record_id").type
+                if "record_id" in src.names
+                else pa.int64()
+            )
+            return pa.schema(
+                [
+                    pa.field("record_id", rid),
+                    *[pa.field(c, types[c]) for c in self._shared],
+                    pa.field(tag_name, pa.bool_()),
+                ]
+            )
+
+        atypes = {c: aschema.field(c).type for c in self._shared}
         self._joined = hash_join(
             b_pruned,
             a_pruned,
@@ -51,6 +69,8 @@ class Diff:
             how="full_outer",
             left_suffix="__b",
             right_suffix="__a",
+            left_schema=pruned_schema(bschema, self._btypes, "__in_b__"),
+            right_schema=pruned_schema(aschema, atypes, "__in_a__"),
         )
 
     def _filtered(self, which: str) -> ray.data.Dataset:

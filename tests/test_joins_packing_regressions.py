@@ -1,0 +1,161 @@
+"""Regressions for the round-5 review of _joins/sketch/packing: null keys in
+distinct(), nested broadcast_isin keys, hash_join name-collision and
+empty-side flavors, negative-id ordering, heavy-hitter name collisions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def test_distinct_keeps_one_null_row(ray_session):
+    from mismo_ray._joins import distinct
+
+    ds = ray.data.from_arrow(
+        pa.table({"h": pa.array(["a", None, "a", None, "b"], pa.string())})
+    )
+    got = sorted(
+        (r["h"] if r["h"] is not None else "<null>")
+        for r in distinct(ds, "h").take_all()
+    )
+    assert got == ["<null>", "a", "b"]
+
+
+def test_distinct_multi_column_with_nulls(ray_session):
+    from mismo_ray._joins import distinct
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, None, None, 1], pa.int64()),
+                "b": pa.array(["x", "x", "y", "y", None], pa.string()),
+            }
+        )
+    )
+    rows = {(r["a"], r["b"]) for r in distinct(ds, ["a", "b"]).take_all()}
+    assert rows == {(1, "x"), (None, "y"), (1, None)}
+
+
+def test_broadcast_isin_list_keys(ray_session):
+    from mismo_ray._joins import broadcast_isin
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(
+                    [[1, 2], [3, 4], None, [5]], type=pa.list_(pa.int64())
+                ),
+                "i": pa.array([0, 1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    kept = sorted(
+        r["i"] for r in broadcast_isin(ds, "k", [(1, 2), (5,)]).take_all()
+    )
+    assert kept == [0, 3]
+    # null keys never match -> survive the anti filter (SQL NOT IN is
+    # deliberately NOT mirrored here; the docstring pins semi/anti rules)
+    anti = sorted(
+        r["i"]
+        for r in broadcast_isin(ds, "k", [(1, 2)], invert=True).take_all()
+    )
+    assert anti == [1, 2, 3]
+
+
+def test_hash_join_right_payload_named_like_key_raises(ray_session):
+    from mismo_ray._joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"id": pa.array([1], pa.int64()), "x": pa.array([2], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rid": pa.array([1], pa.int64()), "id": pa.array([9], pa.int64())})
+    )
+    # right payload "id" collides with the kept left key name -> suffixed
+    out = hash_join(left, right, on="id", right_on="rid").to_pandas()
+    assert sorted(out.columns) == ["id", "id_r", "x"]
+    assert out.loc[0, "id_r"] == 9
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(left, right, on="id", right_on="rid", right_suffix=None)
+
+
+def test_hash_join_empty_left_outer_flavors(ray_session):
+    from mismo_ray._joins import hash_join
+
+    # derived empty left (schema unobservable) + right/full outer must not
+    # silently drop the right side
+    empty = ray.data.from_arrow(
+        pa.table({"id": pa.array([], pa.int64()), "x": pa.array([], pa.int64())})
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    right = ray.data.from_arrow(
+        pa.table({"id": pa.array([1], pa.int64()), "y": pa.array([5], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="left_schema"):
+        hash_join(empty, right, on="id", how="full_outer")
+    # with the schema provided, the right row comes back null-padded
+    out = hash_join(
+        empty,
+        right,
+        on="id",
+        how="full_outer",
+        left_schema=pa.schema([("id", pa.int64()), ("x", pa.int64())]),
+    ).to_pandas()
+    assert len(out) == 1 and out.loc[0, "y"] == 5
+
+
+def test_row_number_negative_ids(ray_session):
+    from mismo_ray.packing import add_row_number
+
+    ds = ray.data.from_arrow(
+        pa.table({"record_id": pa.array([-5, 3, -1, 0], pa.int64())})
+    )
+    out = (
+        add_row_number(ds, order="id")
+        .to_pandas()
+        .sort_values("record_id")
+    )
+    # id order: -5 < -1 < 0 < 3 (a raw uint64 view would sort negatives last)
+    assert out.set_index("record_id")["row_number"].to_dict() == {
+        -5: 0,
+        -1: 1,
+        0: 2,
+        3: 3,
+    }
+
+
+def test_sketch_result_name_collisions(ray_session):
+    from mismo_ray.sketch import add_approx_distinct, heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"n": pa.array([1, 1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="result_name"):
+        heavy_hitters(ds, "n", k=1)
+    with pytest.raises(ValueError, match="group key"):
+        add_approx_distinct(ds, "n", "n", result_name="n")
+
+
+def test_diff_empty_before_reports_insertions(ray_session):
+    """The review's live bug: a zero-block `before` + full_outer used to
+    return the empty side, reporting zero insertions."""
+    from mismo_ray.types import Diff
+
+    empty_before = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([], pa.int64()),
+                "v": pa.array([], pa.string()),
+            }
+        )
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    after = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([1, 2], pa.int64()),
+                "v": pa.array(["a", "b"], pa.string()),
+            }
+        )
+    )
+    d = Diff(before=empty_before, after=after)
+    assert d.insertions().count() == 2
+    assert d.deletions().count() == 0
