@@ -172,3 +172,21 @@ def collect_table(ds) -> pa.Table:
     if not batches:
         return pa.table({})
     return pa.concat_tables(batches, promote_options="permissive")
+
+
+def int64_ids(col, op_name: str) -> np.ndarray:
+    """Int64 view of an id column with a CLEAR contract error for other
+    types — the line/substring dedupe kernels are int-id-only (their span
+    bookkeeping packs ids into numpy int64 arithmetic); string/struct ids
+    crash deep inside numpy otherwise. Factorize first
+    (``cluster.Factorizer``) to use them."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_integer(col.type):
+        raise ValueError(
+            f"{op_name} requires an integer id column, got {col.type}; "
+            "factorize non-integer ids first (mismo_ray.cluster.Factorizer)"
+        )
+    if col.null_count:
+        raise ValueError(f"{op_name}: id column contains nulls")
+    return np.asarray(col).astype(np.int64)

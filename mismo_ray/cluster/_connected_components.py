@@ -370,6 +370,12 @@ def _cc_star(
     from mismo_ray._joins import default_num_partitions
     from mismo_ray._util import splitmix64
 
+    # the edge set is consumed more than once (the star rounds AND the
+    # final identity-labels union); pin it so a lazy upstream pair-gen
+    # lineage does not re-execute — mode="auto" pins before routing, but
+    # an explicit mode="star" call arrives lazy (_cc_distributed does the
+    # same pin internally)
+    edges = edges.materialize()
     B = default_num_partitions()
     _EMPTY = pa.table(
         {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
@@ -758,6 +764,20 @@ def connected_components(
     O(graph diameter); pick it for long-chain graphs, e.g. temporal or
     near-duplicate chains; identical labels, min member id per component).
     """
+    if mode not in ("auto", "driver", "distributed", "star"):
+        raise ValueError(
+            f"mode must be auto/driver/distributed/star, got {mode!r}"
+        )
+    if records is not None:
+        _rs0 = records.schema(fetch_if_missing=True)
+        if _rs0 is not None and label_as in _rs0.base_schema.names:
+            # append_column would emit a DUPLICATE column name on the
+            # broadcast path and the lookup join would silently overwrite
+            # the records' original column on the coded path
+            raise ValueError(
+                f"records already have a column named {label_as!r}; pass a "
+                "different label_as"
+            )
     edges = links.select_columns(["record_id_l", "record_id_r"])
     if mode == "auto":
         # Materialize the pruned 2-col edge set BEFORE the routing count:
@@ -773,6 +793,14 @@ def connected_components(
     # empty edge set (zero blocks): any id type is consistent; int64 keeps
     # the singleton-labeling path typed
     id_type = _es.base_schema.field("record_id_l").type if _es is not None else pa.int64()
+    if pa.types.is_list(id_type) or pa.types.is_large_list(id_type):
+        # the Factorizer's hash64/pandas-key machinery handles scalars and
+        # struct ids; LIST ids would crash three layers deep (2-D object
+        # hash arrays, unhashable ndarray keys) — fail with intent
+        raise ValueError(
+            "list-typed record ids are not supported by "
+            "connected_components; use a struct or scalar id column"
+        )
     int_ids = pa.types.is_integer(id_type)
 
     if mode == "driver":
@@ -948,12 +976,22 @@ def _attach_labels_join(
         _rs.base_schema.field("record_id").type if _rs is not None else pa.int64()
     )  # empty records: type is moot
     if pa.types.is_integer(id_type):
-        joined = hash_join(records, labels, on="record_id", how="left_outer")
+        # join the labels under an INTERNAL name: a records table that
+        # already carries a column named "component" would otherwise force
+        # hash_join's suffix onto the labels side and fill() would read the
+        # records' unrelated column — silent wrong labels
+        def rename_label(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"record_id": t["record_id"], "__cc_label__": t["component"]}
+            )
+
+        lab = labels.map_batches(rename_label, batch_format="pyarrow")
+        joined = hash_join(records, lab, on="record_id", how="left_outer")
 
         def fill(t: pa.Table) -> pa.Table:
             rid = t["record_id"].combine_chunks().cast(pa.int64())
-            comp = pc.coalesce(t["component"], rid)
-            out = t.drop_columns(["component"])
+            comp = pc.coalesce(t["__cc_label__"], rid)
+            out = t.drop_columns(["__cc_label__"])
             return out.append_column(label_as, comp)
 
         return joined.map_batches(fill, batch_format="pyarrow")
@@ -977,11 +1015,11 @@ def _attach_labels_join(
 def _attach_labels_broadcast(
     records: ray.data.Dataset, labels_map: dict, label_as: str
 ) -> ray.data.Dataset:
-    """Attach component labels; singleton records (no links) get fresh unique
-    labels above the current max (reference :305-314 semantics)."""
+    """Attach component labels; singleton records (no links) get fresh
+    unique labels (own-id / id-hash — see the branch comments; the
+    reference's max_label+row_number numbering is deliberately not used)."""
     import ray
 
-    max_label = max(labels_map.values(), default=-1)
     ref = ray.put(labels_map)
 
     _rs = records.schema(fetch_if_missing=True)

@@ -49,10 +49,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from mismo_ray._util import hash64
+from mismo_ray._util import hash64, int64_ids
 
 _SEED1 = 0xA11CE
 _SEED2 = 0x0B0B5
+
+
+def _int64_ids(col):
+    return int64_ids(col, "line-level dedupe")
 
 
 def _line_hits(
@@ -86,7 +90,7 @@ def _line_hits(
     def occurrences(t: pa.Table):
         """-> (h1, h2, doc, idx, chars) int64 arrays for one batch."""
         texts = t[column].combine_chunks()
-        ids = np.asarray(t[id_column], dtype=np.int64)
+        ids = _int64_ids(t[id_column])
         lines = pc.split_pattern(texts, pattern=delimiter)
         offsets = np.asarray(lines.offsets, dtype=np.int64)
         flat = lines.values
@@ -98,8 +102,14 @@ def _line_hits(
         chars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
         keep = chars >= min_chars
         flat, doc, idx, chars = flat.filter(pa.array(keep)), doc[keep], idx[keep], chars[keep]
-        h1 = hash64(flat, seed=_SEED1)
-        h2 = hash64(flat, seed=_SEED2)
+        # one object-siphash pass, two seed folds (hash64_base's documented
+        # two-line-hashes call site) — hash64 twice would pay the dominant
+        # per-line hashing cost twice on every corpus scan
+        from mismo_ray._util import hash64_base, hash64_fold
+
+        base = hash64_base(flat)
+        h1 = hash64_fold(base, _SEED1)
+        h2 = hash64_fold(base, _SEED2)
         if scope_column is not None:
             scope = pc.fill_null(t[scope_column].combine_chunks(), "")
             sh = np.repeat(hash64(scope, seed=_SEED1 ^ _SEED2), counts)[keep]
@@ -267,7 +277,7 @@ def _line_hits(
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        doc = np.asarray(t[id_column], dtype=np.int64)
+        doc = _int64_ids(t[id_column])
         idx = np.asarray(t["__idx__"], dtype=np.int64)
         chars = np.asarray(t["__chars__"], dtype=np.int64)
         if keep_first:
@@ -356,7 +366,7 @@ def drop_dup_lines(
     )
 
     def pack(t: pa.Table) -> pa.Table:
-        doc = np.asarray(t[id_column], dtype=np.int64)
+        doc = _int64_ids(t[id_column])
         idx = np.asarray(t["__idx__"], dtype=np.int64)
         order = np.lexsort((idx, doc))
         doc, idx = doc[order], idx[order]

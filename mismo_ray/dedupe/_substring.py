@@ -50,10 +50,14 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from mismo_ray._util import splitmix64
+from mismo_ray._util import int64_ids, splitmix64
 
 _B1 = np.uint64(1000003)
 _B2 = np.uint64(999983)
+
+
+def _int64_ids(col):
+    return int64_ids(col, "substring dedupe")
 
 
 def _window_hashes(codes: np.ndarray, anchors: np.ndarray, window: int):
@@ -90,7 +94,7 @@ def _dup_window_hits(
 
     def emit_windows(t: pa.Table) -> pa.Table:
         h1s, h2s, docs, poss, lens = [], [], [], [], []
-        ids = np.asarray(t[id_column], dtype=np.int64)
+        ids = _int64_ids(t[id_column])
         for rid, s in zip(ids, t[column].to_pylist()):
             if s is None or len(s) < window + 1:
                 continue
@@ -306,7 +310,7 @@ def strip_dup_spans(
     def pack(t: pa.Table) -> pa.Table:
         # acero hash join rejects list<> payload columns, so each doc's
         # sorted spans ride as one compact "s:e,s:e" string
-        doc = np.asarray(t[id_column], dtype=np.int64)
+        doc = _int64_ids(t[id_column])
         st = np.asarray(t["span_start"], dtype=np.int64)
         en = np.asarray(t["span_end"], dtype=np.int64)
         order = np.lexsort((st, doc))
@@ -338,7 +342,7 @@ def strip_dup_spans(
                 "__dbkt__",
                 pa.array(
                     (
-                        np.asarray(t[id_column], dtype=np.int64).astype(np.uint64)
+                        _int64_ids(t[id_column]).astype(np.uint64)
                         % np.uint64(n_buckets)
                     ).astype(np.int64)
                 ),

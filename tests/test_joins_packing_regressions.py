@@ -159,3 +159,63 @@ def test_diff_empty_before_reports_insertions(ray_session):
     d = Diff(before=empty_before, after=after)
     assert d.insertions().count() == 2
     assert d.deletions().count() == 0
+
+
+def test_cc_label_as_collision_raises(ray_session):
+    from mismo_ray.cluster import connected_components
+
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id_l": pa.array([1], pa.int64()),
+                "record_id_r": pa.array([2], pa.int64()),
+            }
+        )
+    )
+    recs = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([1, 2], pa.int64()),
+                "component": pa.array([9, 9], pa.int64()),  # stale labels
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="label_as"):
+        connected_components(links=links, records=recs)
+    # a different label name works and IGNORES the stale column
+    out = connected_components(
+        links=links, records=recs, label_as="cluster"
+    ).to_pandas()
+    assert sorted(out["cluster"].tolist()) == [1, 1]
+    with pytest.raises(ValueError, match="mode"):
+        connected_components(links=links, mode="Star")
+
+
+def test_cc_list_ids_clear_error(ray_session):
+    from mismo_ray.cluster import connected_components
+
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id_l": pa.array([[1, 2]], type=pa.list_(pa.int64())),
+                "record_id_r": pa.array([[3, 4]], type=pa.list_(pa.int64())),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="list-typed"):
+        connected_components(links=links)
+
+
+def test_line_dedupe_string_ids_clear_error(ray_session):
+    from mismo_ray.dedupe import dup_line_stats
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(["a", "b"], pa.string()),
+                "text": pa.array(["x\ny", "x\nz"], pa.string()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="integer id column"):
+        dup_line_stats(ds).to_pandas()
