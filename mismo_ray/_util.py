@@ -68,14 +68,25 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     return hash64_fold(hash64_base(values), seed)
 
 
-def combine_hash_columns(table: pa.Table, columns: Sequence[str], seed: int = 0) -> np.ndarray:
-    """Hash several columns row-wise into one uint64 key array."""
-    out = np.full(len(table), np.uint64(seed if seed else 1469598103934665603), dtype=np.uint64)
-    for c in columns:
-        h = hash64(table[c])
+def combine_hash_arrays(arrays, n: int, seed: int = 0) -> np.ndarray:
+    """Row-wise fold of several arrays into one uint64 key array — THE
+    shared bucketing fold (FNV offset + splitmix64(out ^ hash64)); every
+    module must use it so cross-module bucketing stays consistent."""
+    out = np.full(
+        n, np.uint64(seed if seed else 1469598103934665603), dtype=np.uint64
+    )
+    for a in arrays:
+        h = hash64(a)
         with np.errstate(over="ignore"):
             out = splitmix64(out ^ h)
     return out
+
+
+def combine_hash_columns(table: pa.Table, columns: Sequence[str], seed: int = 0) -> np.ndarray:
+    """Hash several columns row-wise into one uint64 key array."""
+    return combine_hash_arrays(
+        (table[c] for c in columns), len(table), seed
+    )
 
 
 def is_null_mask(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:

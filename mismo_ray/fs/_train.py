@@ -40,7 +40,21 @@ def level_proportions(levels: Sequence[str], labels) -> list[float]:
             ]
             or [np.array([], dtype=np.int64)]
         )
-    labels = np.asarray(labels, dtype=np.int64)
+    labels = np.asarray(labels)
+    if labels.dtype.kind not in "iu":
+        if labels.dtype.kind == "f":
+            # pandas int-with-null round trip: NaN rows belong to no level
+            labels = labels[~np.isnan(labels)]
+        else:
+            # representation="string" comparers label by LEVEL NAME: map
+            # names to indices over the full level list (unknown names ->
+            # the implicit else index, same slot integer labels use) — a
+            # raw np.asarray(..., int64) raised on the string mode
+            name_to_idx = {name: i for i, name in enumerate(levels)}
+            labels = np.array(
+                [name_to_idx.get(x, n_levels) for x in labels], dtype=np.int64
+            )
+    labels = labels.astype(np.int64)
     counts = np.bincount(labels, minlength=n_levels).astype(np.float64)
     counts[counts == 0] = 1.0  # add-one smoothing (reference :31-38)
     return list(counts / counts.sum())

@@ -126,13 +126,40 @@ class ComparerWeights:
             idx = int(labels)
             return float(odds_vec[min(idx, len(self))])
         if isinstance(labels, (pa.Array, pa.ChunkedArray)):
+            # keep the NULL MASK: to_numpy silently widens int-with-null
+            # to float64/NaN, which used to miss the integer fast path and
+            # send EVERY label (not just the nulls) to the string lookup's
+            # odds=1.0 default
+            if isinstance(labels, pa.ChunkedArray):
+                labels = labels.combine_chunks()
+            null_mask = (
+                ~np.asarray(labels.is_valid(), dtype=bool)
+                if labels.null_count
+                else None
+            )
+            if pa.types.is_integer(labels.type):
+                idx = np.asarray(
+                    labels.fill_null(len(self)).cast(pa.int64()), dtype=np.int64
+                )
+                return odds_vec[np.minimum(idx, len(self))]
             labels = labels.to_numpy(zero_copy_only=False)
+        else:
+            null_mask = None
         labels = np.asarray(labels)
         if labels.dtype.kind in "iu":
             idx = np.minimum(labels.astype(np.int64), len(self))
             return odds_vec[idx]
+        if labels.dtype.kind == "f":
+            # float labels (a pandas round trip of int-with-null): NaN is
+            # the null/else level, finite values index as ints
+            nan = np.isnan(labels)
+            idx = np.where(nan, len(self), labels).astype(np.int64)
+            return odds_vec[np.minimum(idx, len(self))]
         name_to_odds = {lw.name: lw.odds for lw in self._level_weights}
-        return np.array([name_to_odds.get(x, 1.0) for x in labels])
+        out = np.array([name_to_odds.get(x, 1.0) for x in labels])
+        if null_mask is not None:
+            out[null_mask] = 1.0
+        return out
 
     def match_probability(self, labels):
         o = self.odds(labels)

@@ -174,7 +174,10 @@ class KeyLinker:
         negligible, and irrelevant to the advisory use)."""
         from mismo_ray.sketch import heavy_hitters
 
-        keyed = project_keyed(ds, self.keys, side, None)
+        # pin the projection: it is consumed THREE times (sketch summary
+        # pass, exact-verify pass, exemplar lookup) — lazy, the key fns +
+        # composite hash would re-run over the corpus per pass
+        keyed = project_keyed(ds, self.keys, side, None).materialize()
         kcols = [f"__key_{k_.name}" for k_ in self.keys]
 
         hh = heavy_hitters(

@@ -56,11 +56,11 @@ def _key_col(name: str) -> str:
 
 
 def _combine_key_hash(arrays: list[pa.Array]) -> np.ndarray:
-    out = np.full(len(arrays[0]), np.uint64(1469598103934665603), dtype=np.uint64)
-    for arr in arrays:
-        with np.errstate(over="ignore"):
-            out = splitmix64(out ^ hash64(arr))
-    return out
+    # shared fold (see _util.combine_hash_arrays): keeps the blocking hash
+    # bit-identical with every other module's bucketing
+    from mismo_ray._util import combine_hash_arrays
+
+    return combine_hash_arrays(arrays, len(arrays[0]))
 
 
 def project_keyed(
@@ -144,18 +144,21 @@ def _expand_salt(
         drop: frozenset = ray.get(drop_ref) if drop_ref is not None else frozenset()
         salt: dict = ray.get(salt_ref) if salt_ref is not None else {}
         block = np.asarray(batch["__block__"], dtype=np.int64)
+        # membership via np.isin against the (tiny) hot-key arrays — a
+        # per-ROW python set probe here costs ~100ns x every corpus row
         if drop:
-            keep = ~np.fromiter((b in drop for b in block), dtype=bool, count=len(block))
+            drop_arr = np.fromiter(drop, dtype=np.int64, count=len(drop))
+            keep = ~np.isin(block, drop_arr)
             batch = batch.filter(pa.array(keep))
             block = block[keep]
         side = (
             np.asarray(batch["__side__"], dtype=np.int8) if link else None
         )
-        is_salted = (
-            np.fromiter((b in salt for b in block), dtype=bool, count=len(block))
-            if salt
-            else np.zeros(len(block), dtype=bool)
-        )
+        if salt:
+            salt_arr = np.fromiter(salt.keys(), dtype=np.int64, count=len(salt))
+            is_salted = np.isin(block, salt_arr)
+        else:
+            is_salted = np.zeros(len(block), dtype=bool)
         # fast path: unsalted rows, vectorized
         plain = batch.filter(pa.array(~is_salted))
         pblock = block[~is_salted]
@@ -393,7 +396,10 @@ def generate_pairs(
         if max_pairs is not None and count_prepass:
             # npairs per key uses n*n for dedupe — reference parity quirk
             # (_key_linker.py:195-222 computes nleft*nright on the same table).
-            hot_mask = cpdf["n"].to_numpy() ** 2 > max_pairs
+            # float64 square: int64 n**2 wraps negative past ~3.04e9 rows and
+            # a wrapped hot key would be SALTED into millions of sub-blocks
+            # instead of dropped
+            hot_mask = cpdf["n"].to_numpy(dtype=np.float64) ** 2 > max_pairs
             hot = set(int(b) for b in cpdf["__block__"][hot_mask])
             counters["hot_keys_dropped"] = len(hot)
             counters["hot_records_dropped"] = (
@@ -465,10 +471,15 @@ def generate_pairs(
             # explicit schemas: an empty side's aggregate output has no
             # inferable schema (ds.schema() is None) and empty corpora are
             # legal inputs
+            # FULL OUTER: an inner join would silently skip blocks present
+            # on one side only — a one-sided hot key then lands unsalted
+            # and undropped in a single reduce group (OOM/straggler) even
+            # though it can produce zero pairs
             joined = hash_join(
                 cl,
                 cr,
                 on="__block__",
+                how="full_outer",
                 right_suffix="_r",
                 left_schema=counts_schema,
                 right_schema=counts_schema,
@@ -481,9 +492,23 @@ def generate_pairs(
             mp = max_pairs if max_pairs is not None else (1 << 62)
             sr_t = salt_rows if salt_rows is not None else (1 << 62)
 
+            import pyarrow.compute as pc
+
             def hot_or_salt(t: pa.Table) -> pa.Table:
-                nl = np.asarray(t["n"], dtype=np.int64)
-                nr = np.asarray(t["n_r"], dtype=np.int64)
+                # fill the outer join's nulls with 0 (block on one side
+                # only); float64 products so a pathological count cannot
+                # wrap int64 and dodge the drop
+                nl = np.asarray(pc.fill_null(t["n"], 0), dtype=np.float64)
+                nr = np.asarray(pc.fill_null(t["n_r"], 0), dtype=np.float64)
+                t = t.set_column(
+                    t.schema.get_field_index("n"),
+                    "n",
+                    pa.array(nl.astype(np.int64)),
+                ).set_column(
+                    t.schema.get_field_index("n_r"),
+                    "n_r",
+                    pa.array(nr.astype(np.int64)),
+                )
                 return t.filter(
                     pa.array((nl * nr > mp) | (nl > sr_t) | (nr > sr_t))
                 )
@@ -491,14 +516,23 @@ def generate_pairs(
             jpdf = joined.map_batches(hot_or_salt, batch_format="pyarrow").to_pandas()
             if "__block__" not in jpdf.columns:
                 jpdf = pd.DataFrame({"__block__": [], "n": [], "n_r": []})
+            nl_all = jpdf["n"].to_numpy(dtype=np.float64) if len(jpdf) else np.array([])
+            nr_all = jpdf["n_r"].to_numpy(dtype=np.float64) if len(jpdf) else np.array([])
             hot = set()
             if max_pairs is not None:
-                hot_mask = (
-                    jpdf["n"].to_numpy(dtype=np.int64)
-                    * jpdf["n_r"].to_numpy(dtype=np.int64)
-                    > max_pairs
-                )
+                hot_mask = nl_all * nr_all > max_pairs
                 hot = set(int(b) for b in jpdf["__block__"][hot_mask])
+            # a block that exists on ONE side only produces zero pairs but
+            # would otherwise shuffle all its rows into a single group (or
+            # be pointlessly salted) — drop it outright when oversized
+            if len(jpdf):
+                one_sided = ((nl_all == 0) | (nr_all == 0)) & (
+                    (nl_all > sr_t) | (nr_all > sr_t)
+                )
+                n_one_sided = int(one_sided.sum())
+                if n_one_sided:
+                    hot |= set(int(b) for b in jpdf["__block__"][one_sided])
+                counters["one_sided_keys_dropped"] = n_one_sided
             counters["hot_keys_dropped"] = len(hot)
             salt = {}
             if salt_rows is not None:

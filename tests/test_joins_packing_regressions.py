@@ -219,3 +219,64 @@ def test_line_dedupe_string_ids_clear_error(ray_session):
     )
     with pytest.raises(Exception, match="integer id column"):
         dup_line_stats(ds).to_pandas()
+
+
+def test_comparer_weights_odds_null_labels():
+    """One null label must NOT poison every row's odds: non-null labels
+    index their level odds, nulls fall to the else slot (odds 1.0)."""
+    from mismo_ray.fs import LevelWeights
+    from mismo_ray.fs._weights import ComparerWeights
+
+    cw = ComparerWeights(
+        "c",
+        [LevelWeights("exact", m=0.9, u=0.01), LevelWeights("near", m=0.08, u=0.09)],
+    )
+    got = cw.odds(pa.array([0, 1, None], type=pa.int64()))
+    assert got[0] == pytest.approx(90.0)
+    assert got[1] == pytest.approx(0.08 / 0.09)
+    assert got[2] == 1.0
+    # float labels (pandas int-with-null round trip) behave identically
+    got_f = cw.odds(np.array([0.0, 1.0, np.nan]))
+    assert got_f[0] == pytest.approx(90.0) and got_f[2] == 1.0
+
+
+def test_level_proportions_string_labels():
+    from mismo_ray.fs._train import level_proportions
+
+    props = level_proportions(
+        ["exact", "near"], np.array(["exact", "exact", "near", "huh"], dtype=object)
+    )
+    # 2 exact, 1 near, 1 else -> proportions over 3 slots sum to 1
+    assert len(props) >= 2
+    assert props[0] == pytest.approx(2 / 4)
+    assert props[1] == pytest.approx(1 / 4)
+
+
+def test_link_salting_one_sided_hot_key(ray_session):
+    """A key hot on ONE side with no partner rows must be dropped by the
+    count pre-pass (zero possible pairs), not shuffled into one group."""
+    from mismo_ray.linker import KeyLinker
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(range(3000), type=pa.int64()),
+                "k": pa.array(
+                    ["hot"] * 2900 + [f"k{i}" for i in range(100)], pa.string()
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(range(10_000, 10_050), type=pa.int64()),
+                "k": pa.array([f"k{i}" for i in range(50)], pa.string()),
+            }
+        )
+    )
+    lk = KeyLinker("k", salt_rows=256)
+    links = lk(left, right).links_ds.to_pandas()
+    assert lk.last_counters.get("one_sided_keys_dropped", 0) >= 1
+    # the 50 shared keys still link 1:1
+    assert len(links) == 50
