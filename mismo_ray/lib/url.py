@@ -274,10 +274,18 @@ def drop_blocked_hosts(
                 )
 
             exploded = ds.map_batches(explode, batch_format="pyarrow")
+            # lowercase the blocklist side too (probed suffixes are derived
+            # from parse_url_batch's lowercased hosts)
+            bl_norm = blocklist.select_columns(["host"]).map_batches(
+                lambda t: pa.table(
+                    {"host": pc.utf8_lower(t["host"].combine_chunks())}
+                ),
+                batch_format="pyarrow",
+            )
             blocked_ids = distinct(
                 hash_join(
                     exploded,
-                    blocklist.select_columns(["host"]),
+                    bl_norm,
                     on=["__suffix__"],
                     right_on=["host"],
                     how="left_semi",
@@ -286,10 +294,14 @@ def drop_blocked_hosts(
             )
             return hash_join(ds, blocked_ids, on=[id_column], how="left_anti")
         blocked = frozenset(
-            r["host"] for r in blocklist.select_columns(["host"]).take_all()
+            r["host"].lower()
+            for r in blocklist.select_columns(["host"]).take_all()
+            if r["host"] is not None
         )
     else:
-        blocked = frozenset(blocklist)
+        # lowercase: probed hosts are lowercased by parse_url_batch, so a
+        # mixed-case entry ('Example.COM') would silently never match
+        blocked = frozenset(h.lower() for h in blocklist if h is not None)
     ref = ray.put(blocked)
 
     def fn(t: pa.Table) -> pa.Table:

@@ -470,11 +470,31 @@ def quantiles(
     if not qs or any(q < 0 or q > 1 for q in qs):
         raise ValueError("qs must be non-empty, each in [0, 1]")
 
+    # integer columns keep an EXACT integer key space (offset-binary
+    # uint64): the float64 detour rounds |v| > 2^53 (snowflake-scale ids),
+    # so the returned "exact element of the column" could be a value the
+    # column never contained. Answers for integer columns come back as
+    # python ints (exact at any magnitude).
+    _schema = ds.schema(fetch_if_missing=True)
+    _int_col = _schema is not None and pa.types.is_integer(
+        _schema.base_schema.field(column).type
+    )
+    _SIGN_BIT = np.uint64(1 << 63)
+
     def keys_of(t: pa.Table) -> np.ndarray:
         col = t[column].combine_chunks()
+        if _int_col:
+            ok = ~np.asarray(col.is_null(), dtype=bool)
+            iv = np.asarray(col.cast(pa.int64())).astype(np.int64)[ok]
+            return iv.astype(np.uint64) ^ _SIGN_BIT
         v = np.asarray(col.cast(pa.float64(), safe=False), dtype=np.float64)
         ok = ~np.asarray(col.is_null(), dtype=bool) & ~np.isnan(v)
         return _f64_to_key(v[ok])
+
+    def _decode(key: int):
+        if _int_col:
+            return int(np.int64(np.uint64(key) ^ _SIGN_BIT))
+        return _key_to_f64(key)
 
     # pass 1: count (bounds come free from the first histogram round)
     def p1(t: pa.Table) -> pa.Table:
@@ -544,7 +564,7 @@ def quantiles(
             nlo = a + binpos * w
             nhi = min(a + (binpos + 1) * w - 1, b)
             if nlo == nhi or w == 1:
-                out[q] = _key_to_f64(nlo)
+                out[q] = _decode(nlo)
             elif int(counts[i][binpos]) <= max_collect:
                 collect.setdefault((nlo, nhi), []).append((q, r - before))
             else:
@@ -587,7 +607,7 @@ def quantiles(
                     np.concatenate(got.get(i, [np.array([], dtype=np.uint64)]))
                 )
                 for q, rr in group:
-                    out[q] = _key_to_f64(int(ks[min(rr, len(ks) - 1)]))
+                    out[q] = _decode(int(ks[min(rr, len(ks) - 1)]))
     return {q: out[q] for q in qs}
 
 

@@ -17,7 +17,7 @@ This module keeps the whole path Ray-Data-native:
 - ``pagerank``: iterative PageRank over (src, dst) edges in *fixed-point
   int64 arithmetic* — each node's rank is an integer share of a global
   ``scale``; per-iteration shares are ``rank // out_degree`` and the damping
-  update is ``((den-num)*r0 + num*incoming) // den``. Integer sums are
+  update is ``((den-num)*r0)//den + (num*incoming)//den``. Integer sums are
   associative, so the result is bit-identical regardless of block order or
   parallelism — and exactly reproducible by a SQL oracle (driver query
   ``host_pagerank``). Dangling-node mass is dropped, the standard
@@ -87,7 +87,19 @@ def extract_links(
     def emit(t: pa.Table) -> pa.Table:
         html = t[html_column].combine_chunks()
         if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
-            html = html.cast(pa.string())
+            try:
+                html = html.cast(pa.string())
+            except pa.ArrowInvalid:
+                # real crawls carry non-UTF-8 pages; one must not kill the
+                # job — lossy-decode the rare bad batch instead of the
+                # validating cast (vectorized path stays the common case)
+                html = pa.array(
+                    [
+                        None if v is None else v.decode("utf-8", "replace")
+                        for v in html.to_pylist()
+                    ],
+                    type=pa.string(),
+                )
         segs = pc.split_pattern(html, pattern='href="')
         offsets = np.asarray(segs.offsets, dtype=np.int64)
         flat = segs.values
@@ -173,6 +185,15 @@ def resolve_hrefs(
         href = pc.list_element(pc.split_pattern(href, "#", max_splits=1), 0)
         scheme = base["scheme"].combine_chunks().fill_null("https")
         host = base["host"].combine_chunks().fill_null("")
+        # keep the base's explicit port: rebuilding from host alone would
+        # resolve '/x' on example.com:8080 to port-80 example.com — a
+        # different server — and merge the two hosts in the link graph
+        port = base["port"].combine_chunks()
+        host = pc.if_else(
+            port.is_valid(),
+            pc.binary_join_element_wise(host, ":", pc.fill_null(port, ""), ""),
+            host,
+        )
         path = base["path"].combine_chunks().fill_null("/")
         # directory of the page path: everything up to (and incl.) the last
         # '/'; a non-empty path always starts with '/', empty path -> '/'
@@ -213,8 +234,17 @@ def resolve_hrefs(
             ),
         )
         resolved = pc.if_else(skip, pa.scalar(None, pa.string()), out)
-        keep_mask = resolved.is_valid()
-        lhost = parse_url_batch(resolved)["host"]
+        lhost = parse_url_batch(resolved)["host"].combine_chunks()
+        # an unparseable BASE url (host "") resolves relative hrefs to
+        # 'https:///x' with an empty link host — those rows would pool into
+        # a spurious '' node in the host graph; the contract says
+        # unfetchable rows are filtered
+        keep_mask = pc.and_(
+            resolved.is_valid(),
+            pc.and_(
+                lhost.is_valid(), pc.invert(pc.equal(pc.fill_null(lhost, ""), ""))
+            ),
+        )
         t = t.append_column("link_url", resolved).append_column(
             "link_host", lhost
         )
@@ -242,10 +272,13 @@ def pagerank(
     - ``n`` = distinct nodes (union of src and dst); ``r0 = scale // n``
     - each iteration: every node sends ``rank // out_degree`` along each
       outgoing edge (multigraph: parallel edges each carry a share);
-      ``rank' = ((den - num) * r0 + num * incoming_sum) // den``
+      ``rank' = ((den - num) * r0) // den + (num * incoming_sum) // den``
+      (TWO floor divisions, exactly as the SQL oracle computes — a single
+      combined ``(a + b) // den`` differs by one whenever the remainders
+      sum past den)
     - nodes with no incoming edges hold the teleport share
       ``((den - num) * r0) // den``; dangling mass is dropped (see module
-      docstring).
+      docstring); edges with a null endpoint are dropped (not edges).
 
     ``edges`` is materialized once up front (it is consumed every
     iteration) with the out-degree pre-attached, so each iteration is one
@@ -261,9 +294,16 @@ def pagerank(
     num, den = damping
     B = num_partitions or default_num_partitions()
 
-    edges = edges.map_batches(
-        lambda t: pa.table({"src": t[src], "dst": t[dst]}), batch_format="pyarrow"
-    ).materialize()
+    def project_edges(t: pa.Table) -> pa.Table:
+        # an edge with a null endpoint is not an edge: null dst would
+        # reach the incoming-sum groupby (Ray's sort groupby rejects None
+        # keys — the repo pitfall) and null src can route nothing
+        out = pa.table({"src": t[src], "dst": t[dst]})
+        return out.filter(
+            pc.and_(out["src"].is_valid(), out["dst"].is_valid())
+        )
+
+    edges = edges.map_batches(project_edges, batch_format="pyarrow").materialize()
     src, dst = "src", "dst"
     # Effective partition count tracks the DATA, capped by the caller's B:
     # every iteration unions/shuffles these datasets and block counts
@@ -524,9 +564,26 @@ def anchor_stats(
             }
         )
 
+    # explicit schemas: both sides are lazy groupby/top-k lineages, and
+    # hash_join's schema inference would EXECUTE each once just to learn
+    # the column set, then again for the join (its docstring's warning)
     return hash_join(
         totals,
         top.map_batches(rename_top, batch_format="pyarrow"),
         on=[target_column],
         how="left_outer",
+        left_schema=pa.schema(
+            [
+                pa.field(target_column, pa.string()),
+                pa.field("n_links", pa.int64()),
+                pa.field("n_anchored", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                pa.field(target_column, pa.string()),
+                pa.field("top_anchor", pa.string()),
+                pa.field("top_anchor_count", pa.int64()),
+            ]
+        ),
     )

@@ -187,3 +187,112 @@ def test_anchor_stats_edge_cases(ray_session):
     assert out.loc["B", "top_anchor"] == "" and out.loc["B", "top_anchor_count"] == 1
     assert out.loc["C", "n_links"] == 2 and out.loc["C", "n_anchored"] == 0
     assert out.loc["C", "top_anchor"] is None or out.loc["C", "top_anchor"] != out.loc["C", "top_anchor"]
+
+
+def test_resolve_hrefs_keeps_port_and_filters_bad_base(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.webgraph import resolve_hrefs
+
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [
+                        "http://example.com:8080/a/b",
+                        "not a url",
+                        "https://ok.example/x",
+                    ]
+                ),
+                "href": pa.array(["/x", "/y", "page2"]),
+            }
+        )
+    )
+    out = resolve_hrefs(links).to_pandas()
+    got = dict(zip(out["url"], out["link_url"]))
+    # explicit port survives root-relative resolution (port 80 is a
+    # DIFFERENT server)
+    assert got["http://example.com:8080/a/b"] == "http://example.com:8080/x"
+    # unparseable base -> empty link host -> row filtered (no '' node)
+    assert "not a url" not in got
+    assert got["https://ok.example/x"] == "https://ok.example/page2"
+    assert (out["link_host"] != "").all()
+
+
+def test_extract_links_non_utf8_binary_html(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.webgraph import extract_links
+
+    html_ok = b'<a href="https://a.example/p">x</a>'
+    html_bad = b'\xff\xfe<a href="https://b.example/q">y</a>'
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    ["https://s.example/1", "https://s.example/2"]
+                ),
+                "html": pa.array([html_ok, html_bad], pa.binary()),
+            }
+        )
+    )
+    out = extract_links(ds, html_column="html").to_pandas()
+    # the malformed byte is lossy-decoded, both pages' links survive
+    assert sorted(out["href"]) == ["https://a.example/p", "https://b.example/q"]
+
+
+def test_pagerank_null_endpoint_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.webgraph import pagerank
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["a", "a", None], pa.string()),
+                "dst": pa.array(["b", None, "b"], pa.string()),
+            }
+        )
+    )
+    out = pagerank(edges, iterations=2).to_pandas()
+    # only the real a->b edge counts; no crash, no null node
+    assert set(out["node"]) == {"a", "b"}
+    assert out["rank"].notna().all()
+
+
+def test_drop_blocked_hosts_mixed_case_entries(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.lib.url import drop_blocked_hosts
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "url": pa.array(
+                    ["https://example.com/a", "https://keep.example/b"]
+                ),
+            }
+        )
+    )
+    out = drop_blocked_hosts(ds, ["Example.COM"]).to_pandas()
+    assert out["doc_id"].tolist() == [2]
+
+
+def test_quantiles_int64_beyond_2_53(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mismo_ray.util_ops import quantiles
+
+    vals = [2**53 + 1, 2**53 + 3, 2**53 + 5, -(2**53) - 7]
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = quantiles(ds, "x", [0.0, 0.5, 1.0])
+    # exact elements of the column, bit-exact at any magnitude
+    assert got[0.0] == -(2**53) - 7
+    assert got[0.5] == 2**53 + 1
+    assert got[1.0] == 2**53 + 5
