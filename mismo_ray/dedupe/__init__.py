@@ -26,11 +26,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count
 
 from mismo_ray._util import hash64, splitmix64
 from mismo_ray.linker._unnest import UnnestLinker
-from mismo_ray.sets import jaccard
 from mismo_ray.types import Linkage
 
 # ------------------------------------------------------------------ exact
@@ -79,9 +77,16 @@ def exact_dedupe(
         out = g.group_by(["content_hash_1", "content_hash_2"]).aggregate(
             [(id_column, "min"), (id_column, "count")]
         )
-        # pyarrow group_by emits key columns first, aggregates after
-        return out.rename_columns(
-            ["content_hash_1", "content_hash_2", "keep_id", "n_dups"]
+        # select BY NAME: pyarrow versions have differed on whether keys or
+        # aggregates come first, and a positional rename would silently
+        # relabel a content hash as keep_id
+        return pa.table(
+            {
+                "content_hash_1": out["content_hash_1"],
+                "content_hash_2": out["content_hash_2"],
+                "keep_id": out[f"{id_column}_min"],
+                "n_dups": out[f"{id_column}_count"],
+            }
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
@@ -132,9 +137,15 @@ def minhash_signatures_batch(
     valid = np.zeros(n, dtype=bool)
     for i, s in enumerate(texts):
         if s is not None:
-            valid[i] = True
             sh = set(char_shingles(s, shingle_w) or [])
-            all_shingles.extend(sh)
+            if sh:
+                # shingle-less texts (empty string) stay INVALID: an
+                # all-max signature would collide in every band and the
+                # estimated-agreement verify would accept the clique at
+                # 1.0 while exact jaccard says 0.0 (the index class
+                # already guards this; the pairs path must too)
+                valid[i] = True
+                all_shingles.extend(sh)
         offsets[i + 1] = len(all_shingles)
     sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
     if not all_shingles:
@@ -193,10 +204,12 @@ def minhash_signatures_charhash_batch(
         for i, s in enumerate(texts):
             if s is None:
                 continue
-            valid[i] = True
             base = charshingle_hashes(s, shingle_w, seed=seed)
             if len(base) == 0:
+                # empty text: no shingles -> INVALID (an all-max signature
+                # would alias every other empty doc across all bands)
                 continue
+            valid[i] = True
             # (S, k) affine family, min over shingles
             sig[i] = (base[:, None] * a[None, :] + b[None, :]).min(axis=0)
     return sig, valid
@@ -208,6 +221,14 @@ def band_keys_from_signatures(
     """(n_rows, num_hashes) signatures -> per-row list of one int64 key per
     band (band index folded into the key's high byte)."""
     n, num_hashes = sig.shape
+    if n_bands <= 0 or num_hashes % n_bands:
+        # rows=0 would leave acc all-zeros — EVERY doc sharing every band
+        # key, an O(n^2) cross-product with no warning; the index class
+        # already validates, the pairs path must too
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"n_bands ({n_bands})"
+        )
     rows = num_hashes // n_bands
     with np.errstate(over="ignore"):
         # combine the `rows` hash values of each band with a splitmix chain
@@ -228,7 +249,13 @@ def minhash_lsh_keys(
     seed: int = 7,
 ) -> list[int] | None:
     """Banded LSH keys from the minhash signature: one 64-bit key per band
-    (reference mismo/linker/_lsh.py:17-43, determinized)."""
+    (reference mismo/linker/_lsh.py:17-43, determinized).
+
+    NOTE: uses the STRING-SHINGLE hash family (minhash_signatures_batch).
+    The corpus pipeline ``minhash_lsh_pairs`` uses the faster rolling
+    CHARHASH family — the two are deliberately not interchangeable, so
+    keys from this helper will not match that pipeline's buckets; use it
+    for standalone banding, not to reproduce minhash_lsh_pairs."""
     sig, valid = minhash_signatures_batch(
         [s], num_hashes=num_hashes, shingle_w=shingle_w, seed=seed
     )
@@ -293,6 +320,7 @@ def minhash_lsh_pairs(
     verify_margin: float | None = None,
     max_pairs: int | None = None,
     seed: int = 7,
+    max_broadcast_text_bytes: int = 2_000_000_000,
 ) -> Linkage:
     """Candidate near-dup pairs via banded minhash LSH; optional
     shingle-jaccard verification (pairs below the bar are dropped).
@@ -460,10 +488,12 @@ def minhash_lsh_pairs(
         )
 
     if verify_jaccard is None:
+        # project BEFORE the dedup shuffle: the carried __sig__ columns are
+        # ~1 KB/pair and dedup_group only needs the two ids (~16 B)
         return Linkage(
             left=ds,
             right=right_src,
-            links=pair_dedup(links).select_columns(ids_only),
+            links=pair_dedup(links.select_columns(ids_only)),
         )
 
     # ---- verify. The est-tag map runs BEFORE the dedup shuffle so the
@@ -515,7 +545,13 @@ def minhash_lsh_pairs(
     # the verify is a single map over the borderline pairs. Large sets fall
     # back to the full corpus join (with_both).
     shingle = lambda s: charshingle_hashes(s, shingle_w, seed=seed)  # noqa: E731
-    if nb <= 1_000_000:
+
+    class _BudgetExceeded(Exception):
+        pass
+
+    broadcast_ok = nb <= 1_000_000
+    texts_l = texts_r = None
+    if broadcast_ok:
         idset_l: set = set()
         idset_r: set = set()
         for b in borderline.iter_batches(batch_format="pyarrow"):
@@ -523,20 +559,36 @@ def minhash_lsh_pairs(
             idset_r.update(b["record_id_r"].to_pylist())
         from mismo_ray._joins import broadcast_isin
 
-        def collect_texts(src: ray.data.Dataset, idset: set) -> dict:
+        def collect_texts(
+            src: ray.data.Dataset, idset: set, budget: list
+        ) -> dict:
             out: dict = {}
             for b in broadcast_isin(
                 src.select_columns(["record_id", column]), "record_id", idset
             ).iter_batches(batch_format="pyarrow"):
+                # BYTE budget, not just a pair count: a million borderline
+                # pairs over 100 KB documents would otherwise pull ~100 GB
+                # onto the driver where the join path handles it streaming
+                budget[0] -= int(
+                    pc.sum(pc.binary_length(pc.fill_null(b[column], ""))).as_py()
+                    or 0
+                )
+                if budget[0] < 0:
+                    raise _BudgetExceeded
                 out.update(zip(b["record_id"].to_pylist(), b[column].to_pylist()))
             return out
 
-        if link:
-            texts_l = collect_texts(ds, idset_l)
-            texts_r = collect_texts(right_src, idset_r)
-        else:
-            texts_l = collect_texts(ds, idset_l | idset_r)
-            texts_r = texts_l
+        budget = [int(max_broadcast_text_bytes)]
+        try:
+            if link:
+                texts_l = collect_texts(ds, idset_l, budget)
+                texts_r = collect_texts(right_src, idset_r, budget)
+            else:
+                texts_l = collect_texts(ds, idset_l | idset_r, budget)
+                texts_r = texts_l
+        except _BudgetExceeded:
+            broadcast_ok = False
+    if broadcast_ok:
         tref = ray.put((texts_l, texts_r))
 
         def verify_bcast(t: pa.Table) -> pa.Table:
@@ -549,7 +601,7 @@ def minhash_lsh_pairs(
             return t.filter(pa.array(jacc >= verify_jaccard)).select(ids_only)
 
         checked = borderline.map_batches(verify_bcast, batch_format="pyarrow")
-    else:
+    if not broadcast_ok:
         pairs = Linkage(
             left=ds, right=right_src, links=borderline
         ).links.with_both([column], [column])

@@ -192,14 +192,31 @@ class StreamingDedupIndex:
         self._shards = []
 
     def snapshot(self, path: str) -> None:
-        """Persist the index to parquet (one file, fingerprints only)."""
+        """Persist the index to parquet (fingerprints + the hash seed: a
+        snapshot restored under a different seed would silently never match
+        anything — total loss of cross-run dedup; the Bloom index already
+        validates its params the same way)."""
         fps: list[int] = []
         for chunk in ray.get([s.dump.remote() for s in self._shards]):
             fps.extend(chunk)
-        pq.write_table(pa.table({"fp": pa.array(fps, type=pa.int64())}), path)
+        pq.write_table(
+            pa.table(
+                {"fp": pa.array(fps, type=pa.int64())},
+                metadata={"seed": str(self.seed)},
+            ),
+            path,
+        )
 
     def restore(self, path: str) -> "StreamingDedupIndex":
-        fps_signed = np.asarray(pq.read_table(path)["fp"], dtype=np.int64)
+        t = pq.read_table(path)
+        meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
+        if "seed" in meta and int(meta["seed"]) != self.seed:
+            raise ValueError(
+                f"dedup-index snapshot was built with seed={meta['seed']}, "
+                f"this index uses seed={self.seed}; fingerprints would "
+                "never match"
+            )
+        fps_signed = np.asarray(t["fp"], dtype=np.int64)
         sh = (fps_signed.astype(np.uint64) % np.uint64(self.n_shards)).astype(
             np.int64
         )
@@ -364,13 +381,40 @@ class StreamingNearDupIndex:
         self._shards = []
 
     def snapshot(self, path: str) -> None:
+        """Band keys + the sketch parameters they were computed under —
+        restoring under different (num_hashes, n_bands, shingle_w, seed)
+        would silently re-admit every known near-dup."""
         fps: list[int] = []
         for chunk in ray.get([s.dump.remote() for s in self._shards]):
             fps.extend(chunk)
-        pq.write_table(pa.table({"fp": pa.array(fps, type=pa.int64())}), path)
+        pq.write_table(
+            pa.table(
+                {"fp": pa.array(fps, type=pa.int64())},
+                metadata={
+                    "num_hashes": str(self.num_hashes),
+                    "n_bands": str(self.n_bands),
+                    "shingle_w": str(self.shingle_w),
+                    "seed": str(self.seed),
+                },
+            ),
+            path,
+        )
 
     def restore(self, path: str) -> "StreamingNearDupIndex":
-        fps_signed = np.asarray(pq.read_table(path)["fp"], dtype=np.int64)
+        t = pq.read_table(path)
+        meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
+        if meta:
+            got = tuple(
+                int(meta.get(k, -1))
+                for k in ("num_hashes", "n_bands", "shingle_w", "seed")
+            )
+            want = (self.num_hashes, self.n_bands, self.shingle_w, self.seed)
+            if got != want:
+                raise ValueError(
+                    f"near-dup snapshot params {got} != index params {want} "
+                    "(num_hashes, n_bands, shingle_w, seed must all match)"
+                )
+        fps_signed = np.asarray(t["fp"], dtype=np.int64)
         sh = (fps_signed.astype(np.uint64) % np.uint64(self.n_shards)).astype(
             np.int64
         )

@@ -280,3 +280,79 @@ def test_link_salting_one_sided_hot_key(ray_session):
     assert lk.last_counters.get("one_sided_keys_dropped", 0) >= 1
     # the 50 shared keys still link 1:1
     assert len(links) == 50
+
+
+def test_minhash_empty_docs_never_pair(ray_session):
+    """Empty-string docs have no shingles -> INVALID signature -> no band
+    keys; under hybrid verify they used to form an all-accept clique
+    (estimated agreement 1.0) that exact jaccard rejects."""
+    from mismo_ray.dedupe import minhash_lsh_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array(range(6), type=pa.int64()),
+                "text": pa.array(
+                    ["", "", "", "the same long text here", "the same long text here", None]
+                ),
+            }
+        )
+    )
+    for mode in ("hybrid", "exact", "est"):
+        got = {
+            (r["record_id_l"], r["record_id_r"])
+            for r in minhash_lsh_pairs(
+                ds, "text", verify_jaccard=0.8, verify_mode=mode, shingle_w=5
+            ).links_ds.take_all()
+        }
+        assert got == {(3, 4)}, (mode, got)
+
+
+def test_minhash_band_divisibility_validated(ray_session):
+    from mismo_ray.dedupe import minhash_lsh_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["aaaaaaa", "bbbbbbb"]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="multiple"):
+        minhash_lsh_pairs(ds, "text", num_hashes=8, n_bands=16).links_ds.take_all()
+
+
+def test_dedup_index_snapshot_param_guard(ray_session, tmp_path):
+    from mismo_ray.state.dedup_index import (
+        StreamingDedupIndex,
+        StreamingNearDupIndex,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([1], type=pa.int64()),
+                "text": pa.array(["hello world document"]),
+            }
+        )
+    )
+    idx = StreamingDedupIndex(n_shards=2, seed=7)
+    idx.filter_new(ds, "text")
+    snap = str(tmp_path / "exact.pq")
+    idx.snapshot(snap)
+    idx.shutdown()
+    with pytest.raises(ValueError, match="seed"):
+        StreamingDedupIndex(n_shards=2, seed=8).restore(snap)
+    # same seed, different shard count restores fine (keys re-shard on load)
+    ok = StreamingDedupIndex(n_shards=4, seed=7).restore(snap)
+    assert ok.n_seen() == 1
+    ok.shutdown()
+
+    nd = StreamingNearDupIndex(n_shards=2, shingle_w=5)
+    nd.filter_new(ds, "text")
+    snap2 = str(tmp_path / "near.pq")
+    nd.snapshot(snap2)
+    nd.shutdown()
+    with pytest.raises(ValueError, match="params"):
+        StreamingNearDupIndex(n_shards=2, shingle_w=6).restore(snap2)
