@@ -355,9 +355,16 @@ def webpage_comparers() -> list[LevelComparer]:
     from mismo_ray.dedupe import hash_set_jaccard_batch
 
     def text_exact(t: pa.Table) -> np.ndarray:
-        return pc.equal(t["extracted_text_l"], t["extracted_text_r"]).to_numpy(
-            zero_copy_only=False
+        # empty text is NO evidence: two contentless pages (null-source
+        # docs synthesize '') must not count as exact text matches — they
+        # would chain unrelated planted clusters through CC
+        eq = pc.fill_null(
+            pc.equal(t["extracted_text_l"], t["extracted_text_r"]), False
         )
+        nonempty = pc.not_equal(
+            pc.fill_null(t["extracted_text_l"], ""), ""
+        )
+        return pc.and_(eq, nonempty).to_numpy(zero_copy_only=False)
 
     # per-batch memo: both jaccard levels see the SAME table object (the
     # LevelComparer evaluates levels in order per batch), so compute the
@@ -509,9 +516,12 @@ def run_er_pipeline(
             weights = Weights.from_json(f"{checkpoint_dir}/weights.json")
     else:
         # (domain, path_stem) group sizes are bounded by cluster size (<= 6
-        # by synthesis; stems are cluster-unique even on the hot domain), so
-        # the count pre-pass barrier is skipped and the max_pairs guard runs
-        # in-task
+        # by synthesis; stems draw from a 1e9 space, so cross-cluster stem
+        # collisions are birthday-rare — ~(n_clusters^2 / 2e9) pairs, i.e.
+        # a ~1e-5 relative contamination of candidate pairs even at the
+        # 2M-cluster scaling runs, and deterministic at every parallelism);
+        # the count pre-pass barrier is skipped and the max_pairs guard
+        # runs in-task
         key_linker = KeyLinker(
             ["domain", "path_stem"], max_pairs=1_000_000,
             salt_rows=None, count_prepass=False,
@@ -552,13 +562,18 @@ def run_er_pipeline(
                 )
         if pairs_ckpt is not None:
             # feature-carrying pairs to hash-partitioned parquet + weights to
-            # json: everything scoring needs, resumable per partition
+            # json: everything scoring needs, resumable per partition.
+            # Weights FIRST: write_partitioned ends with the _DONE marker,
+            # and a crash between marker and weights would leave a
+            # "complete" checkpoint whose resume path can never load its
+            # weights.json
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            weights.to_json(f"{checkpoint_dir}/weights.json")
             write_partitioned(
                 pairs, pairs_ckpt,
                 key_columns=["record_id_l", "record_id_r"],
                 n_parts=resume_partitions,
             )
-            weights.to_json(f"{checkpoint_dir}/weights.json")
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["odds"], threshold_odds))
@@ -593,9 +608,21 @@ def run_er_pipeline(
         counters["pairs_generated"] = linkage.links_ds.count()
         counters["pairs_matched"] = matches.count()
     if ckpt is not None:
-        Linkage(left=pages, right=pages, links=matches).to_parquets(
-            ckpt, counters=counters
-        )
+        # links-only checkpoint: the resume branch above reads ONLY
+        # {ckpt}/links and reuses the in-memory pages; a full
+        # Linkage.to_parquets would re-execute and write the entire
+        # featurized corpus TWICE (left/ + right/) for nothing
+        os.makedirs(ckpt, exist_ok=True)
+        matches.write_parquet(f"{ckpt}/links")
+        with open(f"{ckpt}/manifest.json", "w") as f:
+            json.dump(
+                {
+                    "format": "mismo_ray.Linkage.links_only",
+                    "counters": counters,
+                },
+                f,
+                indent=2,
+            )
         matches = ray.data.read_parquet(f"{ckpt}/links")
 
     from mismo_ray.cluster import connected_components
@@ -620,8 +647,13 @@ def flagship(sf_dir: str, **kwargs) -> dict:
 
 
 def fixed_weights() -> Weights:
-    """Deterministic FS weights (what EM converges to on this corpus, rounded)
-    — lets benchmark runs skip the training phase."""
+    """Deterministic FS weights (what EM converges to on this corpus,
+    rounded) — lets benchmark runs skip the training phase.
+
+    Level names match :func:`sketch_comparers` (url: close/same_domain) —
+    its only caller, ``scaling_pipeline``.  Do NOT pair these with
+    :func:`webpage_comparers` (url: close/same_page): integer labels bind
+    by POSITION, so same_page would silently receive same_domain's m/u."""
     from mismo_ray.fs import ComparerWeights, LevelWeights
 
     return Weights(
@@ -660,7 +692,10 @@ def add_sketches(pages: ray.data.Dataset, *, num_hashes: int = 16) -> ray.data.D
             texts, num_hashes=num_hashes, shingle_w=24
         )
         fp = hash64(texts).astype(np.int64)
-        t = t.append_column("fp", pa.array(fp))
+        # contentless pages carry a NULL fingerprint: a shared hash of ''
+        # would make every empty page an "exact" text match of every other
+        empty = np.array([s is None or s == "" for s in texts], dtype=bool)
+        t = t.append_column("fp", pa.array(fp, mask=empty))
         return t.append_column(
             "sig",
             pa.array(
@@ -700,14 +735,36 @@ def sketch_comparers() -> list[LevelComparer]:
         n = len(sl)
         if n == 0:
             return np.zeros((0,))
-        a = np.asarray(sl.flatten()).reshape(n, -1)
-        b = np.asarray(sr.flatten()).reshape(n, -1)
+
+        def mat(col) -> tuple[np.ndarray, np.ndarray]:
+            # null-sig rows (empty-text pages): flatten() DROPS null slots,
+            # so a bare reshape(n, -1) crashes or silently shifts every
+            # later row (same guard dedupe's keys_fn uses)
+            if col.null_count == 0:
+                m = np.asarray(col.flatten()).reshape(n, -1)
+                return m, np.ones(n, dtype=bool)
+            rows = col.to_pylist()
+            width = next((len(v) for v in rows if v is not None), 1)
+            m = np.zeros((n, width), dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for i, v in enumerate(rows):
+                if v is not None:
+                    m[i] = v
+                    ok[i] = True
+            return m, ok
+
+        a, ok_a = mat(sl)
+        b, ok_b = mat(sr)
         val = (a == b).mean(axis=1)
+        val[~(ok_a & ok_b)] = 0.0  # a null signature agrees with nothing
         memo["ref"], memo["val"] = weakref.ref(t), val
         return val
 
     def text_exact(t: pa.Table) -> np.ndarray:
-        return pc.equal(t["fp_l"], t["fp_r"]).to_numpy(zero_copy_only=False)
+        # null fp (contentless page) matches nothing
+        return pc.fill_null(
+            pc.equal(t["fp_l"], t["fp_r"]), False
+        ).to_numpy(zero_copy_only=False)
 
     def text_near(t: pa.Table) -> np.ndarray:
         return _sig_agree(t) >= 0.5
@@ -919,7 +976,10 @@ def train_em_at_scale(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     ).repartition(n_blocks)
     pages = featurize(add_extracted_text(synth_pages(docs, multiplier=multiplier)))
-    if hot_mod is not None:
+    if hot_mod:  # 0 means OFF (scaling_pipeline's sentinel); numpy's
+        # rid % 0 == 0 would otherwise silently reroute EVERY page
+        if hot_mod < 0:
+            raise ValueError("hot_mod must be >= 1 (or 0/None for off)")
         pages = reroute_hot_domain(pages, hot_mod)
     pages = pages.materialize()
     n_pages = pages.count()

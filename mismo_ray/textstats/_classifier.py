@@ -83,8 +83,11 @@ def _flatten(idx_col, val_col):
     la = idx_col.combine_chunks() if isinstance(idx_col, pa.ChunkedArray) else idx_col
     va = val_col.combine_chunks() if isinstance(val_col, pa.ChunkedArray) else val_col
     offsets = np.asarray(la.offsets, dtype=np.int64)
-    flat_i = np.asarray(la.values, dtype=np.int64)
-    flat_v = np.asarray(va.values, dtype=np.float64)
+    voff = np.asarray(va.offsets, dtype=np.int64)
+    # SLICED list arrays keep absolute offsets into the untrimmed values
+    # buffer — rebase, or flat values and doc positions misalign
+    flat_i = np.asarray(la.values, dtype=np.int64)[offsets[0] : offsets[-1]]
+    flat_v = np.asarray(va.values, dtype=np.float64)[voff[0] : voff[-1]]
     n = len(la)
     doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
     return flat_i, flat_v, doc, n

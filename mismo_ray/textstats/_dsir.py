@@ -261,10 +261,14 @@ def dsir_sample(
     # streams end to end.
     keys_only = with_key(ds).select_columns(["__dsir_key__"]).materialize()
     total = keys_only.count()
-    if total == 0:
-        return ds
-    if n >= total:
-        return ds
+    if total == 0 or n >= total:
+        # keep-everything result must still carry the SAME schema as the
+        # sampled path (incl. the dsir_logw weight column) — a raw `ds`
+        # return made downstream weight readers corpus-size-dependent
+        def strip(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["__dsir_key__"])
+
+        return with_key(ds).map_batches(strip, batch_format="pyarrow")
     # cut = the (total-n)-th smallest key (0-indexed rank total-n); keys are
     # float64 with per-id Gumbel noise, ties impossible in practice -> the
     # filter keeps exactly the n largest

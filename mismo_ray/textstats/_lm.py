@@ -139,6 +139,11 @@ class BigramLM:
 
     def _logprob_ids(self, i1: np.ndarray, i2: np.ndarray) -> np.ndarray:
         v = self.v
+        if v == 0:
+            # zero-vocabulary model (empty corpus): every pair is OOV with
+            # cu = cb = 0 — np.where would still EAGERLY index the empty
+            # uni_counts array and raise
+            return np.full(len(i1), np.log(self.k) - np.log(self.k * 1.0))
         cu = np.where(i1 >= 0, self.uni_counts[np.maximum(i1, 0)], 0.0)
         known = (i1 >= 0) & (i2 >= 0)
         key = np.where(known, i1.astype(np.int64) * (v + 1) + i2, -1)

@@ -79,11 +79,14 @@ def test_checkpoint_resume(ray_session, pages, tmp_path):
     )
     n_links = result["links"].count()
     assert (tmp_path / "scored_linkage" / "manifest.json").exists()
-    # resumable: the scored linkage can be reloaded and clustered again
-    from mismo_ray.types import Linkage
+    # resumable: the scored LINKS can be reloaded and clustered again.
+    # The checkpoint is links-only by design — the resume path reuses the
+    # in-memory pages, so writing the corpus twice (left/+right/) was pure
+    # waste at scale.
+    import ray.data as _rd
 
-    lk = Linkage.from_parquets(str(tmp_path / "scored_linkage"))
-    assert lk.links_ds.count() == n_links
+    links_back = _rd.read_parquet(str(tmp_path / "scored_linkage" / "links"))
+    assert links_back.count() == n_links
     # a second run against the same checkpoint dir short-circuits blocking +
     # scoring and reproduces identical clusters
     result2 = run_er_pipeline(
