@@ -309,7 +309,7 @@ def _sig_agreement(t: pa.Table, num_hashes: int) -> np.ndarray:
 
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
-    column: str,
+    column: str | None,
     *,
     right: ray.data.Dataset | None = None,
     num_hashes: int = 64,
@@ -321,6 +321,7 @@ def minhash_lsh_pairs(
     max_pairs: int | None = None,
     seed: int = 7,
     max_broadcast_text_bytes: int = 2_000_000_000,
+    signature_column: str | None = None,
 ) -> Linkage:
     """Candidate near-dup pairs via banded minhash LSH; optional
     shingle-jaccard verification (pairs below the bar are dropped).
@@ -346,32 +347,66 @@ def minhash_lsh_pairs(
       widen verify_margin (more exact checks) to tighten the guarantee.
     - "exact": every pair exact-checked (memoized hash-shingle sets).
     - "est": sketch-only (cheapest; est error ~ 1/sqrt(num_hashes)).
+
+    ``signature_column=`` skips the text sketching and reads PRECOMPUTED
+    ``list<int64>`` signatures (exactly ``num_hashes`` long; null = invalid
+    row, never banded) — the seam that lets an engine-independent oracle
+    value-check the banding/dedup/est-verify machinery (mirrors simhash's
+    ``signature_column``), or lets a 100 TB run reuse sketches persisted by
+    an earlier pass instead of re-shingling the corpus. Text-dependent
+    verification still needs ``column``; with ``column=None`` only
+    ``verify_mode="est"`` (or no verification) is available.
     """
     if verify_margin is None:
         verify_margin = 1.2 / math.sqrt(num_hashes)
+    if column is None and signature_column is None:
+        raise ValueError("need a text column or a signature_column")
+    if (
+        column is None
+        and verify_jaccard is not None
+        and verify_mode != "est"
+    ):
+        raise ValueError(
+            "verify_mode='hybrid'/'exact' re-checks raw text; pass the text "
+            "column too, or use verify_mode='est' with signature_column"
+        )
 
-    def add_sig(batch: pa.Table) -> pa.Table:
-        # charhash signature family: string-free rolling hashes (the
-        # string-shingle family in minhash_signatures_batch gives the same
-        # LSH guarantees but materializes every shingle as a python string)
-        sig, valid = minhash_signatures_charhash_batch(
-            batch[column].to_pylist(),
-            num_hashes=num_hashes,
-            shingle_w=shingle_w,
-            seed=seed,
-        )
-        return pa.table(
-            {
-                "record_id": batch["record_id"],
-                "__sig__": pa.array(
-                    [
-                        sig[i].astype(np.int64).tolist() if valid[i] else None
-                        for i in range(len(valid))
-                    ],
-                    type=pa.list_(pa.int64(), num_hashes),
-                ),
-            }
-        )
+    if signature_column is not None:
+        sig_t = pa.list_(pa.int64(), num_hashes)
+
+        def add_sig(batch: pa.Table) -> pa.Table:
+            sigcol = batch[signature_column]
+            if isinstance(sigcol, pa.ChunkedArray):
+                sigcol = sigcol.combine_chunks()
+            # the cast validates every non-null row is num_hashes long
+            return pa.table(
+                {"record_id": batch["record_id"], "__sig__": sigcol.cast(sig_t)}
+            )
+
+    else:
+
+        def add_sig(batch: pa.Table) -> pa.Table:
+            # charhash signature family: string-free rolling hashes (the
+            # string-shingle family in minhash_signatures_batch gives the same
+            # LSH guarantees but materializes every shingle as a python string)
+            sig, valid = minhash_signatures_charhash_batch(
+                batch[column].to_pylist(),
+                num_hashes=num_hashes,
+                shingle_w=shingle_w,
+                seed=seed,
+            )
+            return pa.table(
+                {
+                    "record_id": batch["record_id"],
+                    "__sig__": pa.array(
+                        [
+                            sig[i].astype(np.int64).tolist() if valid[i] else None
+                            for i in range(len(valid))
+                        ],
+                        type=pa.list_(pa.int64(), num_hashes),
+                    ),
+                }
+            )
 
     link = right is not None and right is not ds
     right_src = right if link else ds

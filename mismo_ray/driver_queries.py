@@ -1290,7 +1290,87 @@ def q_simhash_text(sf_dir: str):
     return simhash_pairs(docs, "text", max_hamming=3).links_ds
 
 
+def q_minhash_band_pairs(sf_dir: str):
+    """MinHash-LSH banding + estimated-jaccard verification
+    (dedupe.minhash_lsh_pairs) over PRECOMPUTED signatures both engines
+    derive bit-exactly — the minhash sibling of q_simhash_pairs.  Component
+    k of doc d's 16-long signature is
+
+        splitmix64((d % 97) * 1000003 + k + 1)      for k >= min(d//97, 5)
+        splitmix64(d * 2654435761 + k*97 + 13)      otherwise
+
+    so the replicas of group d % 97 always agree on the last 16 -
+    min(d//97, 5) components (sharing at least the last 5 of 8 two-wide
+    bands -> every within-group pair is a band-collision candidate) while
+    the doc-specific noisy prefix pushes pairs that involve late replicas
+    below the 0.75 est-jaccard accept bar (>= 12 of 16 agreeing
+    components).  The SQL oracle rebuilds the signatures with the same
+    splitmix64 mixer, re-derives candidates from two-wide band-key
+    equality, and re-counts component agreement — value-checking the whole
+    band-explode / pair-gen / multi-band-duplicate-drop / est-verify
+    machinery.  The text shingling path stays covered rows-only by
+    minhash_lsh_dedupe/link and bit-level by tests/test_dedupe.py."""
+    from mismo_ray._util import splitmix64
+    from mismo_ray.dedupe import minhash_lsh_pairs
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+
+    def add_sig(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64).astype(np.uint64)
+        k = np.arange(16, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            noise_n = np.minimum(ids // np.uint64(97), np.uint64(5))
+            grp = (
+                (ids % np.uint64(97))[:, None] * np.uint64(1000003)
+                + k[None, :]
+                + np.uint64(1)
+            )
+            nz = (
+                ids[:, None] * np.uint64(2654435761)
+                + k[None, :] * np.uint64(97)
+                + np.uint64(13)
+            )
+            z0 = np.where(k[None, :] >= noise_n[:, None], grp, nz)
+            sig = splitmix64(z0.reshape(-1)).reshape(z0.shape).astype(np.int64)
+        return t.append_column(
+            "sig", pa.array(sig.tolist(), type=pa.list_(pa.int64(), 16))
+        )
+
+    keyed = docs.map_batches(add_sig, batch_format="pyarrow")
+    return minhash_lsh_pairs(
+        keyed,
+        None,
+        signature_column="sig",
+        num_hashes=16,
+        n_bands=8,
+        verify_jaccard=0.75,
+        verify_mode="est",
+    ).links_ds
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (textstats.chunk_documents): every
+    document becomes ceil-many 16-token windows with 4 shared tokens
+    between consecutive chunks, chunk text rejoined with single spaces.
+    The SQL oracle re-derives every window with list slicing over the
+    whitespace token array — doc ids, chunk ids, rebuilt chunk text and
+    token counts all value-checked byte-exactly."""
+    from mismo_ray.textstats import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, "text", max_tokens=16, overlap=4)
+
+
 def q_lang_id(sf_dir: str):
+    """Heuristic language ID (textstats.add_lang_id / LangId actor pool).
+    SQL-oracled on this corpus: the synthetic documents are pure-ASCII, so
+    the codepoint-range script detector can never fire (no codepoint >=
+    0x80 exists) and the decision reduces to the marker-token argmax —
+    count of per-language marker tokens, ties broken by marker-dict order,
+    'und' when nothing matches — which the oracle replays with an unnest +
+    marker-table join + window argmax over the IDENTICAL marker lists.
+    The script-range path is pytest-gated (tests/test_crawl_pipeline.py,
+    tests/test_adversarial_text.py)."""
     from mismo_ray.textstats import add_lang_id
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2962,9 +3042,12 @@ QUERIES = {
     # --- driver window: family representatives (all previously D-green) ----
     "ivf_topk": q_ivf_topk,
     "simhash_pairs": q_simhash_pairs,
-    "drop_dup_lines": q_drop_dup_lines,
-    "substring_dedupe": q_substring_dedupe,
-    "lm_perplexity": q_lm_perplexity,
+    # round-5 additions/conversions take window slots from entries that are
+    # already hash-green in CORRECTNESS_r04 (drop_dup_lines,
+    # substring_dedupe, lm_perplexity -> entries 51+):
+    "minhash_band_pairs": q_minhash_band_pairs,
+    "chunk_documents": q_chunk_documents,
+    "lang_id": q_lang_id,
     "decontaminate": q_decontaminate,
     "exact_dedupe": q_exact_dedupe,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
@@ -2987,6 +3070,9 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "host_pagerank": q_host_pagerank,
     # ------- entry 51+: previously-captured entries + family variants -------
+    "drop_dup_lines": q_drop_dup_lines,
+    "substring_dedupe": q_substring_dedupe,
+    "lm_perplexity": q_lm_perplexity,
     "simhash_text": q_simhash_text,
     "ngram_jaccard": q_ngram_jaccard,
     "gopher_quality": q_gopher_quality,
@@ -3005,7 +3091,6 @@ QUERIES = {
     "row_number": q_row_number,
     "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
-    "lang_id": q_lang_id,
     "token_stats": q_token_stats,
     "media_features": q_media_features,
     "dedupe_report": q_dedupe_report,
@@ -3115,7 +3200,85 @@ _IVF_ORACLE = (
     "WHERE rk <= 3"
 )
 
+def _lang_marker_rows() -> str:
+    """VALUES rows (lang_ord, lang, tok) for the lang_id oracle — built from
+    the ENGINE's own marker lists so the two sides can never drift."""
+    from mismo_ray.textstats import _LANG_MARKERS
+
+    rows = []
+    for i, (lang, toks) in enumerate(_LANG_MARKERS.items()):
+        for tok in sorted(toks):
+            esc = tok.replace("'", "''")
+            rows.append(f"({i}, '{lang}', '{esc}')")
+    return ", ".join(rows)
+
+
+# one splitmix64 application over (doc_id, k) rows: x (UBIGINT) -> v (the
+# mixed value) — the same s1/s2/s3 HUGEINT ladder the hash_split /
+# row_number / simhash_pairs oracles use, shared by the minhash oracle
+_SPLITMIX_LADDER_SQL = (
+    "s1 AS (SELECT doc_id, k, CAST((CAST(x AS HUGEINT) + 11400714819323198485) "
+    " % 18446744073709551616 AS UBIGINT) AS z FROM z0), "
+    "s2 AS (SELECT doc_id, k, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) "
+    " * 13787848793156543929 % 4294967296) * 4294967296 "
+    " + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) "
+    " % 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+    "s3 AS (SELECT doc_id, k, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) "
+    " * 10723151780598845931 % 4294967296) * 4294967296 "
+    " + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) "
+    " % 18446744073709551616 AS UBIGINT) AS z FROM s2), "
+    "sig AS (SELECT doc_id, k, xor(z, z >> 31) AS v FROM s3)"
+)
+
+
 ORACLE_SQL = {
+    "minhash_band_pairs": (
+        "WITH ks AS (SELECT unnest(range(16)) AS k), "
+        "z0 AS (SELECT doc_id, k, CAST(CASE WHEN k >= LEAST(doc_id // 97, 5) "
+        " THEN (doc_id % 97) * 1000003 + k + 1 "
+        " ELSE doc_id * 2654435761 + k * 97 + 13 END AS UBIGINT) AS x "
+        " FROM documents, ks), "
+        + _SPLITMIX_LADDER_SQL
+        + ", "
+        "bk AS (SELECT doc_id, k // 2 AS band, "
+        " string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bkey "
+        " FROM sig GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r FROM bk a "
+        " JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+        "agree AS (SELECT c.l, c.r, count(*) AS n FROM cand c "
+        " JOIN sig sa ON sa.doc_id = c.l "
+        " JOIN sig sb ON sb.doc_id = c.r AND sb.k = sa.k "
+        " WHERE sa.v = sb.v GROUP BY 1, 2) "
+        "SELECT l AS record_id_l, r AS record_id_r FROM agree WHERE n >= 12"
+    ),
+    "chunk_documents": (
+        "WITH d AS (SELECT doc_id, "
+        " list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks "
+        " FROM documents WHERE text IS NOT NULL), "
+        "n AS (SELECT doc_id, toks, len(toks) AS nt FROM d WHERE len(toks) > 0), "
+        "c AS (SELECT doc_id, toks, nt, CASE WHEN nt <= 16 THEN 1 "
+        " ELSE CAST(ceil(CAST(nt - 16 AS DOUBLE) / 12) AS BIGINT) + 1 END AS nc FROM n), "
+        "g AS (SELECT doc_id, toks, nt, unnest(range(nc)) AS chunk_id FROM c) "
+        "SELECT doc_id, chunk_id, "
+        " array_to_string(toks[chunk_id * 12 + 1 : LEAST(chunk_id * 12 + 16, nt)], ' ') AS text, "
+        " LEAST(chunk_id * 12 + 16, nt) - chunk_id * 12 AS n_tokens FROM g"
+    ),
+    "lang_id": (
+        # valid for Latin-only corpora (the synthetic documents table is
+        # pure ASCII, where the script-range detector can never fire); the
+        # marker lists are generated from the engine's own _LANG_MARKERS
+        "WITH markers(lang_ord, lang, tok) AS (VALUES " + _lang_marker_rows() + "), "
+        "toks AS (SELECT doc_id, t.tok FROM documents, "
+        " LATERAL (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "   s -> len(s) > 0)) AS tok) t "
+        " WHERE text IS NOT NULL), "
+        "counts AS (SELECT doc_id, m.lang_ord, m.lang, count(*) AS c "
+        " FROM toks JOIN markers m ON m.tok = toks.tok GROUP BY 1, 2, 3), "
+        "best AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+        " (PARTITION BY doc_id ORDER BY c DESC, lang_ord ASC) AS rn FROM counts) "
+        "SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred "
+        "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"
+    ),
     "key_counts": (
         "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, count(*) AS n FROM part GROUP BY p_brand, p_size"
     ),

@@ -596,3 +596,4 @@ from mismo_ray.textstats._bpe import (  # noqa: E402
     train_bpe,
     word_counts,
 )
+from mismo_ray.textstats._chunk import chunk_documents  # noqa: E402

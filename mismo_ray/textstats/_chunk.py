@@ -1,0 +1,128 @@
+"""Document chunking: split long documents into overlapping token windows.
+
+The RAG / embedding-prep / long-context-training primitive the reference
+has no counterpart for: every document becomes ceil-many chunks of at most
+``max_tokens`` whitespace tokens, consecutive chunks sharing ``overlap``
+tokens, chunk text rejoined with single spaces.  One stateless
+``map_batches`` pass — each chunk's tokens are gathered from a flattened
+per-batch token array with pure index arithmetic (no per-row python) and
+rejoined with one Arrow ``binary_join`` kernel, so the op streams at any
+corpus size with zero shuffles.
+
+Chunk layout (stride = max_tokens - overlap):
+
+- chunk j covers tokens ``[j*stride, min(j*stride + max_tokens, n))``
+- ``n_chunks = 1`` when ``n <= max_tokens`` else
+  ``ceil((n - max_tokens) / stride) + 1`` — the last chunk always ends at
+  the final token and is never fully contained in its predecessor
+- documents with null text or zero tokens produce no chunks
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    column: str = "text",
+    *,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    id_column: str = "doc_id",
+    chunk_id_name: str = "chunk_id",
+    n_tokens_name: str = "n_tokens",
+) -> ray.data.Dataset:
+    """(id, chunk_id, text, n_tokens) rows: overlapping token windows.
+
+    Tokens are whitespace runs (``str.split`` semantics: leading/trailing
+    whitespace dropped); chunk text is the window's tokens joined with a
+    single space — a byte-deterministic, engine-independent contract
+    (DuckDB: ``array_to_string(list_slice(...), ' ')``).  ``overlap``
+    tokens are shared between consecutive chunks (0 = disjoint windows).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} "
+            f"for max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = len(t)
+        id_arr = t[id_column].combine_chunks() if n else t[id_column]
+        texts = pd.Series(t[column].to_pylist(), dtype="object")
+        toks = texts.str.split()
+        ntok = (
+            pd.to_numeric(toks.str.len(), errors="coerce")
+            .fillna(0)
+            .to_numpy(dtype=np.int64)
+        )
+        n_chunks = np.where(
+            ntok == 0,
+            0,
+            np.where(
+                ntok <= max_tokens,
+                1,
+                (ntok - max_tokens + stride - 1) // stride + 1,
+            ),
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        empty = pa.table(
+            {
+                id_column: id_arr.slice(0, 0) if n else id_arr,
+                chunk_id_name: pa.array([], type=pa.int64()),
+                column: pa.array([], type=pa.string()),
+                n_tokens_name: pa.array([], type=pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+
+        # flattened token array + per-doc offsets into it
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        flat = ex.to_numpy(dtype=object)
+        doc_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ntok, out=doc_off[1:])
+
+        # one row per chunk: owning doc, chunk index within the doc
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        first_chunk_row = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(total, dtype=np.int64) - first_chunk_row[doc_rep]
+        starts = chunk_idx * stride
+        ends = np.minimum(starts + max_tokens, ntok[doc_rep])
+        lengths = ends - starts
+
+        # gather indices: for chunk c, flat[doc_off[d]+starts[c] : ...+ends[c]]
+        gtotal = int(lengths.sum())
+        gather_start = doc_off[doc_rep] + starts
+        first_tok_row = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        gather = (
+            np.arange(gtotal, dtype=np.int64)
+            - np.repeat(first_tok_row, lengths)
+            + np.repeat(gather_start, lengths)
+        )
+        values = pa.array(flat[gather], type=pa.string())
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(lengths))), type=pa.int32()
+        )
+        chunks_list = pa.ListArray.from_arrays(offsets, values)
+        chunk_text = pc.binary_join(chunks_list, " ")
+        return pa.table(
+            {
+                id_column: id_arr.take(pa.array(doc_rep)),
+                chunk_id_name: pa.array(chunk_idx),
+                column: chunk_text,
+                n_tokens_name: pa.array(lengths),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -62,6 +62,7 @@ QUERIES = [
     "heavy_hitters",  # token sketch over 50k-char tokens / zero-width runs
     "subtract_exact",  # content-hash keys over NUL bytes / max code points
     "describe",  # min/max/distinct over extreme unicode strings
+    "chunk_documents",  # token windows over 50k-char tokens / exotic whitespace
 ]
 
 

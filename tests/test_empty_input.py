@@ -58,6 +58,8 @@ QUERIES = [
     "simhash_text",  # text-kernel flavor (empty corpus -> no signatures)
     "ngram_jaccard",  # was: NoneType.base_schema (with_both collect)
     "spelling_pairs",  # empty corpus -> no variants, no pairs
+    "minhash_band_pairs",  # empty corpus -> no injected signatures, no bands
+    "chunk_documents",  # empty corpus -> no chunks
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",
     "drop_dup_lines",  # was: NoneType.base_schema (rewrite join)

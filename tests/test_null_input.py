@@ -45,6 +45,8 @@ QUERIES = [
     "simhash_text",  # all-null text -> no signatures, no pairs
     "ngram_jaccard",
     "spelling_pairs",  # null names -> no variants, no pairs
+    "minhash_band_pairs",  # id-derived signatures unaffected by null text
+    "chunk_documents",  # null text -> zero chunks for every doc
     "lang_id",
     "token_stats",
     "gopher_quality",
