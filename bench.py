@@ -119,6 +119,10 @@ def run_bench() -> dict:
         dq.q_dsir_sample(sf_dir).count()
     with timed("token_stats"):
         dq.q_token_stats(sf_dir).count()
+    with timed("chunk_documents"):
+        # overlapping token-window chunking (first anchor for the RAG/
+        # embedding-prep path: gather-index slices + one binary_join kernel)
+        dq.q_chunk_documents(sf_dir).count()
     with timed("asof_join"):
         dq.q_asof_join(sf_dir).count()
     with timed("postal_parse"):

@@ -379,9 +379,17 @@ def minhash_lsh_pairs(
             if isinstance(sigcol, pa.ChunkedArray):
                 sigcol = sigcol.combine_chunks()
             # the cast validates every non-null row is num_hashes long
-            return pa.table(
-                {"record_id": batch["record_id"], "__sig__": sigcol.cast(sig_t)}
-            )
+            cast = sigcol.cast(sig_t)
+            # a null ELEMENT inside a non-null signature would survive the
+            # cast and turn into a garbage band key downstream (NaN ->
+            # INT64_MIN through the numpy reshape) — reject it loudly;
+            # "invalid row" is expressed as a null LIST, never a null slot
+            if pc.list_flatten(cast).null_count:
+                raise ValueError(
+                    f"{signature_column!r} has null elements inside "
+                    "signatures; null out the whole list for invalid rows"
+                )
+            return pa.table({"record_id": batch["record_id"], "__sig__": cast})
 
     else:
 

@@ -1290,6 +1290,34 @@ def q_simhash_text(sf_dir: str):
     return simhash_pairs(docs, "text", max_hamming=3).links_ds
 
 
+def _band_sig_batch(t: pa.Table) -> pa.Table:
+    """The injected minhash signature scheme shared by q_minhash_band_pairs
+    / q_minhash_band_link and their SQL oracles (via _BAND_SIG_Z0_SQL):
+    component k of doc d is splitmix64((d % 97)*1000003 + k + 1) for
+    k >= min(d//97, 5), else splitmix64(d*2654435761 + k*97 + 13)."""
+    from mismo_ray._util import splitmix64
+
+    ids = np.asarray(t["doc_id"], dtype=np.int64).astype(np.uint64)
+    k = np.arange(16, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        noise_n = np.minimum(ids // np.uint64(97), np.uint64(5))
+        grp = (
+            (ids % np.uint64(97))[:, None] * np.uint64(1000003)
+            + k[None, :]
+            + np.uint64(1)
+        )
+        nz = (
+            ids[:, None] * np.uint64(2654435761)
+            + k[None, :] * np.uint64(97)
+            + np.uint64(13)
+        )
+        z0 = np.where(k[None, :] >= noise_n[:, None], grp, nz)
+        sig = splitmix64(z0.reshape(-1)).reshape(z0.shape).astype(np.int64)
+    return t.append_column(
+        "sig", pa.array(sig.tolist(), type=pa.list_(pa.int64(), 16))
+    )
+
+
 def q_minhash_band_pairs(sf_dir: str):
     """MinHash-LSH banding + estimated-jaccard verification
     (dedupe.minhash_lsh_pairs) over PRECOMPUTED signatures both engines
@@ -1310,36 +1338,51 @@ def q_minhash_band_pairs(sf_dir: str):
     band-explode / pair-gen / multi-band-duplicate-drop / est-verify
     machinery.  The text shingling path stays covered rows-only by
     minhash_lsh_dedupe/link and bit-level by tests/test_dedupe.py."""
-    from mismo_ray._util import splitmix64
     from mismo_ray.dedupe import minhash_lsh_pairs
 
     docs = _with_record_id(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
-
-    def add_sig(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"], dtype=np.int64).astype(np.uint64)
-        k = np.arange(16, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            noise_n = np.minimum(ids // np.uint64(97), np.uint64(5))
-            grp = (
-                (ids % np.uint64(97))[:, None] * np.uint64(1000003)
-                + k[None, :]
-                + np.uint64(1)
-            )
-            nz = (
-                ids[:, None] * np.uint64(2654435761)
-                + k[None, :] * np.uint64(97)
-                + np.uint64(13)
-            )
-            z0 = np.where(k[None, :] >= noise_n[:, None], grp, nz)
-            sig = splitmix64(z0.reshape(-1)).reshape(z0.shape).astype(np.int64)
-        return t.append_column(
-            "sig", pa.array(sig.tolist(), type=pa.list_(pa.int64(), 16))
-        )
-
-    keyed = docs.map_batches(add_sig, batch_format="pyarrow")
+    keyed = docs.map_batches(_band_sig_batch, batch_format="pyarrow")
     return minhash_lsh_pairs(
         keyed,
         None,
+        signature_column="sig",
+        num_hashes=16,
+        n_bands=8,
+        verify_jaccard=0.75,
+        verify_mode="est",
+    ).links_ds
+
+
+def q_minhash_band_link(sf_dir: str):
+    """The LINK-task flavor of q_minhash_band_pairs: the same injected
+    splitmix64 signatures, but the corpus is split into even/odd doc_id
+    halves and banded CROSS-corpus (minhash_lsh_pairs right=...), so the
+    link-mode pair generation — cross-side-only band collisions, no
+    in-corpus pairs, no l<r canonicalization — is what gets value-checked.
+    The oracle re-derives band-key equality between the two halves and the
+    >= 12-of-16 component-agreement accept."""
+    from mismo_ray.dedupe import minhash_lsh_pairs
+
+    docs = _with_record_id(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+    # materialize the NARROW sketch table (id + 136 B sig) once: the two
+    # parity branches below would otherwise each re-execute the read +
+    # signature chain (Ray Data does not cache shared un-materialized
+    # lineage across branches)
+    keyed = docs.map_batches(_band_sig_batch, batch_format="pyarrow").materialize()
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    left = keyed.map_batches(half(0), batch_format="pyarrow")
+    right = keyed.map_batches(half(1), batch_format="pyarrow")
+    return minhash_lsh_pairs(
+        left,
+        None,
+        right=right,
         signature_column="sig",
         num_hashes=16,
         n_bands=8,
@@ -3044,8 +3087,9 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     # round-5 additions/conversions take window slots from entries that are
     # already hash-green in CORRECTNESS_r04 (drop_dup_lines,
-    # substring_dedupe, lm_perplexity -> entries 51+):
+    # substring_dedupe, lm_perplexity, host_pagerank -> entries 51+):
     "minhash_band_pairs": q_minhash_band_pairs,
+    "minhash_band_link": q_minhash_band_link,
     "chunk_documents": q_chunk_documents,
     "lang_id": q_lang_id,
     "decontaminate": q_decontaminate,
@@ -3068,8 +3112,10 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
-    "host_pagerank": q_host_pagerank,
     # ------- entry 51+: previously-captured entries + family variants -------
+    # (host_pagerank displaced by the 4th round-5 window addition,
+    # minhash_band_link — hash-green in CORRECTNESS_r04 like the others)
+    "host_pagerank": q_host_pagerank,
     "drop_dup_lines": q_drop_dup_lines,
     "substring_dedupe": q_substring_dedupe,
     "lm_perplexity": q_lm_perplexity,
@@ -3230,14 +3276,23 @@ _SPLITMIX_LADDER_SQL = (
     "sig AS (SELECT doc_id, k, xor(z, z >> 31) AS v FROM s3)"
 )
 
+# the injected-signature scheme of driver_queries._band_sig_batch, as the
+# z0 input CTE the minhash band oracles feed into the splitmix ladder —
+# ONE definition so an engine-side tweak can't silently diverge from one
+# of the two oracles
+_BAND_SIG_Z0_SQL = (
+    "ks AS (SELECT unnest(range(16)) AS k), "
+    "z0 AS (SELECT doc_id, k, CAST(CASE WHEN k >= LEAST(doc_id // 97, 5) "
+    " THEN (doc_id % 97) * 1000003 + k + 1 "
+    " ELSE doc_id * 2654435761 + k * 97 + 13 END AS UBIGINT) AS x "
+    " FROM documents, ks), "
+)
+
 
 ORACLE_SQL = {
     "minhash_band_pairs": (
-        "WITH ks AS (SELECT unnest(range(16)) AS k), "
-        "z0 AS (SELECT doc_id, k, CAST(CASE WHEN k >= LEAST(doc_id // 97, 5) "
-        " THEN (doc_id % 97) * 1000003 + k + 1 "
-        " ELSE doc_id * 2654435761 + k * 97 + 13 END AS UBIGINT) AS x "
-        " FROM documents, ks), "
+        "WITH "
+        + _BAND_SIG_Z0_SQL
         + _SPLITMIX_LADDER_SQL
         + ", "
         "bk AS (SELECT doc_id, k // 2 AS band, "
@@ -3245,6 +3300,23 @@ ORACLE_SQL = {
         " FROM sig GROUP BY 1, 2), "
         "cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r FROM bk a "
         " JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+        "agree AS (SELECT c.l, c.r, count(*) AS n FROM cand c "
+        " JOIN sig sa ON sa.doc_id = c.l "
+        " JOIN sig sb ON sb.doc_id = c.r AND sb.k = sa.k "
+        " WHERE sa.v = sb.v GROUP BY 1, 2) "
+        "SELECT l AS record_id_l, r AS record_id_r FROM agree WHERE n >= 12"
+    ),
+    "minhash_band_link": (
+        "WITH "
+        + _BAND_SIG_Z0_SQL
+        + _SPLITMIX_LADDER_SQL
+        + ", "
+        "bk AS (SELECT doc_id, k // 2 AS band, "
+        " string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bkey "
+        " FROM sig GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r FROM bk a "
+        " JOIN bk b ON a.band = b.band AND a.bkey = b.bkey "
+        " WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1), "
         "agree AS (SELECT c.l, c.r, count(*) AS n FROM cand c "
         " JOIN sig sa ON sa.doc_id = c.l "
         " JOIN sig sb ON sb.doc_id = c.r AND sb.k = sa.k "

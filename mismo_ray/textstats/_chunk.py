@@ -111,10 +111,13 @@ def chunk_documents(
             + np.repeat(gather_start, lengths)
         )
         values = pa.array(flat[gather], type=pa.string())
+        # int64 offsets: high-overlap configs amplify tokens ~max_tokens/
+        # stride-fold, so a big batch can exceed int32 list offsets; the
+        # binary_join kernel returns plain `string` either way
         offsets = pa.array(
-            np.concatenate(([0], np.cumsum(lengths))), type=pa.int32()
+            np.concatenate(([0], np.cumsum(lengths))), type=pa.int64()
         )
-        chunks_list = pa.ListArray.from_arrays(offsets, values)
+        chunks_list = pa.LargeListArray.from_arrays(offsets, values)
         chunk_text = pc.binary_join(chunks_list, " ")
         return pa.table(
             {

@@ -59,6 +59,7 @@ QUERIES = [
     "ngram_jaccard",  # was: NoneType.base_schema (with_both collect)
     "spelling_pairs",  # empty corpus -> no variants, no pairs
     "minhash_band_pairs",  # empty corpus -> no injected signatures, no bands
+    "minhash_band_link",  # empty halves on both link sides
     "chunk_documents",  # empty corpus -> no chunks
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",

@@ -76,6 +76,28 @@ def test_wrong_length_signature_raises(ray_session):
         ).links_ds.take_all()
 
 
+def test_null_element_inside_signature_raises(ray_session):
+    # a null SLOT would survive the fixed-size cast and turn into a garbage
+    # band key (NaN -> INT64_MIN through the numpy reshape); invalid rows
+    # must be expressed as a null LIST instead
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([0, 1], type=pa.int64()),
+                "sig": pa.array(
+                    [[1, None], [3, 4]], type=pa.list_(pa.int64(), 2)
+                ),
+            }
+        )
+    )
+    from mismo_ray.dedupe import minhash_lsh_pairs
+
+    with pytest.raises(Exception, match="null elements inside"):
+        minhash_lsh_pairs(
+            ds, None, signature_column="sig", num_hashes=2, n_bands=1
+        ).links_ds.take_all()
+
+
 def test_text_verify_without_text_column_raises(ray_session):
     ds = _mk([(0, [1, 2]), (1, [1, 2])])
     from mismo_ray.dedupe import minhash_lsh_pairs
