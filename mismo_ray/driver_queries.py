@@ -2021,6 +2021,58 @@ def q_blocked_hosts(sf_dir: str):
     return out.select_columns(["doc_id", "url"])
 
 
+def q_robots_filter(sf_dir: str):
+    """Crawl-politeness gate (lib.robots.apply_robots): drop pages a
+    polite '*' crawler may not fetch, per-host robots.txt with RFC 9309
+    longest-match semantics. Hosts rotate h0..h4.example.com; paths rotate
+    /ok/, /private/, /private/open/, /logs/N.(log|txt). Robots bodies
+    exercise: longest-match Allow overriding a shorter Disallow (h0),
+    block-all (h1), historical empty-Disallow allow-all (h2), a wildcard
+    '*.log' rule plus a non-'*' agent group that must be IGNORED (h3),
+    and a host with no robots at all (h4). The SQL oracle re-derives every
+    verdict with LIKE prefix/wildcard algebra over the identical
+    synthesized urls."""
+    from mismo_ray.lib.robots import apply_robots
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        host = "h" + pd.Series(did % 5).astype(str) + ".example.com"
+        sdid = pd.Series(did).astype(str)
+        ext = pd.Series(np.where(did % 2 == 1, "log", "txt"))
+        path = pd.Series(np.select(
+            [did % 4 == 0, did % 4 == 1, did % 4 == 2],
+            ["/ok/" + sdid, "/private/" + sdid, "/private/open/" + sdid],
+            default="/logs/" + sdid + "." + ext,
+        ))
+        url = "https://" + host + path
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(url, type=pa.string()),
+            }
+        )
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    robots = {
+        "h0.example.com": (
+            "User-agent: *\nDisallow: /private/\nAllow: /private/open\n"
+        ),
+        "h1.example.com": "User-agent: *\nDisallow: /\n",
+        "h2.example.com": "User-agent: *\nDisallow:\n",
+        "h3.example.com": (
+            "User-agent: mybot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /logs/*.log\n"
+        ),
+        # h4: no robots entry -> everything allowed
+    }
+    out = apply_robots(pages, robots, id_column="doc_id")
+    return out.select_columns(["doc_id", "url"])
+
+
 def q_anchor_stats(sf_dir: str):
     """Inbound anchor-text profile per link target (webgraph.anchor_stats):
     n_links / n_anchored / most-frequent anchor with deterministic ties.
@@ -3092,7 +3144,7 @@ QUERIES = {
     "minhash_band_link": q_minhash_band_link,
     "chunk_documents": q_chunk_documents,
     "lang_id": q_lang_id,
-    "decontaminate": q_decontaminate,
+    "robots_filter": q_robots_filter,
     "exact_dedupe": q_exact_dedupe,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     # spelling_pairs (round-5 SpellingLinker family) displaces ngram_jaccard
@@ -3113,9 +3165,11 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     # ------- entry 51+: previously-captured entries + family variants -------
-    # (host_pagerank displaced by the 4th round-5 window addition,
-    # minhash_band_link — hash-green in CORRECTNESS_r04 like the others)
+    # (host_pagerank and decontaminate displaced by the 4th/5th round-5
+    # window additions, minhash_band_link and robots_filter — hash-green
+    # in CORRECTNESS_r04 like the others)
     "host_pagerank": q_host_pagerank,
+    "decontaminate": q_decontaminate,
     "drop_dup_lines": q_drop_dup_lines,
     "substring_dedupe": q_substring_dedupe,
     "lm_perplexity": q_lm_perplexity,
@@ -3350,6 +3404,26 @@ ORACLE_SQL = {
         " (PARTITION BY doc_id ORDER BY c DESC, lang_ord ASC) AS rn FROM counts) "
         "SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred "
         "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"
+    ),
+    "robots_filter": (
+        "WITH p AS (SELECT doc_id, "
+        " 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host, "
+        " CASE WHEN doc_id % 4 = 0 THEN '/ok/' || CAST(doc_id AS VARCHAR) "
+        "      WHEN doc_id % 4 = 1 THEN '/private/' || CAST(doc_id AS VARCHAR) "
+        "      WHEN doc_id % 4 = 2 THEN '/private/open/' || CAST(doc_id AS VARCHAR) "
+        "      ELSE '/logs/' || CAST(doc_id AS VARCHAR) || '.' || "
+        "        CASE WHEN doc_id % 2 = 1 THEN 'log' ELSE 'txt' END END AS path "
+        " FROM documents), "
+        # verdicts: h0 longest-match (Allow /private/open beats Disallow
+        # /private/), h1 block-all, h2 allow-all, h3 wildcard *.log with the
+        # mybot group ignored, h4 no robots
+        "v AS (SELECT doc_id, host, path, CASE "
+        " WHEN host = 'h0.example.com' THEN "
+        "   (path NOT LIKE '/private/%' OR path LIKE '/private/open%') "
+        " WHEN host = 'h1.example.com' THEN FALSE "
+        " WHEN host = 'h3.example.com' THEN path NOT LIKE '/logs/%.log%' "
+        " ELSE TRUE END AS keep FROM p) "
+        "SELECT doc_id, 'https://' || host || path AS url FROM v WHERE keep"
     ),
     "key_counts": (
         "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, count(*) AS n FROM part GROUP BY p_brand, p_size"

@@ -1,4 +1,4 @@
-from mismo_ray.lib import address, company, dimensions, email, geo, name, phone, postal
+from mismo_ray.lib import address, company, dimensions, email, geo, name, phone, postal, robots
 from mismo_ray.lib.dimensions import (
     AddressesDimension,
     EmailsDimension,
@@ -19,4 +19,5 @@ __all__ = [
     "name",
     "phone",
     "postal",
+    "robots",
 ]

@@ -60,6 +60,7 @@ QUERIES = [
     "spelling_pairs",  # empty corpus -> no variants, no pairs
     "minhash_band_pairs",  # empty corpus -> no injected signatures, no bands
     "minhash_band_link",  # empty halves on both link sides
+    "robots_filter",  # empty corpus -> no pages to gate
     "chunk_documents",  # empty corpus -> no chunks
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",

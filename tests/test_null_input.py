@@ -47,6 +47,7 @@ QUERIES = [
     "spelling_pairs",  # null names -> no variants, no pairs
     "minhash_band_pairs",  # id-derived signatures unaffected by null text
     "chunk_documents",  # null text -> zero chunks for every doc
+    "robots_filter",  # id-derived urls unaffected by null payloads
     "lang_id",
     "token_stats",
     "gopher_quality",
