@@ -2042,7 +2042,11 @@ def q_robots_filter(sf_dir: str):
         did = np.asarray(t["doc_id"], dtype=np.int64)
         host = "h" + pd.Series(did % 5).astype(str) + ".example.com"
         sdid = pd.Series(did).astype(str)
-        ext = pd.Series(np.where(did % 2 == 1, "log", "txt"))
+        # (did // 4) parity, NOT did parity: the /logs/ class requires
+        # did % 4 == 3 (odd), so a did-parity extension would make every
+        # /logs/ path '.log' and leave the wildcard rule with no allowed
+        # counter-case in either engine or oracle
+        ext = pd.Series(np.where((did // 4) % 2 == 1, "log", "txt"))
         path = pd.Series(np.select(
             [did % 4 == 0, did % 4 == 1, did % 4 == 2],
             ["/ok/" + sdid, "/private/" + sdid, "/private/open/" + sdid],
@@ -3412,7 +3416,7 @@ ORACLE_SQL = {
         "      WHEN doc_id % 4 = 1 THEN '/private/' || CAST(doc_id AS VARCHAR) "
         "      WHEN doc_id % 4 = 2 THEN '/private/open/' || CAST(doc_id AS VARCHAR) "
         "      ELSE '/logs/' || CAST(doc_id AS VARCHAR) || '.' || "
-        "        CASE WHEN doc_id % 2 = 1 THEN 'log' ELSE 'txt' END END AS path "
+        "        CASE WHEN (doc_id // 4) % 2 = 1 THEN 'log' ELSE 'txt' END END AS path "
         " FROM documents), "
         # verdicts: h0 longest-match (Allow /private/open beats Disallow
         # /private/), h1 block-all, h2 allow-all, h3 wildcard *.log with the

@@ -21,7 +21,7 @@ The parser implements the RFC 9309 subset that decides fetchability:
   its pattern string, like the de-facto implementations.
 
 Scale shape of :func:`apply_robots`: a small robots corpus (dict /
-iterable / Dataset under ``max_broadcast`` hosts) ships once via
+iterable / Dataset whose bodies fit ``max_broadcast_bytes``) ships once via
 ``ray.put`` with rules parsed ONCE PER HOST on first use per actor; each
 batch groups rows by host and evaluates every rule vectorized over that
 host's rows (rules per host are few; rows per host in a crawl are many).
@@ -78,14 +78,17 @@ def parse_robots_txt(text: str | None, *, agent: str = "*") -> list[tuple[bool, 
             groups.setdefault(value.strip().lower(), [])
         elif field in ("allow", "disallow"):
             in_agent_run = False
-            if field == "disallow" and value == "":
-                continue  # historical "Disallow:" = allow everything
             if value == "":
+                # historical empty "Disallow:" = allow everything (and an
+                # empty Allow is equally a no-op)
                 continue
             for a in current:
                 groups.setdefault(a, []).append((field == "allow", value))
-        else:
-            in_agent_run = False
+        # unknown fields (Sitemap, Crawl-delay, ...) are ignored WITHOUT
+        # ending a user-agent run: "User-agent: a / Crawl-delay: 10 /
+        # User-agent: b / Disallow: /x" is ONE group covering both agents
+        # (RFC 9309: ignore unrecognized lines); only a rule line closes
+        # the run so a later User-agent starts a fresh group
     if agent in groups:
         return groups[agent]
     return groups.get("*", [])
@@ -141,6 +144,35 @@ def _verdicts_for_host(
     return allow
 
 
+# per-worker parse cache: robots bodies re-parse once per (host, agent,
+# body) per worker process, not once per batch — keyed on the body hash so
+# a changed robots.txt (new broadcast) can't serve stale rules
+_RULE_CACHE: dict = {}
+_RULE_CACHE_CAP = 100_000
+
+
+def _cached_rules(host: str, txt: str, agent: str):
+    key = (agent, host, hash(txt))
+    rules = _RULE_CACHE.get(key)
+    if rules is None:
+        if len(_RULE_CACHE) >= _RULE_CACHE_CAP:
+            _RULE_CACHE.clear()
+        rules = _RULE_CACHE[key] = parse_robots_txt(txt, agent=agent)
+    return rules
+
+
+def _merge_host(robots_map: dict, host, txt) -> None:
+    """Case-fold the host (parse_url_batch lowercases page hosts — a
+    mixed-case robots entry would silently never match) and MERGE duplicate
+    hosts by body concatenation, which parses to the same rule union the
+    join path produces (same-agent groups merge)."""
+    if host is None:
+        return
+    host = str(host).lower()
+    prev = robots_map.get(host)
+    robots_map[host] = txt if prev is None else prev + "\n" + (txt or "")
+
+
 def apply_robots(
     ds: ray.data.Dataset,
     robots,
@@ -149,7 +181,7 @@ def apply_robots(
     id_column: str = "record_id",
     agent: str = "*",
     invert: bool = False,
-    max_broadcast: int = 1_000_000,
+    max_broadcast_bytes: int = 268_435_456,
 ) -> ray.data.Dataset:
     """Keep only rows a polite crawler for ``agent`` may fetch.
 
@@ -158,14 +190,32 @@ def apply_robots(
     columns. Hosts with no robots entry (and rows with unparseable URLs)
     are kept — absence of robots.txt means everything is allowed.
     ``invert=True`` KEEPS only disallowed rows (audit mode).
+
+    The broadcast gate is BYTE-based (robots bodies carry payload, unlike
+    a hostname blocklist): a Dataset whose bodies exceed
+    ``max_broadcast_bytes`` falls back to the join path mid-collect; a
+    too-large dict/iterable raises.
     """
     import ray
 
     from mismo_ray._joins import keyed_filter
 
+    robots_map: dict = {}
     if isinstance(robots, ray.data.Dataset):
-        n_hosts = robots.count()
-        if n_hosts > max_broadcast:
+        budget = max_broadcast_bytes
+        too_big = False
+        for b in robots.select_columns(["host", "robots_txt"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for host, txt in zip(
+                b["host"].to_pylist(), b["robots_txt"].to_pylist()
+            ):
+                budget -= len(txt or "")
+                _merge_host(robots_map, host, txt)
+            if budget < 0:
+                too_big = True
+                break
+        if too_big:
             return _apply_robots_join(
                 ds,
                 robots,
@@ -175,20 +225,16 @@ def apply_robots(
                 invert=invert,
                 keyed_filter=keyed_filter,
             )
-        pairs = [
-            (r["host"], r["robots_txt"])
-            for r in robots.select_columns(["host", "robots_txt"]).iter_rows()
-        ]
-        robots_map = dict(pairs)
-    elif isinstance(robots, dict):
-        robots_map = robots
     else:
-        robots_map = dict(robots)
-    if len(robots_map) > max_broadcast:
-        raise ValueError(
-            f"robots map has {len(robots_map)} hosts > max_broadcast="
-            f"{max_broadcast}; pass it as a Dataset to use the join path"
-        )
+        items = robots.items() if isinstance(robots, dict) else robots
+        for host, txt in items:
+            _merge_host(robots_map, host, txt)
+        if sum(len(t or "") for t in robots_map.values()) > max_broadcast_bytes:
+            raise ValueError(
+                f"robots bodies exceed max_broadcast_bytes="
+                f"{max_broadcast_bytes}; pass them as a Dataset to use the "
+                "join path"
+            )
     ref = ray.put(robots_map)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -197,15 +243,12 @@ def apply_robots(
         hosts = pd.Series(parsed["host"].to_pylist(), dtype="object")
         paths = pd.Series(parsed["path"].to_pylist(), dtype="object")
         keep = np.ones(len(t), dtype=bool)
-        rule_cache: dict = {}
-        # group rows by host: rules parse once per host, evaluate
-        # vectorized over all of that host's rows
+        # group rows by host: rules come from the per-worker parse cache,
+        # evaluate vectorized over all of that host's rows
         for host, idx in hosts.groupby(hosts, sort=False).groups.items():
             if host is None or host not in texts:
                 continue
-            if host not in rule_cache:
-                rule_cache[host] = parse_robots_txt(texts[host], agent=agent)
-            rules = rule_cache[host]
+            rules = _cached_rules(host, texts[host], agent)
             if not rules:
                 continue
             rows = np.asarray(idx, dtype=np.int64)
@@ -240,6 +283,11 @@ def _apply_robots_join(
         for host, txt in zip(
             t["host"].to_pylist(), t["robots_txt"].to_pylist()
         ):
+            if host is None:
+                continue
+            # case-fold like the broadcast path: page hosts come out of
+            # parse_url_batch lowercased
+            host = str(host).lower()
             for rule_allow, pattern in parse_robots_txt(txt, agent=agent):
                 hosts_out.append(host)
                 allow_out.append(rule_allow)

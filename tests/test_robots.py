@@ -124,9 +124,58 @@ def test_apply_robots_join_path_parity(ray_session):
     }
     joined = {
         r["record_id"]
-        for r in apply_robots(ds, robots_ds, max_broadcast=0).take_all()
+        for r in apply_robots(ds, robots_ds, max_broadcast_bytes=0).take_all()
     }
     assert broadcast == joined == _expected_kept()
+
+
+def test_mixed_case_robots_hosts_match(ray_session):
+    # page hosts come out of the URL parser lowercased; a mixed-case robots
+    # entry must still match on both paths
+    ds = ray.data.from_items(
+        [{"record_id": 0, "url": "https://h0.example.com/private/x"}]
+    )
+    entry = {"H0.Example.COM": ROBOTS_BLOCK_ALL}
+    assert apply_robots(ds, entry).count() == 0
+    robots_ds = ray.data.from_items(
+        [{"host": "H0.Example.COM", "robots_txt": ROBOTS_BLOCK_ALL}]
+    )
+    assert apply_robots(ds, robots_ds, max_broadcast_bytes=0).count() == 0
+
+
+def test_unknown_field_does_not_split_agent_run():
+    txt = (
+        "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /private/\n"
+    )
+    assert parse_robots_txt(txt, agent="a") == [(False, "/private/")]
+    assert parse_robots_txt(txt, agent="b") == [(False, "/private/")]
+    # but a rule line DOES close the run: a later User-agent is a new group
+    txt2 = "User-agent: a\nDisallow: /a\nUser-agent: b\nDisallow: /b\n"
+    assert parse_robots_txt(txt2, agent="a") == [(False, "/a")]
+    assert parse_robots_txt(txt2, agent="b") == [(False, "/b")]
+
+
+def test_duplicate_host_rows_merge_on_both_paths(ray_session):
+    # two robots rows for one host: rules must UNION (like same-agent group
+    # merge) identically on the broadcast and join paths
+    ds = ray.data.from_items(
+        [
+            {"record_id": 0, "url": "https://h.example.com/a/x"},
+            {"record_id": 1, "url": "https://h.example.com/b/x"},
+            {"record_id": 2, "url": "https://h.example.com/c/x"},
+        ]
+    )
+    rows = [
+        {"host": "h.example.com", "robots_txt": "User-agent: *\nDisallow: /a\n"},
+        {"host": "h.example.com", "robots_txt": "User-agent: *\nDisallow: /b\n"},
+    ]
+    robots_ds = ray.data.from_items(rows)
+    broadcast = {r["record_id"] for r in apply_robots(ds, robots_ds).take_all()}
+    joined = {
+        r["record_id"]
+        for r in apply_robots(ds, robots_ds, max_broadcast_bytes=0).take_all()
+    }
+    assert broadcast == joined == {2}
 
 
 def test_apply_robots_agent_specific(ray_session):
