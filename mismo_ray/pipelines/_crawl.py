@@ -71,6 +71,8 @@ def crawl_clean(
     multiplier: int = 20,
     min_tokens: int = 5,
     dedupe_min_docs: int = 2,
+    robots=None,
+    robots_agent: str = "*",
     output_dir: str | None = None,
     return_dataset: bool = False,
 ) -> "dict | tuple[dict, ray.data.Dataset]":
@@ -78,7 +80,13 @@ def crawl_clean(
     result of a streaming count/aggregate, not a driver materialization).
     With ``return_dataset=True`` returns ``(counters, survivors)`` so a
     downstream job (e.g. the pretrain shard export) can keep streaming from
-    the deduped corpus without re-reading parquet."""
+    the deduped corpus without re-reading parquet.
+
+    ``robots=`` (a ``{host: robots_txt}`` map or Dataset — see
+    ``lib.robots.apply_robots``) opt-in gates the corpus on crawl
+    politeness FIRST, before any per-document compute is spent; ``None``
+    (the default) leaves the chain and its counters bit-identical to
+    every recorded baseline."""
     from mismo_ray.dedupe import drop_dup_lines, exact_dedupe
     from mismo_ray.lib.url import add_canonical_url
     from mismo_ray.textstats import add_lang_id, add_token_stats, redact_pii
@@ -89,6 +97,13 @@ def crawl_clean(
     # rows per task (5000 docs -> 2 tasks for the whole chain). A real
     # read_parquet produces corpus-sized blocks and needs no such break.
     crawl = synth_crawl(docs, multiplier=multiplier).materialize()
+    if robots is not None:
+        from mismo_ray.lib.robots import apply_robots
+
+        crawl = apply_robots(
+            crawl, robots, url_column="url", id_column="record_id",
+            agent=robots_agent,
+        )
     crawl = add_canonical_url(crawl, "url")
     crawl = redact_pii(crawl, "text", out_column="text")
     crawl = add_token_stats(crawl, "text")

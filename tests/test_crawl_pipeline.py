@@ -40,6 +40,32 @@ def test_crawl_clean_counters(ray_session):
     assert out["n_chars_out"] < out["n_chars_in"] / 2
 
 
+def test_crawl_clean_robots_gate(ray_session):
+    """Opt-in robots stage: blocking one synthesized host drops exactly
+    that host's records before any downstream compute; robots=None stays
+    bit-identical to the recorded counters."""
+    from mismo_ray.pipelines import crawl_clean
+
+    n, mult = 40, 5
+    base = crawl_clean(_docs(n), multiplier=mult)
+    # synth urls: HTTPS://WWW.crawl{doc_id % 50}.Example.COM/... — with
+    # n=40, host crawl7 carries exactly doc_id 7 (mult replicas); the
+    # mixed-case robots key must still match the parsed lowercase host
+    robots = {
+        "WWW.crawl7.Example.COM": "User-agent: *\nDisallow: /\n",
+    }
+    gated = crawl_clean(_docs(n), multiplier=mult, robots=robots)
+    assert gated["n_records"] == base["n_records"] - mult
+    assert gated["n_emails"] == base["n_emails"] - mult
+    assert gated["n_distinct_clean"] == base["n_distinct_clean"] - mult
+    # a path-scoped rule blocks nothing here (paths are /d/<id>/r/<rep>/)
+    unrelated = crawl_clean(
+        _docs(n), multiplier=mult,
+        robots={"www.crawl7.example.com": "User-agent: *\nDisallow: /private/\n"},
+    )
+    assert unrelated["n_records"] == base["n_records"]
+
+
 def test_synth_crawl_stage_semantics(ray_session):
     """Spot-check the intermediate stages on one synthesized record."""
     from mismo_ray.lib.url import add_canonical_url
