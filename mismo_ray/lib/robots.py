@@ -372,3 +372,38 @@ def _apply_robots_join(
 
     blocked = verdicts.map_batches(only_disallowed, batch_format="pyarrow")
     return keyed_filter(ds, blocked, on=id_column, invert=not invert)
+
+
+def load_robots_dir(root: str) -> dict:
+    """Load a directory of per-host robots.txt bodies into the map
+    :func:`apply_robots` takes: one file per host, filename = hostname
+    (an optional ``.txt`` suffix and a ``.gz`` compression suffix are
+    stripped — ``example.com``, ``example.com.txt`` and
+    ``example.com.txt.gz`` all key host ``example.com``). Hostnames
+    case-fold; duplicate hosts (e.g. plain + .gz) merge by body
+    concatenation, the same rule-union semantics apply_robots uses.
+    """
+    import gzip
+    import os
+
+    robots_map: dict = {}
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if not os.path.isfile(full):
+            continue
+        host = name
+        gz = host.endswith(".gz")
+        if gz:
+            host = host[: -len(".gz")]
+        if host.endswith(".txt"):
+            host = host[: -len(".txt")]
+        if not host:
+            continue
+        if gz:
+            with gzip.open(full, "rt", encoding="utf-8", errors="replace") as f:
+                txt = f.read()
+        else:
+            with open(full, encoding="utf-8", errors="replace") as f:
+                txt = f.read()
+        _merge_host(robots_map, host, txt)
+    return robots_map

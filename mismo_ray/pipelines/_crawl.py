@@ -212,7 +212,11 @@ def crawl_clean(
 
 
 def crawl_clean_pipeline(
-    sf_dir: str, *, multiplier: int = 20, output_dir: str | None = None
+    sf_dir: str,
+    *,
+    multiplier: int = 20,
+    output_dir: str | None = None,
+    robots=None,
 ) -> dict:
     """Benchmark/job entry: fixed 96-block layout (same reasoning as the ER
     scaling pipeline — layout must not depend on CPU count). With
@@ -231,6 +235,8 @@ def crawl_clean_pipeline(
         columns=["doc_id", "text"],
         override_num_blocks=int(os.environ.get("GRAFT_SCALE_BLOCKS", "96")),
     )
-    out = crawl_clean(docs, multiplier=multiplier, output_dir=output_dir)
+    out = crawl_clean(
+        docs, multiplier=multiplier, output_dir=output_dir, robots=robots
+    )
     out["seconds"] = round(time.time() - t0, 3)
     return out

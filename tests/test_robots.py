@@ -193,6 +193,30 @@ def test_apply_robots_agent_specific(ray_session):
     assert got == {1}
 
 
+def test_load_robots_dir(tmp_path):
+    import gzip
+
+    from mismo_ray.lib.robots import load_robots_dir
+
+    (tmp_path / "a.example.com").write_text(ROBOTS_BLOCK_ALL)
+    (tmp_path / "B.Example.com.txt").write_text(ROBOTS_A)
+    with gzip.open(tmp_path / "c.example.com.txt.gz", "wt") as f:
+        f.write(ROBOTS_ALLOW_ALL)
+    # duplicate host via differing suffixes merges by concatenation
+    (tmp_path / "a.example.com.txt").write_text(
+        "User-agent: *\nAllow: /open\n"
+    )
+    (tmp_path / "subdir").mkdir()  # non-files skipped
+    m = load_robots_dir(str(tmp_path))
+    assert set(m) == {"a.example.com", "b.example.com", "c.example.com"}
+    rules_a = parse_robots_txt(m["a.example.com"])
+    assert (False, "/") in rules_a and (True, "/open") in rules_a
+    assert parse_robots_txt(m["c.example.com"]) == []
+    assert parse_robots_txt(m["b.example.com"], agent="googlebot") == [
+        (False, "/g/")
+    ]
+
+
 def test_apply_robots_empty_corpus(ray_session):
     ds = ray.data.from_arrow(
         pa.table(

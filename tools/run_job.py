@@ -47,6 +47,14 @@ def main() -> None:
     ap.add_argument(
         "--multiplier", type=int, default=60, help="crawl_clean corpus amplification"
     )
+    ap.add_argument(
+        "--robots-dir",
+        default=None,
+        help="crawl_clean only: directory of per-host robots.txt bodies "
+        "(filename = hostname, optional .txt/.gz suffixes; see "
+        "lib.robots.load_robots_dir) applied as the politeness gate ahead "
+        "of all per-document compute",
+    )
     args = ap.parse_args()
 
     import ray
@@ -131,9 +139,17 @@ def main() -> None:
     if args.pipeline == "crawl_clean":
         from mismo_ray.pipelines._crawl import crawl_clean_pipeline
 
+        robots = None
+        if args.robots_dir:
+            from mismo_ray.lib.robots import load_robots_dir
+
+            robots = load_robots_dir(args.robots_dir)
         t0 = time.time()
         counters = crawl_clean_pipeline(
-            args.sf_dir, multiplier=args.multiplier, output_dir=args.output
+            args.sf_dir,
+            multiplier=args.multiplier,
+            output_dir=args.output,
+            robots=robots,
         )
         summary = {
             "pipeline": "crawl_clean",
