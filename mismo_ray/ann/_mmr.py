@@ -1,0 +1,134 @@
+"""MMR (maximal marginal relevance) diverse top-k selection.
+
+The eval-set / demonstration-pool curation primitive: pick ``k`` items
+that are RELEVANT to a query embedding but not redundant with each other
+(Carbonell & Goldstein 1998) — score(x) = lambda * cos(q, x) -
+(1 - lambda) * max_{s in selected} cos(x, s), greedily argmaxed.
+
+Scale shape: the corpus-wide stage is one stateless ``map_batches`` pass
+computing query relevance and keeping only each block's top ``pool_n``
+(id, rel) rows — the greedy refinement then runs on the driver over the
+global top-``pool_n`` pool only (its embeddings fetched with one
+``broadcast_isin`` filter pass; ``pool_n x dim`` doubles, a few MB at
+curation sizes). The greedy loop is inherently sequential in k, so
+bounding it to a relevance pool is the standard practice — at 100 TB the
+corpus pass is the only part that touches every row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from mismo_ray.ann import _matrix, _normalize_rows
+
+
+def mmr_select(
+    ds: ray.data.Dataset,
+    query,
+    *,
+    k: int = 10,
+    pool_n: int = 1000,
+    lambda_: float = 0.5,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Greedy MMR over the top-``pool_n`` relevance pool.
+
+    Returns a small arrow table ``(rank, <id_column>)`` — rank 0 is the
+    most relevant item, each further rank the pool item maximizing
+    ``lambda * rel - (1 - lambda) * max-sim-to-selected`` (ties broken by
+    min id). Null embeddings never enter the pool. ``k`` is clamped to
+    the pool size.
+    """
+    import ray
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    if k <= 0 or pool_n <= 0:
+        raise ValueError("k and pool_n must be positive")
+    q = np.asarray(query, dtype=np.float64).reshape(-1)
+    qn = np.linalg.norm(q)
+    if qn == 0 or not np.isfinite(qn):
+        raise ValueError("query embedding has zero or non-finite norm")
+    q = q / qn
+    qref = ray.put(q)
+
+    def block_top(t: pa.Table) -> pa.Table:
+        m = _normalize_rows(_matrix(t, column))
+        rel = m @ ray.get(qref)
+        ok = np.isfinite(rel)
+        ids = np.asarray(t[id_column].to_numpy(zero_copy_only=False))[ok]
+        rel = rel[ok]
+        if len(rel) > pool_n:
+            part = np.argpartition(-rel, pool_n - 1)[:pool_n]
+            ids, rel = ids[part], rel[part]
+        return pa.table(
+            {
+                id_column: pa.array(ids, type=pa.int64()),
+                "__rel__": pa.array(rel),
+            }
+        )
+
+    # blocks x pool_n tiny (id, rel) rows to the driver; global pool
+    cand = pa.Table.from_pylist(
+        ds.map_batches(block_top, batch_format="pyarrow").take_all()
+    )
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                id_column: pa.array([], type=pa.int64()),
+            }
+        )
+    ids = np.asarray(cand[id_column].to_numpy(zero_copy_only=False))
+    rel = np.asarray(cand["__rel__"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((ids, -rel))[:pool_n]
+    ids, rel = ids[order], rel[order]
+
+    # fetch the pool's embeddings (bounded: pool_n x dim doubles)
+    from mismo_ray._joins import broadcast_isin
+
+    pool_rows = pa.Table.from_pylist(
+        broadcast_isin(
+            ds.select_columns([id_column, column]), id_column, set(ids.tolist())
+        ).take_all()
+    )
+    pid = np.asarray(pool_rows[id_column].to_numpy(zero_copy_only=False))
+    pemb = _normalize_rows(_matrix(pool_rows, column))
+    # align pool embeddings to the (rel-sorted) candidate order
+    pos = {int(v): i for i, v in enumerate(pid)}
+    emb = pemb[[pos[int(v)] for v in ids]]
+
+    k = min(k, len(ids))
+    n = len(ids)
+    selected = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, -np.inf)
+    out_rank, out_id = [], []
+    for step in range(k):
+        if step == 0:
+            score = rel.copy()
+        else:
+            score = lambda_ * rel - (1.0 - lambda_) * max_sim
+        # round to 12 decimals before the argmax: candidates whose TRUE
+        # scores are equal (e.g. rel == sim when the query coincides with
+        # a selected item) would otherwise be ranked by ~1e-16 float noise
+        # that differs between computation routes; after rounding, equal
+        # scores tie and the min-id rule below decides deterministically
+        score = np.round(score, 12)
+        score[selected] = -np.inf
+        best = score.max()
+        tied = np.flatnonzero(score == best)
+        pick = tied[np.argmin(ids[tied])]
+        selected[pick] = True
+        out_rank.append(step)
+        out_id.append(int(ids[pick]))
+        sims = emb @ emb[pick]
+        max_sim = np.maximum(max_sim, sims)
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, type=pa.int64()),
+            id_column: pa.array(out_id, type=pa.int64()),
+        }
+    )

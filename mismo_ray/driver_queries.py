@@ -1391,6 +1391,43 @@ def q_minhash_band_link(sf_dir: str):
     ).links_ds
 
 
+def q_mmr_select(sf_dir: str):
+    """MMR diverse top-k (ann.mmr_select): greedy maximal-marginal-
+    relevance selection of 8 items from the top-50 relevance pool around
+    the query vector (= embedding of vec_id 0), lambda = 0.5.  The SQL
+    oracle replays the EXACT greedy chain as 8 unrolled CTE steps —
+    argmax of 0.5*rel - 0.5*max-sim-to-selected over the remaining pool,
+    ties to min id — over DOUBLE-cast embeddings, which match the
+    engine's float64 kernels to ~1e-16 (verified; the pool's relevance
+    margins are >= 1e-6, so the argmax chain is engine-stable; both
+    sides round scores to 12 decimals so TRUE ties — not float noise —
+    fall to the min-id rule).  The query row itself is excluded from the
+    candidates (with it included every step-1 score is identically zero:
+    rel == sim-to-selected).  Output is integer-only (rank, vec_id)."""
+    from mismo_ray.ann import mmr_select
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").take(1)
+    if not qrow or qrow[0]["embedding"] is None:
+        # empty / all-null corpus: no query vector -> empty selection
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "rank": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    out = mmr_select(
+        emb.filter(expr="vec_id != 0"),
+        qrow[0]["embedding"],
+        k=8,
+        pool_n=50,
+        lambda_=0.5,
+    )
+    return ray.data.from_arrow(out)
+
+
 def q_chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (textstats.chunk_documents): every
     document becomes ceil-many 16-token windows with 4 shared tokens
@@ -3149,6 +3186,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "lang_id": q_lang_id,
     "robots_filter": q_robots_filter,
+    "mmr_select": q_mmr_select,
     "exact_dedupe": q_exact_dedupe,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     # spelling_pairs (round-5 SpellingLinker family) displaces ngram_jaccard
@@ -3334,6 +3372,49 @@ _SPLITMIX_LADDER_SQL = (
     "sig AS (SELECT doc_id, k, xor(z, z >> 31) AS v FROM s3)"
 )
 
+def _mmr_oracle_sql(k: int = 8, pool_n: int = 50) -> str:
+    """The q_mmr_select oracle: the greedy MMR chain unrolled as k CTE
+    steps (SQL recursive CTEs cannot aggregate over the recursion, so a
+    fixed k unrolls instead). Step i picks the argmax of
+    0.5*rel - 0.5*max-sim-to-selected over the pool minus steps 0..i-1,
+    ties to min vec_id — exactly the engine's greedy loop."""
+    # MATERIALIZED is load-bearing: step i references the union of steps
+    # 0..i-1 twice, so inlined CTEs re-expand exponentially (the k=8
+    # inlined plan ran for minutes; materialized it is 50 ms)
+    steps = [
+        "s0 AS MATERIALIZED (SELECT vec_id, emb FROM pool "
+        "ORDER BY round(rel, 12) DESC, vec_id LIMIT 1)"
+    ]
+    for i in range(1, k):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, emb FROM s{j}" for j in range(i)
+        )
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT vec_id, emb FROM ("
+            f"SELECT p.vec_id, p.emb, round(0.5*p.rel - 0.5*("
+            f"SELECT max(list_cosine_similarity(p.emb, s.emb)) FROM ({prev}) s"
+            f"), 12) AS score FROM pool p "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM ({prev}))"
+            f") ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id FROM s{i}" for i in range(k)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        " FROM embeddings WHERE embedding IS NOT NULL AND vec_id <> 0), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+        " WHERE vec_id = 0), "
+        "rel0 AS (SELECT vec_id, emb, list_cosine_similarity(emb, qe) AS rel "
+        " FROM e, q), "
+        "pool AS MATERIALIZED (SELECT * FROM rel0 "
+        f"ORDER BY rel DESC, vec_id LIMIT {pool_n}), "
+        + ", ".join(steps)
+        + " "
+        + final
+    )
+
+
 # the injected-signature scheme of driver_queries._band_sig_batch, as the
 # z0 input CTE the minhash band oracles feed into the splitmix ladder —
 # ONE definition so an engine-side tweak can't silently diverge from one
@@ -3409,6 +3490,7 @@ ORACLE_SQL = {
         "SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred "
         "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"
     ),
+    "mmr_select": _mmr_oracle_sql(k=8, pool_n=50),
     "robots_filter": (
         "WITH p AS (SELECT doc_id, "
         " 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host, "

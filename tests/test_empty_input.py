@@ -61,6 +61,7 @@ QUERIES = [
     "minhash_band_pairs",  # empty corpus -> no injected signatures, no bands
     "minhash_band_link",  # empty halves on both link sides
     "robots_filter",  # empty corpus -> no pages to gate
+    "mmr_select",  # empty embeddings -> empty pool, empty selection
     "chunk_documents",  # empty corpus -> no chunks
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",

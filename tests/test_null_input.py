@@ -48,6 +48,7 @@ QUERIES = [
     "minhash_band_pairs",  # id-derived signatures unaffected by null text
     "chunk_documents",  # null text -> zero chunks for every doc
     "robots_filter",  # id-derived urls unaffected by null payloads
+    "mmr_select",  # all-null embeddings -> nothing enters the pool
     "lang_id",
     "token_stats",
     "gopher_quality",
