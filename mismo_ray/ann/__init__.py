@@ -91,9 +91,18 @@ def brute_force_topk(
         sims = vm @ qm.T  # (n, q)
         kk = min(k + (1 if exclude_self else 0), len(ids))
         nq = sims.shape[1]
-        # one argpartition over the whole (n, q) matrix — no python per query
         if kk < len(ids):
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+            # tie-STABLE per-block cutoff: an argpartition would keep an
+            # arbitrary subset of sim-tied candidates at the boundary
+            # (exact-duplicate embeddings make such ties routine), so which
+            # ids reach the global merge would depend on the partition
+            # layout and diverge from the documented min-id rule. One
+            # lexsort per query column keeps (sim desc, id asc) exactly;
+            # the queries matrix is small by contract, so q * n log n per
+            # block is fine.
+            top = np.empty((kk, nq), dtype=np.int64)
+            for j in range(nq):
+                top[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
         else:
             top = np.tile(np.arange(len(ids))[:, None], (1, nq))
         qj = np.tile(np.arange(nq), top.shape[0])

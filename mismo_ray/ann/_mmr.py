@@ -42,8 +42,6 @@ def mmr_select(
     min id). Null embeddings never enter the pool. ``k`` is clamped to
     the pool size.
     """
-    import ray
-
     if not 0.0 <= lambda_ <= 1.0:
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
     if k <= 0 or pool_n <= 0:
@@ -53,47 +51,51 @@ def mmr_select(
     if qn == 0 or not np.isfinite(qn):
         raise ValueError("query embedding has zero or non-finite norm")
     q = q / qn
-    qref = ray.put(q)
 
-    def block_top(t: pa.Table) -> pa.Table:
-        m = _normalize_rows(_matrix(t, column))
-        rel = m @ ray.get(qref)
-        ok = np.isfinite(rel)
-        ids = np.asarray(t[id_column].to_numpy(zero_copy_only=False))[ok]
-        rel = rel[ok]
-        if len(rel) > pool_n:
-            part = np.argpartition(-rel, pool_n - 1)[:pool_n]
-            ids, rel = ids[part], rel[part]
-        return pa.table(
-            {
-                id_column: pa.array(ids, type=pa.int64()),
-                "__rel__": pa.array(rel),
-            }
+    def _collect(d: ray.data.Dataset) -> pa.Table | None:
+        # arrow-native bounded collect (no python row-dict round trip)
+        batches = list(d.iter_batches(batch_format="pyarrow"))
+        return pa.concat_tables(batches) if batches else None
+
+    # the corpus-wide stage IS brute_force_topk: per-block tie-stable
+    # relevance top-pool_n, merged globally by (sim desc, id asc) — the
+    # machinery (and its tie rule) lives in exactly one place
+    from mismo_ray.ann import brute_force_topk
+
+    cand = _collect(
+        brute_force_topk(
+            ds,
+            q[None, :],
+            k=pool_n,
+            id_column=id_column,
+            vector_column=column,
+            exclude_self=False,
         )
-
-    # blocks x pool_n tiny (id, rel) rows to the driver; global pool
-    cand = pa.Table.from_pylist(
-        ds.map_batches(block_top, batch_format="pyarrow").take_all()
     )
-    if len(cand) == 0:
-        return pa.table(
-            {
-                "rank": pa.array([], type=pa.int64()),
-                id_column: pa.array([], type=pa.int64()),
-            }
-        )
-    ids = np.asarray(cand[id_column].to_numpy(zero_copy_only=False))
-    rel = np.asarray(cand["__rel__"].to_numpy(zero_copy_only=False))
-    order = np.lexsort((ids, -rel))[:pool_n]
+    empty = pa.table(
+        {
+            "rank": pa.array([], type=pa.int64()),
+            id_column: pa.array([], type=pa.int64()),
+        }
+    )
+    if cand is None or len(cand) == 0:
+        return empty
+    ids = np.asarray(cand["neighbor_id"].to_numpy(zero_copy_only=False))
+    rel = np.asarray(cand["sim"].to_numpy(zero_copy_only=False))
+    ok = np.isfinite(rel)  # null/zero embeddings surface as nan sims
+    ids, rel = ids[ok], rel[ok]
+    if len(ids) == 0:
+        return empty
+    order = np.lexsort((ids, -rel))
     ids, rel = ids[order], rel[order]
 
     # fetch the pool's embeddings (bounded: pool_n x dim doubles)
     from mismo_ray._joins import broadcast_isin
 
-    pool_rows = pa.Table.from_pylist(
+    pool_rows = _collect(
         broadcast_isin(
             ds.select_columns([id_column, column]), id_column, set(ids.tolist())
-        ).take_all()
+        )
     )
     pid = np.asarray(pool_rows[id_column].to_numpy(zero_copy_only=False))
     pemb = _normalize_rows(_matrix(pool_rows, column))

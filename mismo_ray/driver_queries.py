@@ -1408,8 +1408,14 @@ def q_mmr_select(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrow = emb.filter(expr="vec_id == 0").take(1)
-    if not qrow or qrow[0]["embedding"] is None:
-        # empty / all-null corpus: no query vector -> empty selection
+    unusable = (
+        not qrow
+        or qrow[0]["embedding"] is None
+        or not float(np.linalg.norm(np.asarray(qrow[0]["embedding"]))) > 0
+    )
+    if unusable:
+        # empty / all-null / zero-norm query -> empty selection (the
+        # oracle's isfinite(rel) pool filter yields the same empty chain)
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -3403,11 +3409,15 @@ def _mmr_oracle_sql(k: int = 8, pool_n: int = 50) -> str:
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
         " FROM embeddings WHERE embedding IS NOT NULL AND vec_id <> 0), "
+        # the engine returns empty for an absent/null/zero-norm query; a
+        # null or zero qe makes every rel NULL/nan here, so the isfinite
+        # pool filter below produces the same empty greedy chain
         "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
-        " WHERE vec_id = 0), "
+        " WHERE vec_id = 0 AND embedding IS NOT NULL), "
         "rel0 AS (SELECT vec_id, emb, list_cosine_similarity(emb, qe) AS rel "
         " FROM e, q), "
         "pool AS MATERIALIZED (SELECT * FROM rel0 "
+        " WHERE rel IS NOT NULL AND isfinite(rel) "
         f"ORDER BY rel DESC, vec_id LIMIT {pool_n}), "
         + ", ".join(steps)
         + " "

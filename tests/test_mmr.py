@@ -106,6 +106,20 @@ def test_mmr_validation(ray_session):
         mmr_select(ds, [0.0, 0.0])
 
 
+def test_mmr_partition_invariance_with_ties(ray_session):
+    # exact duplicates straddling the per-block pool cutoff: the block
+    # top-k must keep the MIN ids among sim-ties regardless of layout (an
+    # argpartition cutoff kept an arbitrary tied subset per block)
+    vecs = [[1.0, 0.1]] * 30 + [[0.5, 1.0]] * 30
+    q = [1.0, 0.0]
+    a = mmr_select(_mk(vecs).repartition(3), q, k=5, pool_n=10)
+    b = mmr_select(_mk(vecs).repartition(17), q, k=5, pool_n=10)
+    assert a.to_pydict() == b.to_pydict()
+    # pool = min-id duplicates of the relevant cluster; greedy then walks
+    # them in id order (equal scores -> min id)
+    assert a["vec_id"].to_pylist() == [0, 1, 2, 3, 4]
+
+
 def test_mmr_partition_invariance(ray_session):
     rng = np.random.default_rng(3)
     vecs = rng.normal(size=(80, 6)).tolist()
