@@ -716,6 +716,39 @@ def simhash64_batch(
     return out
 
 
+def simhash64_charhash_batch(
+    texts: list[str | None], *, shingle_w: int = 6, seed: int = 7
+) -> list[int | None]:
+    """Simhash over ROLLING-HASH char shingles (:func:`charshingle_hashes`,
+    the minhash charhash family) instead of the siphash fold of
+    :func:`simhash64_batch`. Same bit-majority construction; the payoff is
+    that the whole text -> signature computation is pure 64-bit polynomial
+    + splitmix arithmetic, so an engine-independent SQL oracle can
+    reproduce it bit-exactly (see driver_queries.q_simhash_charhash) —
+    the siphash family has no SQL expression. None for null text, 0 for
+    empty text; duplicate shingles are NOT deduplicated (rolling hashes
+    skip the per-row set() — document-frequency weighting, equally valid
+    simhash semantics, matched by the oracle)."""
+    out: list[int | None] = [None] * len(texts)
+    for i, s in enumerate(texts):
+        if s is None:
+            continue
+        base = charshingle_hashes(s, shingle_w, seed=seed)
+        if len(base) == 0:
+            out[i] = 0
+            continue
+        bits = (
+            (base[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        score = bits.sum(axis=0) * 2 - len(base)
+        sig = np.uint64(0)
+        for k in range(64):
+            if score[k] > 0:
+                sig |= np.uint64(1) << np.uint64(k)
+        out[i] = int(sig.astype(np.int64))
+    return out
+
+
 def simhash64(s: str | None, *, shingle_w: int = 4, seed: int = 11) -> int | None:
     if s is None:
         return None

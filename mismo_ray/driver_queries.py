@@ -1318,6 +1318,43 @@ def _band_sig_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def q_simhash_charhash(sf_dir: str):
+    """Simhash of the REAL document text, value-checked end to end: the
+    charhash kernel (dedupe.simhash64_charhash_batch — rolling polynomial
+    hash over utf-32 codepoints, splitmix-finalized, 64-bit majority) is
+    pure modular arithmetic, so the SQL oracle reproduces every signature
+    bit-exactly (polynomial via HUGEINT hi/lo modmuls, the splitmix
+    ladder, bit-majority via a (doc, bit) unnest) and checks
+    bit_count(xor()) <= 3 over all pairs.  This closes the one kernel
+    family the earlier oracles could not reach: simhash_pairs /
+    simhash_text use the siphash fold (no SQL expression, rows-only);
+    q_simhash_pairs value-checks banding over INJECTED signatures; here
+    the text -> signature computation itself is value-checked.  Docs
+    shorter than the shingle width are excluded on both sides (the
+    whole-string fallback hash has a different power series per length)."""
+    from mismo_ray.dedupe import simhash64_charhash_batch, simhash_pairs
+
+    docs = _with_record_id(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "doc_id"
+    )
+
+    def add_sig(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        keep = np.array(
+            [s is not None and len(s) >= 6 for s in texts], dtype=bool
+        )
+        t = t.filter(pa.array(keep))
+        sigs = simhash64_charhash_batch(
+            [s for s, k in zip(texts, keep) if k], shingle_w=6, seed=7
+        )
+        return t.append_column("sig", pa.array(sigs, type=pa.int64()))
+
+    keyed = docs.map_batches(add_sig, batch_format="pyarrow")
+    return simhash_pairs(
+        keyed, None, max_hamming=3, signature_column="sig"
+    ).links_ds
+
+
 def q_minhash_band_pairs(sf_dir: str):
     """MinHash-LSH banding + estimated-jaccard verification
     (dedupe.minhash_lsh_pairs) over PRECOMPUTED signatures both engines
@@ -3193,6 +3230,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "robots_filter": q_robots_filter,
     "mmr_select": q_mmr_select,
+    "simhash_charhash": q_simhash_charhash,
     "exact_dedupe": q_exact_dedupe,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
     # spelling_pairs (round-5 SpellingLinker family) displaces ngram_jaccard
@@ -3210,12 +3248,13 @@ QUERIES = {
     "window_fns": q_window_fns,
     "heavy_hitters": q_heavy_hitters,
     "quality_classifier": q_quality_classifier,
+    # ------- entry 51+: previously-captured entries + family variants -------
+    # (host_pagerank, decontaminate, pack_sequences, mixture_sample
+    # displaced by the late round-5 window additions — minhash_band_link,
+    # robots_filter, mmr_select, simhash_charhash; all displaced entries
+    # are hash-green in CORRECTNESS_r04)
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
-    # ------- entry 51+: previously-captured entries + family variants -------
-    # (host_pagerank and decontaminate displaced by the 4th/5th round-5
-    # window additions, minhash_band_link and robots_filter — hash-green
-    # in CORRECTNESS_r04 like the others)
     "host_pagerank": q_host_pagerank,
     "decontaminate": q_decontaminate,
     "drop_dup_lines": q_drop_dup_lines,
@@ -3378,6 +3417,62 @@ _SPLITMIX_LADDER_SQL = (
     "sig AS (SELECT doc_id, k, xor(z, z >> 31) AS v FROM s3)"
 )
 
+def _charhash_simhash_sql(w: int = 6, seed: int = 7, max_hamming: int = 3) -> str:
+    """The q_simhash_charhash oracle: rebuild every charhash simhash
+    signature from the raw text with pure SQL 64-bit arithmetic —
+    per-shingle Horner polynomial (base 1099511628211) over utf-32
+    codepoints via HUGEINT hi/lo modular multiplies, seed xor, the
+    splitmix64 ladder, then the 64-bit majority via a (doc, bit) unnest —
+    and emit all pairs at hamming <= max_hamming."""
+    M64 = 18446744073709551616
+    B = 1099511628211
+
+    def modmul(x: str, c: int) -> str:
+        return (
+            f"CAST(((CAST(({x}) >> 32 AS HUGEINT) * {c} % 4294967296) * 4294967296 "
+            f"+ CAST(({x}) & 4294967295 AS HUGEINT) * {c}) % {M64} AS UBIGINT)"
+        )
+
+    acc = "CAST(c0 AS UBIGINT)"
+    for j in range(1, w):
+        acc = (
+            f"CAST((CAST({modmul(acc, B)} AS HUGEINT) + CAST(c{j} AS HUGEINT)) "
+            f"% {M64} AS UBIGINT)"
+        )
+    seeded = f"xor({acc}, {seed})"
+    z0 = f"CAST((CAST({seeded} AS HUGEINT) + 11400714819323198485) % {M64} AS UBIGINT)"
+    cols = ", ".join(
+        f"unicode(substr(text, CAST(i + {j} AS INT), 1)) AS c{j}"
+        for j in range(w)
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM documents "
+        f" WHERE text IS NOT NULL AND length(text) >= {w}), "
+        f"sh AS (SELECT doc_id, {cols} FROM d, "
+        f" LATERAL (SELECT unnest(range(1, length(text) - {w} + 2)) AS i)), "
+        f"p1 AS (SELECT doc_id, {z0} AS z FROM sh), "
+        "p2 AS (SELECT doc_id, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) "
+        " * 13787848793156543929 % 4294967296) * 4294967296 "
+        " + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) "
+        f" % {M64} AS UBIGINT) AS z FROM p1), "
+        "p3 AS (SELECT doc_id, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) "
+        " * 10723151780598845931 % 4294967296) * 4294967296 "
+        " + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) "
+        f" % {M64} AS UBIGINT) AS z FROM p2), "
+        "h AS (SELECT doc_id, xor(z, z >> 31) AS h FROM p3), "
+        "bits AS (SELECT doc_id, k, "
+        " CASE WHEN ((h >> CAST(k AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS pm "
+        " FROM h, LATERAL (SELECT unnest(range(64)) AS k)), "
+        "bt AS (SELECT doc_id, k, sum(pm) AS s FROM bits GROUP BY 1, 2), "
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 "
+        " THEN CAST(CAST(1 AS UBIGINT) << CAST(k AS INT) AS HUGEINT) ELSE 0 END) "
+        " AS UBIGINT) AS sig FROM bt GROUP BY 1) "
+        "SELECT a.doc_id AS record_id_l, b.doc_id AS record_id_r "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"
+    )
+
+
 def _mmr_oracle_sql(k: int = 8, pool_n: int = 50) -> str:
     """The q_mmr_select oracle: the greedy MMR chain unrolled as k CTE
     steps (SQL recursive CTEs cannot aggregate over the recursion, so a
@@ -3501,6 +3596,7 @@ ORACLE_SQL = {
         "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"
     ),
     "mmr_select": _mmr_oracle_sql(k=8, pool_n=50),
+    "simhash_charhash": _charhash_simhash_sql(w=6, seed=7, max_hamming=3),
     "robots_filter": (
         "WITH p AS (SELECT doc_id, "
         " 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host, "

@@ -62,6 +62,7 @@ QUERIES = [
     "minhash_band_link",  # empty halves on both link sides
     "robots_filter",  # empty corpus -> no pages to gate
     "mmr_select",  # empty embeddings -> empty pool, empty selection
+    "simhash_charhash",  # empty corpus -> no signatures, no pairs
     "chunk_documents",  # empty corpus -> no chunks
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",

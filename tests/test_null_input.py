@@ -49,6 +49,7 @@ QUERIES = [
     "chunk_documents",  # null text -> zero chunks for every doc
     "robots_filter",  # id-derived urls unaffected by null payloads
     "mmr_select",  # all-null embeddings -> nothing enters the pool
+    "simhash_charhash",  # all-null text -> every doc filtered, no pairs
     "lang_id",
     "token_stats",
     "gopher_quality",

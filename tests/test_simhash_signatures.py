@@ -69,3 +69,30 @@ def test_null_signatures_pair_with_nothing(ray_session):
         )
     )
     assert _pairs(ds) == {(0, 2)}
+
+
+def test_simhash_charhash_kernel():
+    """The SQL-expressible charhash simhash: definition parity with a
+    direct python recomputation, plus null/empty/short handling."""
+    import numpy as np
+
+    from mismo_ray.dedupe import charshingle_hashes, simhash64_charhash_batch
+
+    texts = ["the quick brown fox jumps", "the quick brown fox jumpy",
+             "completely different words here", None, "", "abc"]
+    got = simhash64_charhash_batch(texts, shingle_w=6, seed=7)
+    assert got[3] is None and got[4] == 0
+    for i in (0, 1, 2, 5):
+        base = charshingle_hashes(texts[i], 6, seed=7)
+        sig = 0
+        for k in range(64):
+            pm = sum(1 if (int(h) >> k) & 1 else -1 for h in base)
+            if pm > 0:
+                sig |= 1 << k
+        want = sig - (1 << 64) if sig >= (1 << 63) else sig
+        assert got[i] == want, i
+    # near-identical docs land near in hamming space; unrelated docs far
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(got[0], got[1]) < ham(got[0], got[2])
