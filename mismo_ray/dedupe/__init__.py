@@ -716,6 +716,22 @@ def simhash64_batch(
     return out
 
 
+def _bit_majority(hashes: np.ndarray) -> int:
+    """64-bit majority fold of a uint64 hash array -> signed-int64 simhash
+    (bit k set iff strictly more hashes have bit k set than clear — an
+    exact tie leaves the bit clear). THE simhash construction, shared by
+    both hash families and mirrored by the simhash_charhash SQL oracle."""
+    bits = (
+        (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64)
+    score = bits.sum(axis=0) * 2 - len(hashes)
+    out = np.uint64(0)
+    for k in range(64):
+        if score[k] > 0:
+            out |= np.uint64(1) << np.uint64(k)
+    return int(out.astype(np.int64))
+
+
 def simhash64_charhash_batch(
     texts: list[str | None], *, shingle_w: int = 6, seed: int = 7
 ) -> list[int | None]:
@@ -734,18 +750,7 @@ def simhash64_charhash_batch(
         if s is None:
             continue
         base = charshingle_hashes(s, shingle_w, seed=seed)
-        if len(base) == 0:
-            out[i] = 0
-            continue
-        bits = (
-            (base[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int64)
-        score = bits.sum(axis=0) * 2 - len(base)
-        sig = np.uint64(0)
-        for k in range(64):
-            if score[k] > 0:
-                sig |= np.uint64(1) << np.uint64(k)
-        out[i] = int(sig.astype(np.int64))
+        out[i] = _bit_majority(base) if len(base) else 0
     return out
 
 
@@ -755,16 +760,7 @@ def simhash64(s: str | None, *, shingle_w: int = 4, seed: int = 11) -> int | Non
     sh = char_shingles(s, shingle_w)
     if not sh:
         return 0
-    h = hash64(sh, seed=seed)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-        np.int64
-    )
-    score = bits.sum(axis=0) * 2 - len(h)
-    out = np.uint64(0)
-    for i in range(64):
-        if score[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out.astype(np.int64))
+    return _bit_majority(hash64(sh, seed=seed))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -1334,6 +1334,8 @@ def q_simhash_charhash(sf_dir: str):
     whole-string fallback hash has a different power series per length)."""
     from mismo_ray.dedupe import simhash64_charhash_batch, simhash_pairs
 
+    W = 6  # shingle width: keep filter, kernel, and oracle w= must agree
+
     docs = _with_record_id(
         _read(sf_dir, "documents", ["doc_id", "text"]), "doc_id"
     )
@@ -1341,11 +1343,11 @@ def q_simhash_charhash(sf_dir: str):
     def add_sig(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         keep = np.array(
-            [s is not None and len(s) >= 6 for s in texts], dtype=bool
+            [s is not None and len(s) >= W for s in texts], dtype=bool
         )
         t = t.filter(pa.array(keep))
         sigs = simhash64_charhash_batch(
-            [s for s, k in zip(texts, keep) if k], shingle_w=6, seed=7
+            [s for s, k in zip(texts, keep) if k], shingle_w=W, seed=7
         )
         return t.append_column("sig", pa.array(sigs, type=pa.int64()))
 
