@@ -664,4 +664,4 @@ def ivf_topk(
 
 
 from mismo_ray.ann._pq import ivfpq_topk, pq_encode, pq_train  # noqa: E402
-from mismo_ray.ann._mmr import mmr_select  # noqa: E402
+from mismo_ray.ann._mmr import kcenter_select, mmr_select  # noqa: E402

@@ -24,6 +24,109 @@ import ray.data
 from mismo_ray.ann import _matrix, _normalize_rows
 
 
+def _collect_batches(d: ray.data.Dataset) -> pa.Table | None:
+    """Arrow-native bounded collect (no python row-dict round trip)."""
+    batches = list(d.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else None
+
+
+def kcenter_select(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 10,
+    pool_n: int = 1000,
+    seed: int = 0,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Greedy k-center (farthest-point) diverse selection — the QUERY-FREE
+    sibling of :func:`mmr_select`: pick ``k`` items maximizing pairwise
+    spread (each pick minimizes its max cosine to the already-selected
+    set), the coreset / probe-set sampling primitive.
+
+    Since there is no relevance to pool by, the candidate pool is a
+    DETERMINISTIC pseudo-random sample: the ``pool_n`` smallest
+    ``splitmix64(id + seed)`` ranks — a pure (id, seed) function any
+    engine can reproduce exactly (the repo-wide sampling pattern). The
+    first pick is the pool's min id; each next pick is the pool item with
+    the smallest max-similarity to the selected set (scores rounded to 12
+    decimals; ties to min id). Null and zero-norm embeddings never enter
+    the pool. Returns ``(rank, <id_column>)``.
+    """
+    from mismo_ray._util import splitmix64
+
+    if k <= 0 or pool_n <= 0:
+        raise ValueError("k and pool_n must be positive")
+
+    def block_sample(t: pa.Table) -> pa.Table:
+        m = _matrix(t, column)
+        norms = np.linalg.norm(m, axis=1)
+        ok = np.isfinite(norms) & (norms > 0)
+        ids = np.asarray(t[id_column].to_numpy(zero_copy_only=False))[ok]
+        if len(ids) == 0:
+            return pa.table({id_column: pa.array([], type=pa.int64())})
+        with np.errstate(over="ignore"):
+            rk = splitmix64(
+                (ids.astype(np.int64) + np.int64(seed)).astype(np.uint64)
+            )
+        order = np.lexsort((ids, rk))[:pool_n]
+        return pa.table({id_column: pa.array(ids[order], type=pa.int64())})
+
+    cand = _collect_batches(
+        ds.map_batches(block_sample, batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            "rank": pa.array([], type=pa.int64()),
+            id_column: pa.array([], type=pa.int64()),
+        }
+    )
+    if cand is None or len(cand) == 0:
+        return empty
+    ids = np.asarray(cand[id_column].to_numpy(zero_copy_only=False))
+    with np.errstate(over="ignore"):
+        rk = splitmix64((ids.astype(np.int64) + np.int64(seed)).astype(np.uint64))
+    order = np.lexsort((ids, rk))[:pool_n]
+    ids = ids[order]
+
+    from mismo_ray._joins import broadcast_isin
+
+    pool_rows = _collect_batches(
+        broadcast_isin(
+            ds.select_columns([id_column, column]), id_column, set(ids.tolist())
+        )
+    )
+    pid = np.asarray(pool_rows[id_column].to_numpy(zero_copy_only=False))
+    pemb = _normalize_rows(_matrix(pool_rows, column))
+    pos = {int(v): i for i, v in enumerate(pid)}
+    emb = pemb[[pos[int(v)] for v in ids]]
+    # id order makes the min-id tie rule a plain first-argmin
+    id_order = np.argsort(ids)
+    ids, emb = ids[id_order], emb[id_order]
+
+    k = min(k, len(ids))
+    n = len(ids)
+    selected = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, -np.inf)
+    out_id = []
+    for step in range(k):
+        if step == 0:
+            pick = 0  # min id of the pool
+        else:
+            score = np.round(max_sim, 12)
+            score[selected] = np.inf
+            pick = int(np.argmin(score))  # first (=min-id) argmin
+        selected[pick] = True
+        out_id.append(int(ids[pick]))
+        max_sim = np.maximum(max_sim, emb @ emb[pick])
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(k), type=pa.int64()),
+            id_column: pa.array(out_id, type=pa.int64()),
+        }
+    )
+
+
 def mmr_select(
     ds: ray.data.Dataset,
     query,
@@ -52,17 +155,12 @@ def mmr_select(
         raise ValueError("query embedding has zero or non-finite norm")
     q = q / qn
 
-    def _collect(d: ray.data.Dataset) -> pa.Table | None:
-        # arrow-native bounded collect (no python row-dict round trip)
-        batches = list(d.iter_batches(batch_format="pyarrow"))
-        return pa.concat_tables(batches) if batches else None
-
     # the corpus-wide stage IS brute_force_topk: per-block tie-stable
     # relevance top-pool_n, merged globally by (sim desc, id asc) — the
     # machinery (and its tie rule) lives in exactly one place
     from mismo_ray.ann import brute_force_topk
 
-    cand = _collect(
+    cand = _collect_batches(
         brute_force_topk(
             ds,
             q[None, :],
@@ -92,7 +190,7 @@ def mmr_select(
     # fetch the pool's embeddings (bounded: pool_n x dim doubles)
     from mismo_ray._joins import broadcast_isin
 
-    pool_rows = _collect(
+    pool_rows = _collect_batches(
         broadcast_isin(
             ds.select_columns([id_column, column]), id_column, set(ids.tolist())
         )

@@ -1473,6 +1473,24 @@ def q_mmr_select(sf_dir: str):
     return ray.data.from_arrow(out)
 
 
+def q_kcenter_select(sf_dir: str):
+    """Greedy k-center / farthest-point diverse selection
+    (ann.kcenter_select), the query-free sibling of mmr_select: candidate
+    pool = the 50 smallest splitmix64(vec_id) ranks (a pure (id, seed)
+    function both engines reproduce exactly), first pick = the pool's min
+    id, then each pick minimizes the (12-decimal-rounded) max cosine to
+    the selected set, ties to min id.  The SQL oracle rebuilds the ranks
+    with the splitmix ladder and replays the greedy chain as unrolled
+    MATERIALIZED CTE steps (ORDER BY score ASC); zero-norm embeddings are
+    excluded on both sides (numpy: nan norm filter; SQL: self-cosine > 0
+    — DuckDB yields -1.0 for the zero vector)."""
+    from mismo_ray.ann import kcenter_select
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kcenter_select(emb, k=8, pool_n=50, seed=0)
+    return ray.data.from_arrow(out)
+
+
 def q_chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (textstats.chunk_documents): every
     document becomes ceil-many 16-token windows with 4 shared tokens
@@ -3232,6 +3250,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "robots_filter": q_robots_filter,
     "mmr_select": q_mmr_select,
+    "kcenter_select": q_kcenter_select,
     "simhash_charhash": q_simhash_charhash,
     "exact_dedupe": q_exact_dedupe,
     "minhash_lsh_dedupe": q_minhash_lsh_dedupe,
@@ -3249,12 +3268,13 @@ QUERIES = {
     "connected_components": q_connected_components,
     "window_fns": q_window_fns,
     "heavy_hitters": q_heavy_hitters,
-    "quality_classifier": q_quality_classifier,
     # ------- entry 51+: previously-captured entries + family variants -------
-    # (host_pagerank, decontaminate, pack_sequences, mixture_sample
-    # displaced by the late round-5 window additions — minhash_band_link,
-    # robots_filter, mmr_select, simhash_charhash; all displaced entries
-    # are hash-green in CORRECTNESS_r04)
+    # (host_pagerank, decontaminate, pack_sequences, mixture_sample,
+    # quality_classifier displaced by the late round-5 window additions —
+    # minhash_band_link, robots_filter, mmr_select, kcenter_select,
+    # simhash_charhash; all displaced entries are hash-green in
+    # CORRECTNESS_r04)
+    "quality_classifier": q_quality_classifier,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     "host_pagerank": q_host_pagerank,
@@ -3418,6 +3438,55 @@ _SPLITMIX_LADDER_SQL = (
     " % 18446744073709551616 AS UBIGINT) AS z FROM s2), "
     "sig AS (SELECT doc_id, k, xor(z, z >> 31) AS v FROM s3)"
 )
+
+def _kcenter_oracle_sql(k: int = 8, pool_n: int = 50, seed: int = 0) -> str:
+    """The q_kcenter_select oracle: splitmix64 pool ranks + the greedy
+    farthest-point chain unrolled as MATERIALIZED CTE steps (argMIN of the
+    rounded max-cosine-to-selected, ties to min vec_id)."""
+    M64 = 18446744073709551616
+    steps = [
+        "t0 AS MATERIALIZED (SELECT vec_id, emb FROM pool "
+        "ORDER BY vec_id LIMIT 1)"
+    ]
+    for i in range(1, k):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, emb FROM t{j}" for j in range(i)
+        )
+        steps.append(
+            f"t{i} AS MATERIALIZED (SELECT vec_id, emb FROM ("
+            f"SELECT p.vec_id, p.emb, round(("
+            f"SELECT max(list_cosine_similarity(p.emb, s.emb)) FROM ({prev}) s"
+            f"), 12) AS score FROM pool p "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM ({prev}))"
+            f") ORDER BY score ASC, vec_id LIMIT 1)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id FROM t{i}" for i in range(k)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        " FROM embeddings WHERE embedding IS NOT NULL), "
+        # zero-norm vectors: DuckDB self-cosine yields -1.0, valid rows ~1
+        "v AS (SELECT vec_id, emb FROM e "
+        " WHERE list_cosine_similarity(emb, emb) > 0), "
+        f"z0 AS (SELECT vec_id, emb, CAST(vec_id + {seed} AS UBIGINT) AS x FROM v), "
+        f"m1 AS (SELECT vec_id, emb, CAST((CAST(x AS HUGEINT) + 11400714819323198485) % {M64} AS UBIGINT) AS z FROM z0), "
+        "m2 AS (SELECT vec_id, emb, CAST(((CAST((xor(z, z >> 30)) >> 32 AS HUGEINT) "
+        " * 13787848793156543929 % 4294967296) * 4294967296 "
+        " + CAST((xor(z, z >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929) "
+        f" % {M64} AS UBIGINT) AS z FROM m1), "
+        "m3 AS (SELECT vec_id, emb, CAST(((CAST((xor(z, z >> 27)) >> 32 AS HUGEINT) "
+        " * 10723151780598845931 % 4294967296) * 4294967296 "
+        " + CAST((xor(z, z >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931) "
+        f" % {M64} AS UBIGINT) AS z FROM m2), "
+        "rk AS (SELECT vec_id, emb, xor(z, z >> 31) AS rk FROM m3), "
+        "pool AS MATERIALIZED (SELECT vec_id, emb FROM rk "
+        f"ORDER BY rk, vec_id LIMIT {pool_n}), "
+        + ", ".join(steps)
+        + " "
+        + final
+    )
+
 
 def _charhash_simhash_sql(w: int = 6, seed: int = 7, max_hamming: int = 3) -> str:
     """The q_simhash_charhash oracle: rebuild every charhash simhash
@@ -3599,6 +3668,7 @@ ORACLE_SQL = {
     ),
     "mmr_select": _mmr_oracle_sql(k=8, pool_n=50),
     "simhash_charhash": _charhash_simhash_sql(w=6, seed=7, max_hamming=3),
+    "kcenter_select": _kcenter_oracle_sql(k=8, pool_n=50, seed=0),
     "robots_filter": (
         "WITH p AS (SELECT doc_id, "
         " 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host, "

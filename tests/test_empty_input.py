@@ -63,6 +63,7 @@ QUERIES = [
     "robots_filter",  # empty corpus -> no pages to gate
     "mmr_select",  # empty embeddings -> empty pool, empty selection
     "simhash_charhash",  # empty corpus -> no signatures, no pairs
+    "kcenter_select",  # empty embeddings -> empty pool, empty selection
     "chunk_documents",  # empty corpus -> no chunks
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",

@@ -127,3 +127,70 @@ def test_mmr_partition_invariance(ray_session):
     a = mmr_select(_mk(vecs).repartition(2), q, k=7, pool_n=25)
     b = mmr_select(_mk(vecs).repartition(13), q, k=7, pool_n=25)
     assert a.to_pydict() == b.to_pydict()
+
+
+def _ref_kcenter(vectors, ids, k, pool_n, seed=0):
+    from mismo_ray._util import splitmix64
+
+    rows = [
+        (i, np.asarray(v, dtype=np.float64))
+        for i, v in zip(ids, vectors)
+        if v is not None and np.linalg.norm(v) > 0
+    ]
+    rk = {
+        i: int(splitmix64(np.array([np.uint64(i + seed)], dtype=np.uint64))[0])
+        for i, _ in rows
+    }
+    pool = sorted(rows, key=lambda t: (rk[t[0]], t[0]))[:pool_n]
+    pool = [(i, v / np.linalg.norm(v)) for i, v in pool]
+    pool.sort(key=lambda t: t[0])
+    out = [pool[0][0]]
+    sel = [pool[0][1]]
+    while len(out) < min(k, len(pool)):
+        best = None
+        for i, v in pool:
+            if i in out:
+                continue
+            s = round(max(float(v @ sv) for sv in sel), 12)
+            if best is None or s < best[0] or (s == best[0] and i < best[1]):
+                best = (s, i, v)
+        out.append(best[1])
+        sel.append(best[2])
+    return [(r, i) for r, i in enumerate(out)]
+
+
+def test_kcenter_matches_reference(ray_session):
+    from mismo_ray.ann import kcenter_select
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(100, 7)).tolist() + [None, [0.0] * 7]
+    ids = list(range(102))
+    ds = _mk(vecs, ids).repartition(7)
+    for k, pool in [(6, 25), (10, 50), (3, 100)]:
+        got = kcenter_select(ds, k=k, pool_n=pool, seed=0)
+        want = _ref_kcenter(vecs, ids, k, pool)
+        assert (
+            list(zip(got["rank"].to_pylist(), got["vec_id"].to_pylist())) == want
+        ), (k, pool)
+
+
+def test_kcenter_spreads_clusters(ray_session):
+    from mismo_ray.ann import kcenter_select
+
+    # three tight clusters: the first three picks must hit all three
+    a, b, c = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]
+    vecs = [a] * 10 + [b] * 10 + [c] * 10
+    got = kcenter_select(_mk(vecs), k=3, pool_n=30, seed=0)
+    picked = got["vec_id"].to_pylist()
+    clusters = {p // 10 for p in picked}
+    assert clusters == {0, 1, 2}
+
+
+def test_kcenter_partition_invariance(ray_session):
+    from mismo_ray.ann import kcenter_select
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(80, 5)).tolist()
+    a = kcenter_select(_mk(vecs).repartition(2), k=6, pool_n=20, seed=3)
+    b = kcenter_select(_mk(vecs).repartition(19), k=6, pool_n=20, seed=3)
+    assert a.to_pydict() == b.to_pydict()

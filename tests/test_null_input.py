@@ -50,6 +50,7 @@ QUERIES = [
     "robots_filter",  # id-derived urls unaffected by null payloads
     "mmr_select",  # all-null embeddings -> nothing enters the pool
     "simhash_charhash",  # all-null text -> every doc filtered, no pairs
+    "kcenter_select",  # all-null embeddings -> nothing enters the pool
     "lang_id",
     "token_stats",
     "gopher_quality",
