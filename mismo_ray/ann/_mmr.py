@@ -58,6 +58,20 @@ def kcenter_select(
     if k <= 0 or pool_n <= 0:
         raise ValueError("k and pool_n must be positive")
 
+    def _rank_topn(ids: np.ndarray) -> np.ndarray:
+        """THE pool-ranking rule, shared by the per-block sample and the
+        global merge (diverging copies would break partition invariance):
+        pool_n smallest (splitmix64(id + seed), id) keys, duplicate ids
+        dropped (same id -> same rank -> adjacent after the sort)."""
+        with np.errstate(over="ignore"):
+            rk = splitmix64(
+                (ids.astype(np.int64) + np.int64(seed)).astype(np.uint64)
+            )
+        order = np.lexsort((ids, rk))
+        srt = ids[order]
+        first = np.concatenate(([True], srt[1:] != srt[:-1]))
+        return srt[first][:pool_n]
+
     def block_sample(t: pa.Table) -> pa.Table:
         m = _matrix(t, column)
         norms = np.linalg.norm(m, axis=1)
@@ -65,12 +79,9 @@ def kcenter_select(
         ids = np.asarray(t[id_column].to_numpy(zero_copy_only=False))[ok]
         if len(ids) == 0:
             return pa.table({id_column: pa.array([], type=pa.int64())})
-        with np.errstate(over="ignore"):
-            rk = splitmix64(
-                (ids.astype(np.int64) + np.int64(seed)).astype(np.uint64)
-            )
-        order = np.lexsort((ids, rk))[:pool_n]
-        return pa.table({id_column: pa.array(ids[order], type=pa.int64())})
+        return pa.table(
+            {id_column: pa.array(_rank_topn(ids), type=pa.int64())}
+        )
 
     cand = _collect_batches(
         ds.map_batches(block_sample, batch_format="pyarrow")
@@ -83,11 +94,9 @@ def kcenter_select(
     )
     if cand is None or len(cand) == 0:
         return empty
-    ids = np.asarray(cand[id_column].to_numpy(zero_copy_only=False))
-    with np.errstate(over="ignore"):
-        rk = splitmix64((ids.astype(np.int64) + np.int64(seed)).astype(np.uint64))
-    order = np.lexsort((ids, rk))[:pool_n]
-    ids = ids[order]
+    ids = _rank_topn(
+        np.asarray(cand[id_column].to_numpy(zero_copy_only=False))
+    )
 
     from mismo_ray._joins import broadcast_isin
 
@@ -186,6 +195,11 @@ def mmr_select(
         return empty
     order = np.lexsort((ids, -rel))
     ids, rel = ids[order], rel[order]
+    # duplicate ids (duplicate input rows surface once per block) carry
+    # identical rel, hence sort adjacent: keep the first so no id can be
+    # selected at two ranks (the oracle's NOT IN removes all copies)
+    first = np.concatenate(([True], ids[1:] != ids[:-1]))
+    ids, rel = ids[first], rel[first]
 
     # fetch the pool's embeddings (bounded: pool_n x dim doubles)
     from mismo_ray._joins import broadcast_isin

@@ -194,3 +194,16 @@ def test_kcenter_partition_invariance(ray_session):
     a = kcenter_select(_mk(vecs).repartition(2), k=6, pool_n=20, seed=3)
     b = kcenter_select(_mk(vecs).repartition(19), k=6, pool_n=20, seed=3)
     assert a.to_pydict() == b.to_pydict()
+
+
+def test_duplicate_id_rows_select_each_id_once(ray_session):
+    from mismo_ray.ann import kcenter_select
+
+    # duplicate vec_id rows must never yield the same id at two ranks
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.7, 0.7]]
+    ids = [5, 5, 7, 9]
+    ds = _mk(vecs, ids)
+    got = kcenter_select(ds, k=3, pool_n=4, seed=0)
+    assert sorted(got["vec_id"].to_pylist()) == [5, 7, 9]
+    got2 = mmr_select(ds, [1.0, 0.0], k=3, pool_n=4)
+    assert sorted(got2["vec_id"].to_pylist()) == [5, 7, 9]
