@@ -1504,6 +1504,42 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(docs, "text", max_tokens=16, overlap=4)
 
 
+def q_chunk_sentences(sf_dir: str):
+    """Sentence-window chunking (chunk_documents(unit="sentence")): the
+    word-list corpus is made multi-sentence by the SQL-reproducible
+    literal rewrite ' value ' -> '. ' (both engines: left-to-right
+    non-overlapping replace), then every document becomes 3-sentence
+    windows sharing 1 sentence.  The oracle replays the marker-replace
+    boundary rule (regexp_replace '([.!?])\\s+' -> '\\1'||chr(31), split,
+    drop empties — RE2 has no lookbehind, so the marker IS the
+    engine-independent sentence definition) and rebuilds every window."""
+    from mismo_ray.textstats import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = pd.Series(t["text"].to_pylist(), dtype="object")
+        out = texts.str.replace(" value ", ". ", regex=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(out, type=pa.string()),
+            }
+        )
+
+    ds2 = docs.map_batches(synth, batch_format="pyarrow")
+    return chunk_documents(
+        ds2,
+        "text",
+        max_tokens=3,
+        overlap=1,
+        unit="sentence",
+        n_tokens_name="n_units",
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (textstats.add_lang_id / LangId actor pool).
     SQL-oracled on this corpus: the synthetic documents are pure-ASCII, so
@@ -3275,6 +3311,7 @@ QUERIES = {
     # simhash_charhash; all displaced entries are hash-green in
     # CORRECTNESS_r04)
     "quality_classifier": q_quality_classifier,
+    "chunk_sentences": q_chunk_sentences,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     "host_pagerank": q_host_pagerank,
@@ -3669,6 +3706,21 @@ ORACLE_SQL = {
     "mmr_select": _mmr_oracle_sql(k=8, pool_n=50),
     "simhash_charhash": _charhash_simhash_sql(w=6, seed=7, max_hamming=3),
     "kcenter_select": _kcenter_oracle_sql(k=8, pool_n=50, seed=0),
+    "chunk_sentences": (
+        "WITH d0 AS (SELECT doc_id, replace(text, ' value ', '. ') AS text "
+        " FROM documents WHERE text IS NOT NULL), "
+        "m AS (SELECT doc_id, regexp_replace(text, '([.!?])\\s+', "
+        " '\\1' || chr(31), 'g') AS mt FROM d0), "
+        "d AS (SELECT doc_id, "
+        " list_filter(string_split(mt, chr(31)), u -> len(u) > 0) AS toks FROM m), "
+        "n AS (SELECT doc_id, toks, len(toks) AS nt FROM d WHERE len(toks) > 0), "
+        "c AS (SELECT doc_id, toks, nt, CASE WHEN nt <= 3 THEN 1 "
+        " ELSE CAST(ceil(CAST(nt - 3 AS DOUBLE) / 2) AS BIGINT) + 1 END AS nc FROM n), "
+        "g AS (SELECT doc_id, toks, nt, unnest(range(nc)) AS chunk_id FROM c) "
+        "SELECT doc_id, chunk_id, "
+        " array_to_string(toks[chunk_id * 2 + 1 : LEAST(chunk_id * 2 + 3, nt)], ' ') AS text, "
+        " LEAST(chunk_id * 2 + 3, nt) - chunk_id * 2 AS n_units FROM g"
+    ),
     "robots_filter": (
         "WITH p AS (SELECT doc_id, "
         " 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host, "

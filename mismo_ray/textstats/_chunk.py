@@ -1,9 +1,12 @@
-"""Document chunking: split long documents into overlapping token windows.
+"""Document chunking: split long documents into overlapping unit windows.
 
 The RAG / embedding-prep / long-context-training primitive the reference
 has no counterpart for: every document becomes ceil-many chunks of at most
-``max_tokens`` whitespace tokens, consecutive chunks sharing ``overlap``
-tokens, chunk text rejoined with single spaces.  One stateless
+``max_tokens`` units, consecutive chunks sharing ``overlap`` units, chunk
+text rejoined with single spaces. Units are whitespace tokens
+(``unit="token"``, the default) or sentences (``unit="sentence"``:
+boundaries after ``.!?`` + whitespace, detected with a marker-replace so
+the identical rule is expressible in RE2/SQL — no lookbehind needed).  One stateless
 ``map_batches`` pass — each chunk's tokens are gathered from a flattened
 per-batch token array with pure index arithmetic (no per-row python) and
 rejoined with one Arrow ``binary_join`` kernel, so the op streams at any
@@ -20,10 +23,18 @@ Chunk layout (stride = max_tokens - overlap):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+# sentence boundary: terminal punctuation followed by whitespace. The
+# marker-replace form ('\1' + US control char, then split) is what DuckDB
+# RE2 can express too: regexp_replace(text, '([.!?])\s+', '\1' || chr(31))
+_SENT_BOUNDARY = re.compile(r"([.!?])\s+")
+_UNIT_SEP = "\x1f"
 
 
 def chunk_documents(
@@ -35,15 +46,21 @@ def chunk_documents(
     id_column: str = "doc_id",
     chunk_id_name: str = "chunk_id",
     n_tokens_name: str = "n_tokens",
+    unit: str = "token",
 ) -> ray.data.Dataset:
-    """(id, chunk_id, text, n_tokens) rows: overlapping token windows.
+    """(id, chunk_id, text, n_units) rows: overlapping unit windows.
 
-    Tokens are whitespace runs (``str.split`` semantics: leading/trailing
-    whitespace dropped); chunk text is the window's tokens joined with a
-    single space — a byte-deterministic, engine-independent contract
-    (DuckDB: ``array_to_string(list_slice(...), ' ')``).  ``overlap``
-    tokens are shared between consecutive chunks (0 = disjoint windows).
+    ``unit="token"``: units are whitespace runs (``str.split`` semantics:
+    leading/trailing whitespace dropped). ``unit="sentence"``: units are
+    sentences (split after ``[.!?]`` + whitespace; ``max_tokens`` /
+    ``overlap`` then count SENTENCES per window). Chunk text is the
+    window's units joined with a single space — a byte-deterministic,
+    engine-independent contract (DuckDB: ``array_to_string(list_slice(...),
+    ' ')``).  ``overlap`` units are shared between consecutive chunks
+    (0 = disjoint windows).
     """
+    if unit not in ("token", "sentence"):
+        raise ValueError(f"unit must be 'token' or 'sentence', got {unit!r}")
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     if not 0 <= overlap < max_tokens:
@@ -59,12 +76,18 @@ def chunk_documents(
         n = len(t)
         id_arr = t[id_column].combine_chunks() if n else t[id_column]
         texts = pd.Series(t[column].to_pylist(), dtype="object")
-        toks = texts.str.split()
-        ntok = (
-            pd.to_numeric(toks.str.len(), errors="coerce")
-            .fillna(0)
-            .to_numpy(dtype=np.int64)
-        )
+        if unit == "sentence":
+            toks = texts.str.replace(
+                _SENT_BOUNDARY, "\\1" + _UNIT_SEP, regex=True
+            ).str.split(_UNIT_SEP)
+        else:
+            toks = texts.str.split()
+        # counts via the exploded view (sentence mode can yield empty
+        # units at a trailing boundary; they must not become chunks)
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        erows = ex.index.to_numpy(dtype=np.int64)
+        ntok = np.bincount(erows, minlength=n).astype(np.int64)
         n_chunks = np.where(
             ntok == 0,
             0,
@@ -86,9 +109,7 @@ def chunk_documents(
         if total == 0:
             return empty
 
-        # flattened token array + per-doc offsets into it
-        ex = toks.explode()
-        ex = ex[ex.notna()]
+        # flattened unit array + per-doc offsets into it
         flat = ex.to_numpy(dtype=object)
         doc_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(ntok, out=doc_off[1:])

@@ -113,3 +113,58 @@ def test_chunk_empty_table(ray_session):
     # when columns survive, they must be the documented four
     if len(t.columns):
         assert list(t.columns) == ["doc_id", "chunk_id", "text", "n_tokens"]
+
+
+def _ref_sentence_chunks(docs, max_units, overlap):
+    import re
+
+    stride = max_units - overlap
+    out = []
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        marked = re.sub(r"([.!?])\s+", "\\1\x1f", text)
+        units = [u for u in marked.split("\x1f") if u]
+        n = len(units)
+        if n == 0:
+            continue
+        nc = 1 if n <= max_units else -(-(n - max_units) // stride) + 1
+        for j in range(nc):
+            span = units[j * stride : j * stride + max_units]
+            out.append((doc_id, j, " ".join(span), len(span)))
+    return sorted(out)
+
+
+def test_chunk_sentence_mode_matches_reference(ray_session):
+    docs = [
+        (1, "One two. Three four! Five six? Seven eight. Nine."),
+        (2, "No punctuation here at all"),
+        (3, None),
+        (4, ""),
+        (5, "Trailing period. "),
+        (6, "A. B. C. D. E. F. G."),
+        (7, "Multi  spaces.  After.   Boundaries. Stay!"),
+    ]
+    for mu, ov in [(2, 1), (3, 0), (1, 0), (4, 2)]:
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                    "text": pa.array([t for _, t in docs], type=pa.string()),
+                }
+            )
+        )
+        t = chunk_documents(
+            ds, "text", max_tokens=mu, overlap=ov, unit="sentence",
+            n_tokens_name="n_units",
+        ).to_pandas()
+        got = sorted(
+            zip(t["doc_id"], t["chunk_id"], t["text"], t["n_units"].astype(int))
+        )
+        assert got == _ref_sentence_chunks(docs, mu, ov), (mu, ov)
+
+
+def test_chunk_unit_validation(ray_session):
+    ds = ray.data.from_items([{"doc_id": 1, "text": "a"}])
+    with pytest.raises(ValueError, match="unit"):
+        chunk_documents(ds, "text", max_tokens=4, unit="paragraph")

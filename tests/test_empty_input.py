@@ -65,6 +65,7 @@ QUERIES = [
     "simhash_charhash",  # empty corpus -> no signatures, no pairs
     "kcenter_select",  # empty embeddings -> empty pool, empty selection
     "chunk_documents",  # empty corpus -> no chunks
+    "chunk_sentences",  # empty corpus -> no sentence windows
     "fuzzy_dedupe",  # was: NoneType.names (schema probe)
     "semdedup",
     "drop_dup_lines",  # was: NoneType.base_schema (rewrite join)

@@ -47,6 +47,7 @@ QUERIES = [
     "spelling_pairs",  # null names -> no variants, no pairs
     "minhash_band_pairs",  # id-derived signatures unaffected by null text
     "chunk_documents",  # null text -> zero chunks for every doc
+    "chunk_sentences",  # null text -> zero sentence windows
     "robots_filter",  # id-derived urls unaffected by null payloads
     "mmr_select",  # all-null embeddings -> nothing enters the pool
     "simhash_charhash",  # all-null text -> every doc filtered, no pairs
