@@ -1510,9 +1510,11 @@ def q_chunk_sentences(sf_dir: str):
     literal rewrite ' value ' -> '. ' (both engines: left-to-right
     non-overlapping replace), then every document becomes 3-sentence
     windows sharing 1 sentence.  The oracle replays the marker-replace
-    boundary rule (regexp_replace '([.!?])\\s+' -> '\\1'||chr(31), split,
-    drop empties — RE2 has no lookbehind, so the marker IS the
-    engine-independent sentence definition) and rebuilds every window."""
+    boundary rule (regexp_replace '([.!?])[\\t\\n\\f\\r ]+' -> '\\1'||chr(31),
+    split, drop empties — the whitespace class is explicit ASCII because
+    python \\s is Unicode-wide while RE2's is not, and RE2 has no
+    lookbehind, so the marker IS the engine-independent sentence
+    definition) and rebuilds every window."""
     from mismo_ray.textstats import chunk_documents
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -3709,7 +3711,7 @@ ORACLE_SQL = {
     "chunk_sentences": (
         "WITH d0 AS (SELECT doc_id, replace(text, ' value ', '. ') AS text "
         " FROM documents WHERE text IS NOT NULL), "
-        "m AS (SELECT doc_id, regexp_replace(text, '([.!?])\\s+', "
+        "m AS (SELECT doc_id, regexp_replace(text, '([.!?])[\\t\\n\\f\\r ]+', "
         " '\\1' || chr(31), 'g') AS mt FROM d0), "
         "d AS (SELECT doc_id, "
         " list_filter(string_split(mt, chr(31)), u -> len(u) > 0) AS toks FROM m), "

@@ -31,9 +31,14 @@ import pyarrow.compute as pc
 import ray.data
 
 # sentence boundary: terminal punctuation followed by whitespace. The
-# marker-replace form ('\1' + US control char, then split) is what DuckDB
-# RE2 can express too: regexp_replace(text, '([.!?])\s+', '\1' || chr(31))
-_SENT_BOUNDARY = re.compile(r"([.!?])\s+")
+# whitespace class is EXPLICIT ASCII, not \s: Python's \s is Unicode-wide
+# (VT, NBSP, LS/PS, \x1c-\x1f) while RE2/DuckDB's \s is [\t\n\f\r ] only —
+# the explicit class keeps the rule byte-identical on both engines. The
+# marker-replace form ('\1' + US control char, then split) is what RE2 can
+# express too (no lookbehind): regexp_replace(text,
+# '([.!?])[\t\n\f\r ]+', '\1' || chr(31), 'g'). The US character itself
+# (0x1F) is RESERVED: it is stripped from input text before marking.
+_SENT_BOUNDARY = re.compile(r"([.!?])[\t\n\f\r ]+")
 _UNIT_SEP = "\x1f"
 
 
@@ -77,15 +82,20 @@ def chunk_documents(
         id_arr = t[id_column].combine_chunks() if n else t[id_column]
         texts = pd.Series(t[column].to_pylist(), dtype="object")
         if unit == "sentence":
-            toks = texts.str.replace(
-                _SENT_BOUNDARY, "\\1" + _UNIT_SEP, regex=True
-            ).str.split(_UNIT_SEP)
+            toks = (
+                texts.str.replace(_UNIT_SEP, "", regex=False)
+                .str.replace(_SENT_BOUNDARY, "\\1" + _UNIT_SEP, regex=True)
+                .str.split(_UNIT_SEP)
+            )
         else:
             toks = texts.str.split()
-        # counts via the exploded view (sentence mode can yield empty
-        # units at a trailing boundary; they must not become chunks)
         ex = toks.explode()
-        ex = ex[ex.notna() & (ex != "")]
+        ex = ex[ex.notna()]
+        if unit == "sentence":
+            # trailing boundaries yield empty units that must not become
+            # chunks (token mode's str.split can never produce empties —
+            # skip the scan on the hot default path)
+            ex = ex[ex != ""]
         erows = ex.index.to_numpy(dtype=np.int64)
         ntok = np.bincount(erows, minlength=n).astype(np.int64)
         n_chunks = np.where(

@@ -63,6 +63,7 @@ QUERIES = [
     "subtract_exact",  # content-hash keys over NUL bytes / max code points
     "describe",  # min/max/distinct over extreme unicode strings
     "chunk_documents",  # token windows over 50k-char tokens / exotic whitespace
+    "chunk_sentences",  # the sentence-regex path over VT/FF/LS/PS/zero-widths
 ]
 
 

@@ -123,7 +123,7 @@ def _ref_sentence_chunks(docs, max_units, overlap):
     for doc_id, text in docs:
         if text is None:
             continue
-        marked = re.sub(r"([.!?])\s+", "\\1\x1f", text)
+        marked = re.sub(r"([.!?])[\t\n\f\r ]+", "\\1\x1f", text.replace("\x1f", ""))
         units = [u for u in marked.split("\x1f") if u]
         n = len(units)
         if n == 0:
