@@ -127,12 +127,27 @@ def const_emb_sf_dir(tmp_path_factory):
         "embedding_neardup",
         "semdedup",
         "embedding_linker_link",
+        "mmr_select",  # all-tie greedy chains must fall to the min-id rule
+        "kcenter_select",
     ],
 )
 def test_ann_family_on_constant_embeddings(queries, const_emb_sf_dir, name):
     """k-means over identical points, tie-ranked neighbors: bounded,
     deterministic, no crash."""
     assert _rows(queries[name](const_emb_sf_dir)) >= 0
+
+
+def test_diverse_selectors_all_ties_pick_min_ids(queries, const_emb_sf_dir):
+    """500 identical embeddings: every greedy score ties at every step, so
+    both selectors must walk the pool in ascending id order exactly."""
+    import pyarrow as pa
+
+    for name in ("mmr_select", "kcenter_select"):
+        out = queries[name](const_emb_sf_dir)
+        t = out.to_pandas() if hasattr(out, "to_pandas") else pa.table(out).to_pandas()
+        ids = t.sort_values("rank")["vec_id"].tolist()
+        assert ids == sorted(ids), name
+        assert len(ids) == len(set(ids)) == 8, name
 
 
 def test_constant_embeddings_neardup_is_complete(queries, const_emb_sf_dir):
